@@ -1,0 +1,31 @@
+"""Scalar helpers (SURVEY.md §2.7).
+
+The reference guards divisions two ways: ``nullif(d, 0)`` inline
+(≈10 uses, e.g. ``int_daily_returns.sql:38-46``) and the dbt macro
+``safe_divide`` which COALESCEs to a default
+(``dbt/macros/safe_divide.sql:1-7``). Both live here with explicit
+modes. Everything is a Column-in/Column-out expression — Catalyst
+constant-folds and codegens these; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def null_if_zero_divide(numerator: Column, denominator: Column) -> Column:
+    """``num / nullif(den, 0)`` — NULL on zero denominator."""
+    return numerator / F.nullif(denominator, F.lit(0))
+
+
+def safe_divide(numerator: Column, denominator: Column, default: float | None = 0.0) -> Column:
+    """dbt macro parity (``dbt/macros/safe_divide.sql:1-7``):
+    ``coalesce(num / nullif(den, 0), default)``."""
+    out = null_if_zero_divide(numerator, denominator)
+    return out if default is None else F.coalesce(out, F.lit(default))
+
+
+def count_if(predicate: Column) -> Column:
+    """Conditional count (``mart_daily_summary.sql:30-36`` ``countif``)."""
+    return F.count_if(predicate)

@@ -1,0 +1,110 @@
+"""Bronze→silver: build and clean daily OHLCV bars.
+
+Reference semantics covered (SURVEY.md §2.2):
+- P1-P4 rename/cast/drop (``spark_batch_processor.py:41-50``)
+- P5/P6/P11 value filters: close>0, key not null, volume>=0
+  (``spark_batch_processor.py:51-52``, ``stg_daily_stock_metrics.sql:52-57``)
+- P7 key dedup (``spark_batch_processor.py:53``)
+- P9 symbol normalization ``upper(trim())`` (``stg_daily_stock_metrics.sql:27``)
+- P10 temporal sanity ``trade_date <= current_date``
+  (``stg_daily_stock_metrics.sql:58``)
+
+Two entry points:
+
+:func:`bars_from_events` synthesizes the reference's per-(symbol, day)
+bar grain from any tick/event-shaped table (driver table ``events``
+stands in for the yfinance feed, FIXTURES.md §5): OHLC via min/max and
+deterministic argmin/argmax on (ts, id), volume from a JSON props
+field — the same JSON boundary the reference crosses at Kafka ser/de
+(``batch_data_consumer.py:65``).
+
+:func:`clean_daily_bars` is the silver-cleaning step over a raw
+bar-shaped frame (string date/ts → typed, renames, filters, dedup).
+
+Scale: the groupBy in ``bars_from_events`` is a single hash-aggregate
+shuffle on (symbol, day) with map-side partial aggregation; min_by /
+max_by are single-pass typed aggregates (no sort, no window), so the
+bar build stays one shuffle at any data size. All expressions are
+built-ins → whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bars_from_events(
+    events: DataFrame,
+    entity_col: str = "event_type",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+    qty_json_col: str = "props",
+    qty_json_path: str = "$.k",
+) -> DataFrame:
+    """Aggregate an event stream to one OHLCV bar per (symbol, day).
+
+    Open/close are argmin/argmax of price by (ts, id) — the id
+    tiebreak keeps the result deterministic under equal timestamps.
+    """
+    order_key = F.struct(F.col(ts_col), F.col(id_col))
+    qty = F.get_json_object(F.col(qty_json_col), qty_json_path).cast("long")
+    return (
+        events.select(
+            F.upper(F.trim(F.col(entity_col))).alias("symbol"),
+            F.to_date(F.col(ts_col)).alias("trade_date"),
+            F.col(price_col).cast("double").alias("price"),
+            order_key.alias("order_key"),
+            qty.alias("qty"),
+        )
+        .groupBy("symbol", "trade_date")
+        .agg(
+            F.min_by("price", "order_key").alias("open_price"),
+            F.max("price").alias("high_price"),
+            F.min("price").alias("low_price"),
+            F.max_by("price", "order_key").alias("close_price"),
+            F.sum("qty").alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+def clean_daily_bars(raw: DataFrame) -> DataFrame:
+    """Silver cleaning of a RAW_DAILY_BARS-shaped frame.
+
+    Mirrors ``spark_batch_processor.py:41-54`` +
+    ``stg_daily_stock_metrics.sql:20-61`` (the staging view re-applies
+    the same filters plus symbol normalization; both are folded into
+    one pass here so the scan happens once).
+    """
+    return (
+        raw.select(
+            F.upper(F.trim(F.col("symbol"))).alias("symbol"),
+            F.to_date("date").alias("trade_date"),
+            F.col("daily_open").cast("double").alias("open_price"),
+            F.col("daily_high").cast("double").alias("high_price"),
+            F.col("daily_low").cast("double").alias("low_price"),
+            F.col("daily_close").cast("double").alias("close_price"),
+            F.col("daily_volume").cast("long").alias("volume"),
+            F.to_timestamp("batch_load_timestamp").alias("batch_loaded_at"),
+        )
+        .filter(F.col("symbol").isNotNull())
+        .filter(F.col("trade_date").isNotNull())
+        .filter(F.col("close_price").isNotNull() & (F.col("close_price") > 0))
+        .filter(F.col("volume") >= 0)
+        .filter(F.col("trade_date") <= F.current_date())
+        .dropDuplicates(["symbol", "trade_date"])
+    )
+
+
+def filter_clean_bars(bars: DataFrame) -> DataFrame:
+    """Apply the staging-quality filters to an already-typed bar frame
+    (used when bars come from :func:`bars_from_events`)."""
+    return (
+        bars.filter(F.col("symbol").isNotNull())
+        .filter(F.col("trade_date").isNotNull())
+        .filter(F.col("close_price").isNotNull() & (F.col("close_price") > 0))
+        .filter(F.col("volume") >= 0)
+        .filter(F.col("trade_date") <= F.current_date())
+    )

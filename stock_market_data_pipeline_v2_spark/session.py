@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+Replaces the per-job builder blocks of the reference
+(``src/spark/jobs/spark_batch_processor.py:17-26`` and
+``spark_stream_batch_processor.py:15-24``) with a single factory that
+bakes in the settings every operator here relies on:
+
+- ``spark.sql.session.timeZone=UTC`` — the reference stores
+  TIMESTAMP_NTZ in Snowflake (``load_stream_to_snowflake.py:30-36``);
+  UTC session time gives identical date/timestamp arithmetic.
+- AQE on (coalesce + skew join) — at the 100 TB design point we rely
+  on runtime re-planning instead of hand-tuned shuffle partition
+  counts; local runs use SPARK_GRAFT_CPUS partitions.
+- Arrow on — any `applyInPandas`/`mapInPandas` op (multimodal, ANN)
+  moves data in columnar batches, never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "stock-market-data-pipeline-v2-spark"
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to an externally created session.
+
+    The correctness driver owns its own SparkSession; this makes the
+    semantics (UTC arithmetic, AQE, Arrow) deterministic regardless of
+    who built the session.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Testdata `events.ts` is parquet TIMESTAMP(NANOS) which Spark's
+    # vectorized reader rejects; read as long and convert in
+    # sources.io.load_table (micros truncation matches DuckDB's
+    # ns→µs cast).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return configure_runtime(builder.getOrCreate())

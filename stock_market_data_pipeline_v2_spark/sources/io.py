@@ -1,0 +1,95 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+Covers the reference's scan/sink surface, Spark-first:
+
+- S1  CSV scan with explicit schema over hive-partitioned dirs
+  (``spark_batch_processor.py:38-39``) → :func:`read_csv`.
+- S2/S3  partitioned parquet write, overwrite/append
+  (``spark_batch_processor.py:56-57``,
+  ``spark_stream_batch_processor.py:77-78``) → :func:`write_parquet`.
+- S6/S7  object-store CSV/parquet — paths are URI-agnostic; pointing
+  at ``s3a://`` works unchanged, so MinIO put_object loops
+  (``batch_data_consumer.py:30-40``) and pandas-per-object reads
+  (``load_to_snowflake.py:77-92``) collapse into distributed scans.
+- S13  clustered mart table (dbt ``cluster_by``, e.g.
+  ``mart_stock_performance.sql:5``) → :func:`write_clustered`
+  (repartition on cluster keys + sortWithinPartitions, the plain
+  parquet analogue of Snowflake clustering / Delta OPTIMIZE).
+
+Scale notes (100 TB): readers never infer schemas (no extra scan);
+writers take an explicit ``partition_cols`` so downstream per-key
+readers get partition pruning; clustered writes sort within files so
+parquet row-group min/max statistics prune on the sort key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+) -> DataFrame:
+    """S1: schema'd CSV scan — inference deliberately off."""
+    return spark.read.csv(path, header=header, schema=schema)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as long
+    nanoseconds and is converted here to a microsecond timestamp
+    (truncating division — the same ns→µs truncation DuckDB applies
+    when casting TIMESTAMP_NS to TIMESTAMP).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: Sequence[str] | None = None,
+) -> None:
+    """S2/S3: (partitioned) parquet write."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    mode: str = "overwrite",
+    partition_cols: Sequence[str] | None = None,
+    target_files: int | None = None,
+) -> None:
+    """S13: clustered table write (Snowflake ``cluster_by`` analogue).
+
+    Repartitions on the leading cluster key (hash) so co-clustered rows
+    land in the same files, then sorts within partitions so row-group
+    stats prune range predicates on the cluster keys.
+    """
+    cols = list(cluster_cols)
+    repartitioned = (
+        df.repartition(target_files, *cols[:1]) if target_files else df.repartition(*cols[:1])
+    )
+    sorted_df = repartitioned.sortWithinPartitions(*cols)
+    write_parquet(sorted_df, path, mode=mode, partition_cols=partition_cols)
