@@ -19,6 +19,17 @@ from stock_market_data_pipeline_v2_spark.operators.bars import (
     filter_clean_bars,
 )
 from stock_market_data_pipeline_v2_spark.operators.returns import daily_returns
+from stock_market_data_pipeline_v2_spark.operators.indicators import rolling_indicators
+from stock_market_data_pipeline_v2_spark.operators.performance import stock_performance
+from stock_market_data_pipeline_v2_spark.operators.summary import daily_summary
+from stock_market_data_pipeline_v2_spark.operators.realtime import (
+    enrich_realtime,
+    realtime_signals,
+    stage_realtime,
+    tick_events,
+    window_aggregate_15m,
+    windowed_analytics,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -36,15 +47,62 @@ def q_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_returns(_clean_bars(spark, sf_dir))
 
 
+def q_rolling_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_indicators(daily_returns(_clean_bars(spark, sf_dir)))
+
+
+def q_stock_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stock_performance(_clean_bars(spark, sf_dir))
+
+
+def q_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_summary(stock_performance(_clean_bars(spark, sf_dir)))
+
+
+def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return tick_events(load_table(spark, sf_dir, "events"))
+
+
+def q_window_agg_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return window_aggregate_15m(_ticks(spark, sf_dir))
+
+
+def q_windowed_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_analytics(_ticks(spark, sf_dir), strategy="interval_join")
+
+
+def q_windowed_analytics_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_analytics(_ticks(spark, sf_dir), strategy="reaggregate")
+
+
+def q_windowed_analytics_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_analytics(_ticks(spark, sf_dir), strategy="range_join")
+
+
+def q_realtime_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return realtime_signals(
+        enrich_realtime(stage_realtime(windowed_analytics(_ticks(spark, sf_dir))))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_daily_returns(spark, SF0001)
+    return q_stock_performance(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_bars": q_daily_bars,
         "daily_returns": q_daily_returns,
+        "rolling_indicators": q_rolling_indicators,
+        "stock_performance": q_stock_performance,
+        "daily_summary": q_daily_summary,
+        "window_agg_15m": q_window_agg_15m,
+        "windowed_analytics": q_windowed_analytics,
+        "windowed_analytics_reagg": q_windowed_analytics_reagg,
+        "windowed_analytics_range_join": q_windowed_analytics_range_join,
+        "realtime_signals": q_realtime_signals,
     }
 
 
@@ -52,4 +110,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "daily_bars": oracles.DAILY_BARS_SQL,
         "daily_returns": oracles.DAILY_RETURNS_SQL,
+        "rolling_indicators": oracles.ROLLING_INDICATORS_SQL,
+        "stock_performance": oracles.STOCK_PERFORMANCE_SQL,
+        "daily_summary": oracles.DAILY_SUMMARY_SQL,
+        "window_agg_15m": oracles.WINDOW_AGG_15M_SQL,
+        "windowed_analytics": oracles.WINDOWED_ANALYTICS_SQL,
+        # windowed_analytics_reagg: no oracle — join-free partial-sum
+        # re-aggregation is ~1 ulp off a direct average (rows-only check).
+        "windowed_analytics_range_join": oracles.WINDOWED_ANALYTICS_SQL,
+        "realtime_signals": oracles.REALTIME_SIGNALS_SQL,
     }

@@ -26,6 +26,31 @@ def safe_divide(numerator: Column, denominator: Column, default: float | None = 
     return out if default is None else F.coalesce(out, F.lit(default))
 
 
+def round_away(col: Column, digits: int = 0) -> Column:
+    """Round-half-away-from-zero computed on the binary double.
+
+    Spark's ``F.round`` rounds the value's *shortest decimal string*
+    (``BigDecimal.valueOf``), so ``round(-16.98625, 4)`` →
+    ``-16.9863`` even though the stored double is
+    ``-16.986249999...``; warehouse engines (Snowflake/DuckDB round on
+    DOUBLE) round the binary value instead → ``-16.9862``. This
+    helper reproduces the warehouse behavior with the identical
+    floating-point operations (``x·10ⁿ``, ``+0.5``, ``floor``), making
+    results bit-reproducible across engines. Pure Catalyst
+    expressions — codegen-friendly, no UDF.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    p = F.lit(float(10**digits))
+    scaled = col * p
+    return (
+        F.when(col >= 0, F.floor(scaled + F.lit(0.5))).otherwise(
+            -F.floor(-scaled + F.lit(0.5))
+        )
+        / p
+    )
+
+
 def count_if(predicate: Column) -> Column:
     """Conditional count (``mart_daily_summary.sql:30-36`` ``countif``)."""
     return F.count_if(predicate)

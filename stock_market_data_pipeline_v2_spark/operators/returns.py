@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.core import null_if_zero_divide
+from ..functions.core import null_if_zero_divide, round_away
 
 
 def daily_returns(bars: DataFrame, partition_col: str = "symbol", order_col: str = "trade_date") -> DataFrame:
@@ -33,15 +33,15 @@ def daily_returns(bars: DataFrame, partition_col: str = "symbol", order_col: str
     return bars.select(
         "*",
         prev_close.alias("prev_close_price"),
-        F.round(
+        round_away(
             null_if_zero_divide(F.col("close_price") - prev_close, prev_close) * 100, 4
         ).alias("daily_return_pct"),
-        F.round(F.col("high_price") - F.col("low_price"), 4).alias("intraday_range"),
-        F.round(
+        round_away(F.col("high_price") - F.col("low_price"), 4).alias("intraday_range"),
+        round_away(
             null_if_zero_divide(F.col("high_price") - F.col("low_price"), F.col("close_price"))
             * 100,
             4,
         ).alias("intraday_range_pct"),
-        F.round(F.col("open_price") - prev_close, 4).alias("overnight_gap"),
+        round_away(F.col("open_price") - prev_close, 4).alias("overnight_gap"),
         F.row_number().over(w).cast("long").alias("symbol_row_num"),
     )
