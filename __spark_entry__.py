@@ -22,6 +22,12 @@ from stock_market_data_pipeline_v2_spark.operators.returns import daily_returns
 from stock_market_data_pipeline_v2_spark.operators.indicators import rolling_indicators
 from stock_market_data_pipeline_v2_spark.operators.performance import stock_performance
 from stock_market_data_pipeline_v2_spark.operators.summary import daily_summary
+from stock_market_data_pipeline_v2_spark.operators.dims import (
+    pricing_summary,
+    regional_customer_summary,
+    top_revenue_orders,
+)
+from stock_market_data_pipeline_v2_spark.operators.upsert import merge_upsert
 from stock_market_data_pipeline_v2_spark.operators.realtime import (
     enrich_realtime,
     realtime_signals,
@@ -57,6 +63,44 @@ def q_stock_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_summary(stock_performance(_clean_bars(spark, sf_dir)))
+
+
+def q_regional_customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return regional_customer_summary(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return top_revenue_orders(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    existing = events.filter(F.col("ts") < cutoff)
+    updates = events.filter(F.col("ts") >= cutoff)
+    return merge_upsert(
+        existing, updates, keys=["user_id", "event_type"], version_col="ts"
+    )
 
 
 def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,6 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_analytics_reagg": q_windowed_analytics_reagg,
         "windowed_analytics_range_join": q_windowed_analytics_range_join,
         "realtime_signals": q_realtime_signals,
+        "regional_customer_summary": q_regional_customer_summary,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "merge_upsert": q_merge_upsert,
     }
 
 
@@ -119,4 +167,8 @@ def oracle_sql() -> dict[str, str]:
         # re-aggregation is ~1 ulp off a direct average (rows-only check).
         "windowed_analytics_range_join": oracles.WINDOWED_ANALYTICS_SQL,
         "realtime_signals": oracles.REALTIME_SIGNALS_SQL,
+        "regional_customer_summary": oracles.REGIONAL_CUSTOMER_SUMMARY_SQL,
+        "pricing_summary": oracles.PRICING_SUMMARY_SQL,
+        "top_revenue_orders": oracles.TOP_REVENUE_ORDERS_SQL,
+        "merge_upsert": oracles.MERGE_UPSERT_SQL,
     }

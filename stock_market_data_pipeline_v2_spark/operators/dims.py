@@ -1,0 +1,114 @@
+"""Dimension enrichment + star-schema analytics (SURVEY.md §2.1 S14,
+§2.3 J2) on the driver's TPC-H-ish tables.
+
+The reference ships a ticker dimension it never joins
+(``dbt/seeds/sp500_tickers.csv``); the implied capability — enrich a
+fact stream with a small dimension and aggregate — is exercised here
+as customer → nation → region broadcast joins plus grouped analytics,
+and two classic star-schema queries over lineitem/orders.
+
+Scale: dimensions are broadcast (`F.broadcast`) so the fact side
+never shuffles for the join; only the final groupBy shuffles, keyed
+on the (tiny) group domain with map-side partial aggregation. Money
+sums are rounded at 2 dp — the ulp of a 1e8-scale double is ~1e-8,
+so rounding is stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import round_away
+from .joins import broadcast_dim_join
+
+
+def customer_geography(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """customer ⋈ nation ⋈ region (broadcast chain)."""
+    n = nation.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation_name"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    r = region.select(
+        F.col("r_regionkey").alias("regionkey"), F.col("r_name").alias("region_name")
+    )
+    fact = customer.withColumn("nationkey", F.col("c_nationkey"))
+    out = broadcast_dim_join(fact, n, keys=["nationkey"], how="inner")
+    return broadcast_dim_join(out, r, keys=["regionkey"], how="inner").drop(
+        "nationkey", "regionkey"
+    )
+
+
+def regional_customer_summary(
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Per-region customer counts and balance stats."""
+    n = nation.select("n_nationkey", "n_regionkey")
+    r = region.select("r_regionkey", F.col("r_name").alias("region_name"))
+    enriched = (
+        customer.join(F.broadcast(n), customer.c_nationkey == n.n_nationkey, "inner")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+    )
+    return (
+        enriched.groupBy("region_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            round_away(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            round_away(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.count_distinct("c_mktsegment").alias("segments"),
+        )
+        .orderBy("region_name")
+    )
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem.
+
+    Scan → filter (pushed to parquet) → 4-group hash agg. The shape
+    the reference's mart layer implies for whole-table rollups.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_away(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_away(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_away(F.sum(disc_price), 2).alias("sum_disc_price"),
+            round_away(F.sum(charge), 2).alias("sum_charge"),
+            round_away(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_away(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_away(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    limit: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped: top revenue orders for a market segment.
+
+    Broadcast the filtered customer keys into orders, shuffle join
+    orders⋈lineitem on orderkey, aggregate, deterministic top-k
+    (revenue desc, orderkey asc tiebreak).
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    revenue = round_away(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "inner")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(limit)
+    )

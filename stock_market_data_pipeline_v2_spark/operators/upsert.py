@@ -1,0 +1,64 @@
+"""Upsert / MERGE semantics on plain parquet (SURVEY.md §2.1 S8, §2.3 J3).
+
+The reference upserts row-at-a-time with Snowflake ``MERGE ON
+(SYMBOL, DATE)`` — matched→update, not-matched→insert
+(``load_to_snowflake.py:40-54,87-91``). On an immutable columnar lake
+the same contract is a *distributed* latest-wins dedup:
+
+    union(existing, updates) → one row per key, preferring
+    (a) higher version, then (b) the updates side on version ties.
+
+That is MERGE's exact observable semantics for a full-snapshot
+overwrite, without per-row round trips — the reference's loader is
+O(rows) network calls; this is one shuffle.
+
+Scale: ``row_number`` over (key → version desc) is a single hash
+repartition by key. For incremental 100 TB operation, write with
+``write_clustered(partition_cols=[...])`` and overwrite only affected
+partitions (dynamic partition overwrite), or swap the sink for a
+Delta/Iceberg ``MERGE INTO`` — the plan shape here is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    version_col: str,
+) -> DataFrame:
+    """Latest-wins merge: one output row per key.
+
+    Higher ``version_col`` wins; on exact version ties the updates
+    side wins (MERGE matched→update semantics).
+    """
+    tagged = existing.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def latest_by_key(
+    df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]
+) -> DataFrame:
+    """Keep the newest row per key (generalized P7 dedup with explicit
+    ordering instead of ``dropDuplicates``'s arbitrary pick)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -336,6 +336,71 @@ STOCK_PERFORMANCE_SQL = with_ctes(
     select="SELECT * FROM performance",
 )
 
+# operators/dims.py + operators/upsert.py oracles (star schema).
+REGIONAL_CUSTOMER_SUMMARY_SQL = """
+SELECT
+    r.r_name                                            AS region_name,
+    count(*)                                            AS customers,
+    round(sum(c.c_acctbal), 2)                          AS total_acctbal,
+    round(avg(c.c_acctbal), 4)                          AS avg_acctbal,
+    count(DISTINCT c.c_mktsegment)                      AS segments
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+PRICING_SUMMARY_SQL = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    round(sum(l_quantity), 2)                                    AS sum_qty,
+    round(sum(l_extendedprice), 2)                               AS sum_base_price,
+    round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+    round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+    round(avg(l_quantity), 4)                                    AS avg_qty,
+    round(avg(l_extendedprice), 4)                               AS avg_price,
+    round(avg(l_discount), 4)                                    AS avg_disc,
+    count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+TOP_REVENUE_ORDERS_SQL = """
+SELECT
+    o.o_orderkey,
+    o.o_orderdate,
+    o.o_orderpriority,
+    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+# merge_upsert exercised as: "existing" = events from the first 20
+# days, "updates" = the rest; latest (ts, event_id) wins per
+# (user_id, event_type). Update-wins tiebreak can't bind on unique
+# versions, so the oracle is a pure latest-row-per-key window.
+MERGE_UPSERT_SQL = """
+WITH tagged AS (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT user_id, event_type, ts, event_id, value
+FROM tagged WHERE rn = 1
+"""
+
 WINDOW_AGG_15M_SQL = with_ctes(
     EVENTS_TICKS, AGG_15M, select="SELECT * FROM agg_15m"
 )
