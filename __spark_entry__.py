@@ -28,6 +28,26 @@ from stock_market_data_pipeline_v2_spark.operators.dims import (
     top_revenue_orders,
 )
 from stock_market_data_pipeline_v2_spark.operators.upsert import merge_upsert
+from stock_market_data_pipeline_v2_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+)
+from stock_market_data_pipeline_v2_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    shingle_jaccard_pairs,
+    simhash_pairs,
+)
+from stock_market_data_pipeline_v2_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_lsh_topk,
+)
+from stock_market_data_pipeline_v2_spark.operators.multimodal import (
+    attach_binary,
+    decode_features,
+)
 from stock_market_data_pipeline_v2_spark.operators.realtime import (
     enrich_realtime,
     realtime_signals,
@@ -103,6 +123,72 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return _embs(spark, sf_dir).filter(F.col("vec_id") % 100 == 0)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return cosine_topk(embs, _ann_queries(spark, sf_dir), k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return hyperplane_lsh_topk(embs, _ann_queries(spark, sf_dir), k=5)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attach_binary(_docs(spark, sf_dir)).drop("payload")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_features(attach_binary(_docs(spark, sf_dir)))
+
+
 def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return tick_events(load_table(spark, sf_dir, "events"))
@@ -151,6 +237,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "merge_upsert": q_merge_upsert,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -171,4 +269,16 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "top_revenue_orders": oracles.TOP_REVENUE_ORDERS_SQL,
         "merge_upsert": oracles.MERGE_UPSERT_SQL,
+        "text_quality": oracles.TEXT_STATS_SQL,
+        "lang_id": oracles.LANG_ID_SQL,
+        "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
+        "dedup_exact": oracles.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": oracles.NGRAM_JACCARD_SQL,
+        # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: approximate
+        # candidate generation (exact-verified) — recall < 1 by design,
+        # so rows-only; tests/test_llm_ops.py checks recall vs exact.
+        "dedup_embedding": oracles.EMBEDDING_NEARDUP_SQL,
+        "ann_cosine_topk": oracles.ANN_COSINE_TOPK_SQL,
+        "multimodal_meta": oracles.MULTIMODAL_META_SQL,
+        # multimodal_decode: mapInPandas stub kernel — rows-only.
     }

@@ -35,9 +35,14 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "text_quality",
     "lang_id",
+    "doc_fingerprint",
+    "multimodal_decode",
 ]
 
 

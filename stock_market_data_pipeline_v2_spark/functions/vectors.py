@@ -38,3 +38,45 @@ def l2_norm(a: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """dot(a,b) / (||a||·||b||), NULL when either norm is zero."""
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Known-dimension dot product as a flat scalar expression:
+    ``a[1]·b[1] + … + a[dim]·b[dim]`` via element_at — NO intermediate
+    array allocation (``zip_with`` allocates one array per row, which
+    becomes GC thrash on all-pairs workloads). Left-associative
+    addition keeps the result bit-identical to the sequential fold
+    (the fold's leading ``0.0 + x₁`` is exact)."""
+    terms = [
+        F.element_at(a, d + 1) * F.element_at(b, d + 1) for d in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def l2_norm_unrolled(a: Column, dim: int) -> Column:
+    terms = [F.element_at(a, d + 1) * F.element_at(a, d + 1) for d in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return F.sqrt(out)
+
+
+def as_double(vec: Column) -> Column:
+    """Cast array<float> → array<double> once, before any join —
+    element casts inside a per-pair lambda would otherwise re-run
+    O(pairs·dim) times."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def cosine_from_parts(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine from a per-pair dot and PRE-COMPUTED per-vector norms.
+
+    Bit-identical to :func:`cosine_similarity` (same operand values,
+    same multiply/divide order) but norms are computed once per vector
+    instead of once per pair — the all-pairs cost drops from 3 to 1
+    array traversals per pair.
+    """
+    return dot_col / F.nullif(norm_a * norm_b, F.lit(0.0))

@@ -401,6 +401,127 @@ SELECT user_id, event_type, ts, event_id, value
 FROM tagged WHERE rn = 1
 """
 
+# operators/text.py oracles -------------------------------------------------
+TEXT_STATS_SQL = """
+WITH d AS (SELECT doc_id, lang, source, lower(trim(text)) AS t FROM documents),
+c AS (
+    SELECT doc_id, lang, source,
+        CAST(length(t) AS BIGINT)                                                    AS n_chars,
+        CAST(len(string_split_regex(t, '\\s+')) AS BIGINT)                           AS n_words,
+        CAST(len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)       AS n_tokens,
+        CAST(length(regexp_replace(t, '[^a-z]', '', 'g')) AS BIGINT)                 AS n_letters,
+        CAST(length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g')) AS BIGINT)   AS n_punct,
+        CAST(len(regexp_extract_all(t, '\\b(the|a|an|of|and|or|to|is|in|on|for)\\b')) AS BIGINT)
+                                                                                     AS n_stopwords
+    FROM d
+)
+SELECT doc_id, lang, source, n_chars, n_words, n_tokens, n_letters, n_punct, n_stopwords,
+    round(CAST(n_letters AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0), 4)   AS avg_word_len,
+    round(CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0), 4)     AS punct_ratio,
+    round(CAST(n_stopwords AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0), 4) AS stopword_ratio,
+    round(
+        least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+        * (1.0 - least(CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0) * 5.0, 1.0))
+        * (0.3 + 0.7 * least(CAST(n_stopwords AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0) * 5.0, 1.0)),
+    4)                                                                          AS quality_score
+FROM c
+"""
+
+LANG_ID_SQL = """
+WITH d AS (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+s AS (
+    SELECT doc_id, lang AS labeled_lang,
+        CAST(len(regexp_extract_all(t, '\\b(the|and|of|to|is|in)\\b')) AS BIGINT)    AS score_en,
+        CAST(len(regexp_extract_all(t, '\\b(der|die|das|und|ist|ein)\\b')) AS BIGINT) AS score_de,
+        CAST(len(regexp_extract_all(t, '\\b(el|la|de|que|y|en)\\b')) AS BIGINT)      AS score_es,
+        CAST(len(regexp_extract_all(t, '\\b(le|la|et|les|des|est)\\b')) AS BIGINT)   AS score_fr
+    FROM d
+)
+SELECT *,
+    CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+         WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+         WHEN score_es >= score_fr THEN 'es'
+         ELSE 'fr' END AS predicted_lang
+FROM s
+"""
+
+DOC_FINGERPRINT_SQL = """
+WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+pos AS (
+    SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS p
+    FROM d
+)
+SELECT doc_id, md5(t) AS full_md5, min(md5(substr(t, CAST(p AS INTEGER), 5))) AS min_shingle_hash
+FROM pos
+GROUP BY doc_id, md5(t)
+"""
+
+# operators/dedup.py oracles ------------------------------------------------
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(text))) AS text_hash,
+       min(doc_id)            AS canonical_doc_id,
+       count(*)               AS dup_count
+FROM documents
+GROUP BY md5(lower(trim(text)))
+"""
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks
+),
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (x.c + y.c - i), 4) AS jaccard
+FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.c + y.c - i) >= 0.5
+"""
+
+EMBEDDING_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+ANN_COSINE_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+s AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, e.v) AS c
+    FROM e CROSS JOIN q
+    WHERE e.vec_id != q.vec_id
+),
+r AS (
+    SELECT query_id, neighbor_id, c,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, rank, round(c, 6) AS cosine
+FROM r WHERE rank <= 5
+"""
+
+# operators/multimodal.py oracle (metadata path only — the decode
+# kernel is mapInPandas and checked in tests).
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       ['png','jpeg','wav'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_format,
+       CAST(octet_length(encode(text)) AS BIGINT)            AS payload_len
+FROM documents
+"""
+
 WINDOW_AGG_15M_SQL = with_ctes(
     EVENTS_TICKS, AGG_15M, select="SELECT * FROM agg_15m"
 )

@@ -1,0 +1,134 @@
+"""LLM-data operator tests: dedup tiers, similarity search, text
+analysis, multimodal plumbing.
+
+The oracle harness covers exact-result parity; these tests cover what
+oracles can't: recall of the approximate tiers vs the exact baseline,
+decode-kernel determinism, and hand-computed goldens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in shingle_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert exact, "testdata should contain planted near-dups"
+    # every LSH pair is exact-verified → no false positives
+    assert lsh <= exact
+    # banded (8x4) LSH at j>=0.5 should catch most planted dups
+    assert len(lsh) / len(exact) >= 0.8
+
+
+def test_simhash_finds_planted_dup(spark):
+    from stock_market_data_pipeline_v2_spark.operators.dedup import simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " extra"),
+            Row(doc_id=3, text="completely different words entirely unrelated content"),
+        ]
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ann_lsh_recall(spark):
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        cosine_topk,
+        hyperplane_lsh_topk,
+    )
+
+    embs = _embs(spark)
+    queries = embs.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in hyperplane_lsh_topk(embs, queries, k=5).collect()
+    }
+    assert len(exact) == 25
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"ANN recall too low: {recall}"
+
+
+def test_text_stats_golden(spark):
+    from stock_market_data_pipeline_v2_spark.operators.text import text_stats
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="The cat, and the dog!", lang="en", source="t", n_chars=0)]
+    )
+    r = text_stats(docs).first()
+    # normalized: "the cat, and the dog!" → 21 chars, 5 words
+    assert r.n_chars == 21 and r.n_words == 5
+    assert r.n_punct == 2  # ',' and '!'
+    assert r.n_stopwords == 3  # the, and, the
+    assert r.avg_word_len == 3.0  # 15 letters / 5 words
+    assert r.punct_ratio == round(2 / 21, 4)
+
+
+def test_lang_id_markers(spark):
+    from stock_market_data_pipeline_v2_spark.operators.text import lang_id
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="der hund und die katze ist ein tier", lang="de"),
+            Row(doc_id=2, text="the cat and the dog is in the house", lang="en"),
+        ]
+    )
+    out = {r.doc_id: r.predicted_lang for r in lang_id(docs).collect()}
+    assert out == {1: "de", 2: "en"}
+
+
+def test_multimodal_decode_deterministic(spark):
+    from stock_market_data_pipeline_v2_spark.operators.multimodal import (
+        attach_binary,
+        decode_features,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="abc", lang="en", source="t", n_chars=3)]
+    )
+    r = decode_features(attach_binary(docs)).first()
+    assert r.byte_len == 3
+    assert r.checksum == (97 + 98 + 99) % 65536
+    assert r.head_byte == 97
+    assert r.media_format == "png"
+
+
+def test_embedding_neardup_symmetric_bound(spark):
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    pairs = embedding_neardup_pairs(_embs(spark), threshold=0.4).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert 0.4 <= r.cosine <= 1.0
