@@ -1,0 +1,176 @@
+"""Structured Streaming realtime path (SURVEY.md §2.9).
+
+The reference emulates streaming with cron micro-batches: every 30 min
+it re-reads the ENTIRE raw prefix and appends windows again
+(``spark_stream_batch_processor.py:36-37,78``), then inserts without
+dedup (``load_stream_to_snowflake.py:40-44``) — duplicate windows and
+unbounded re-reads by design (SURVEY.md §4 quirk 3). This module is
+the Spark-native replacement with the semantics the reference lacks:
+
+- incremental source: ``readStream`` over a drop directory (same
+  contract as a Kafka topic — see sources/kafka.py for the broker
+  binding) — each file read once, tracked by the checkpoint;
+- event-time watermark → bounded state + deterministic late-data
+  policy (reference: none);
+- windowed aggregation in append mode → each (symbol, window) emitted
+  exactly once when finalized;
+- checkpointed sink → restart-safe, no duplicate windows;
+- gold enrichment (lag-based deltas, C1-C3 signals) runs per
+  micro-batch in ``foreachBatch`` — lag across windows isn't
+  stream-expressible (needs a non-time-ordered window function), so
+  the enrichment reads the accumulated silver zone, which is exactly
+  how the reference layers dbt over the landed table.
+
+Scale: state = one aggregate buffer per (symbol, open window); with a
+15-min window and 15-min watermark, state is O(symbols), not O(events).
+Shuffle partitions sized by the session; AQE does not apply inside
+streaming aggs, so ``spark.sql.shuffle.partitions`` is the knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schemas import RAW_TICKS
+
+
+def read_tick_stream(
+    spark: SparkSession,
+    source_dir: str,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-drop source with the tick schema (Kafka-equivalent
+    contract: S5 without a broker)."""
+    from ..session import configure_runtime
+
+    configure_runtime(spark)  # UTC event-time parsing regardless of host session
+    reader = spark.readStream.format(fmt).schema(RAW_TICKS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(source_dir)
+    return raw.withColumn("event_time", F.to_timestamp("timestamp")).drop("timestamp")
+
+
+def streaming_window_aggregate(
+    ticks: DataFrame,
+    duration: str = "15 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """A1 under readStream: watermarked tumbling-window aggregation.
+
+    Append output mode ⇒ one final row per (symbol, window); events
+    later than the watermark are dropped (the reference re-counted
+    them into duplicate windows).
+    """
+    win = F.window("event_time", duration)
+    return (
+        ticks.withWatermark("event_time", watermark)
+        .groupBy("symbol", win.alias("window"))
+        .agg(
+            F.avg("price").alias("ma_15m"),
+            F.stddev_samp("price").alias("volatility_15m"),
+            F.sum("volume").alias("volume_sum_15m"),
+            F.sum("price").alias("price_sum"),
+            F.count("price").alias("price_cnt"),
+        )
+        .select(
+            "symbol",
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "ma_15m",
+            "volatility_15m",
+            "volume_sum_15m",
+            "price_sum",
+            "price_cnt",
+        )
+    )
+
+
+def start_silver_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    duration: str = "15 minutes",
+    watermark: str = "15 minutes",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """raw ticks → watermarked window aggs → parquet silver zone.
+
+    Checkpoint gives exactly-once file-sink semantics; with
+    ``available_now`` the query drains pending input and stops
+    (backfill / test mode), otherwise it runs continuously.
+    """
+    agg = streaming_window_aggregate(
+        read_tick_stream(spark, source_dir), duration, watermark
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_signals_stream(
+    spark: SparkSession,
+    source_dir: str,
+    silver_dir: str,
+    gold_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """End-to-end: window aggs streamed, gold signals refreshed per
+    micro-batch in foreachBatch (reference's dbt layer, incremental).
+
+    The foreachBatch stage appends the finalized windows to silver,
+    then recomputes the signal mart over the affected symbols from the
+    accumulated silver zone — lag/trailing windows need history, so
+    the batch DataFrame alone is insufficient; this is the documented
+    stream-hard part (SURVEY.md §7.2 Phase 4).
+    """
+    from ..operators.realtime import enrich_realtime, realtime_signals, stage_realtime
+
+    agg = streaming_window_aggregate(read_tick_stream(spark, source_dir))
+
+    from ..operators.joins import interval_left_join
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(silver_dir)
+        silver = batch_df.sparkSession.read.parquet(silver_dir)
+        # True 1-h MA (avg of ticks, not avg of window-avgs) from the
+        # per-window partial sums the silver zone carries.
+        hourly = silver.groupBy(
+            "symbol", F.window("window_start", "1 hour").start.alias("hour_start")
+        ).agg(
+            (F.sum("price_sum") / F.sum("price_cnt")).alias("ma_1h")
+        )
+        joined = interval_left_join(
+            silver.drop("price_sum", "price_cnt"),
+            hourly,
+            ["symbol"],
+            "window_start",
+            "hour_start",
+            "1 hour",
+        )
+        # Gold recompute over full silver — idempotent overwrite, so a
+        # replayed micro-batch (at-least-once foreachBatch) converges.
+        gold = realtime_signals(enrich_realtime(stage_realtime(joined)))
+        gold.write.mode("overwrite").parquet(gold_dir)
+
+    writer = (
+        agg.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,162 @@
+"""Structured Streaming + pipeline tests (SURVEY.md §2.9, §2.11).
+
+Covers what the batch oracle gate can't: incremental file-source
+semantics, watermark late-data discard across restarts, checkpointed
+exactly-once window emission, foreachBatch gold refresh, Kafka JSON
+ser/de round-trip, and the medallion pipeline runner end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _write_ticks(path: str, rows: list[dict], name: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/{name}.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _tick(sym: str, ts: str, price: float, volume: int = 10) -> dict:
+    return {
+        "symbol": sym,
+        "timestamp": ts,
+        "price": price,
+        "open": price,
+        "high": price,
+        "low": price,
+        "volume": volume,
+    }
+
+
+def test_streaming_windows_match_batch_and_drop_late(spark, tmp_path):
+    from stock_market_data_pipeline_v2_spark.streaming.jobs import start_silver_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_ticks(
+        src,
+        [
+            _tick("AAPL", "2024-01-01 09:01:00", 100.0),
+            _tick("AAPL", "2024-01-01 09:05:00", 102.0),
+            _tick("AAPL", "2024-01-01 09:20:00", 104.0),
+            _tick("AAPL", "2024-01-01 10:05:00", 110.0),
+        ],
+        "batch1",
+    )
+    q = start_silver_stream(spark, src, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    first = spark.read.parquet(out)
+    rows = {r.window_start.strftime("%H:%M"): r for r in first.collect()}
+    # watermark = max_event(10:05) - 15m = 09:50 → 09:00 and 09:15
+    # windows finalized; the 10:00 window stays in state (not emitted).
+    assert "09:00" in rows and "09:15" in rows
+    assert rows["09:00"].ma_15m == 101.0 and rows["09:00"].volume_sum_15m == 20
+    assert "10:00" not in rows
+
+    # Second trigger: one late event (08:59 < watermark) must be
+    # DROPPED; one fresh event advances the watermark.
+    _write_ticks(
+        src,
+        [
+            _tick("AAPL", "2024-01-01 08:59:00", 999.0),
+            _tick("AAPL", "2024-01-01 11:00:00", 120.0),
+        ],
+        "batch2",
+    )
+    q = start_silver_stream(spark, src, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    final = spark.read.parquet(out)
+    starts = [r.window_start.strftime("%H:%M") for r in final.collect()]
+    assert sorted(starts).count("09:00") == 1  # late 08:59 dropped, no rewrite
+    assert "10:00" in starts  # released once watermark passed
+    ma = {r.window_start.strftime("%H:%M"): r.ma_15m for r in final.collect()}
+    assert ma["09:00"] == 101.0  # unchanged by the late 999.0 tick
+
+
+def test_streaming_signals_foreachbatch(spark, tmp_path):
+    from stock_market_data_pipeline_v2_spark.streaming.jobs import start_signals_stream
+
+    src = str(tmp_path / "src")
+    rows = []
+    for h in (9, 10):
+        for m in range(0, 60, 5):
+            rows.append(_tick("TICK", f"2024-01-01 {h:02d}:{m:02d}:00", 100.0 + h + m / 60))
+    rows.append(_tick("TICK", "2024-01-01 12:00:00", 113.0))  # watermark pusher
+    _write_ticks(src, rows, "all")
+
+    q = start_signals_stream(
+        spark,
+        src,
+        str(tmp_path / "silver"),
+        str(tmp_path / "gold"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    gold = spark.read.parquet(str(tmp_path / "gold"))
+    got = {r.window_start_at.strftime("%H:%M"): r for r in gold.collect()}
+    assert len(got) >= 8
+    r = got["09:15"]
+    assert r.window_duration_minutes == 15
+    assert r.momentum_signal in {"BULLISH", "BEARISH", "NEUTRAL"}
+    # 1-h MA is the true tick average of the containing hour
+    hour_ticks = [100.0 + 9 + m / 60 for m in range(0, 60, 5)]
+    assert abs(r.ma_1h - sum(hour_ticks) / len(hour_ticks)) < 1e-6
+
+
+def test_kafka_json_roundtrip(spark):
+    from stock_market_data_pipeline_v2_spark.schemas import RAW_TICKS
+    from stock_market_data_pipeline_v2_spark.sources.kafka import (
+        parse_kafka_json,
+        serialize_for_kafka,
+    )
+
+    ticks = spark.createDataFrame(
+        [
+            Row(
+                symbol="AAPL",
+                timestamp="2024-01-01T09:00:00",
+                price=101.5,
+                open=101.0,
+                high=102.0,
+                low=100.5,
+                volume=42,
+            )
+        ],
+        schema=RAW_TICKS,
+    )
+    wire = serialize_for_kafka(ticks)
+    assert wire.columns == ["key", "value"]
+    assert wire.first().key == "AAPL"
+    back = parse_kafka_json(wire, RAW_TICKS)
+    assert back.first() == ticks.first()
+
+
+def test_batch_pipeline_end_to_end(spark, tmp_path):
+    from stock_market_data_pipeline_v2_spark.plans.pipeline import run_batch_pipeline
+
+    res = run_batch_pipeline(spark, "/root/testdata/sf0.001", str(tmp_path / "lake"))
+    assert res.silver_rows == 150
+    assert res.performance_rows == 150
+    assert res.summary_rows == 30
+    assert res.checks.ok
+    # silver zone is symbol-partitioned (partition pruning layout)
+    assert any(
+        p.startswith("symbol=") for p in os.listdir(str(tmp_path / "lake/silver/daily_bars"))
+    )
+    # idempotence: incremental re-run converges to the same rows
+    res2 = run_batch_pipeline(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "lake"), incremental=True
+    )
+    assert res2.silver_rows == 150
