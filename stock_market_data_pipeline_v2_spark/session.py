@@ -18,6 +18,7 @@ bakes in the settings every operator here relies on:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -64,6 +65,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # saveAsTable (S10) target — static conf, keep it off the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR",
+                os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getpid()}"),
+            ),
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

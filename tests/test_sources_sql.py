@@ -1,0 +1,72 @@
+"""Source/sink + SQL-surface tests (SURVEY.md §2.1).
+
+S1: schema'd CSV scan over a hive-partitioned raw zone (the
+reference's MinIO layout, ``batch_data_consumer.py:32``);
+S2: partitioned parquet write; S10/S11: SQL views and the pure-SQL
+mart twin; S13: clustered write layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_hive_partitioned_csv_roundtrip(spark, tmp_path):
+    from stock_market_data_pipeline_v2_spark.operators.bars import clean_daily_bars
+    from stock_market_data_pipeline_v2_spark.schemas import RAW_DAILY_BARS
+    from stock_market_data_pipeline_v2_spark.sources.io import read_csv
+
+    # Reference raw zone: raw/historical/year=YYYY/month=MM/day=DD/*.csv
+    base = tmp_path / "raw" / "historical" / "year=2024" / "month=01" / "day=02"
+    os.makedirs(base)
+    (base / "aapl_120000.csv").write_text(
+        "symbol,date,daily_open,daily_high,daily_low,daily_close,daily_volume,batch_load_timestamp\n"
+        "AAPL,2024-01-02,100.0,110.0,95.0,105.0,1000,2024-01-03T00:00:00\n"
+        "MSFT,2024-01-02,50.0,55.0,49.0,0.0,10,2024-01-03T00:00:00\n"
+    )
+    raw = read_csv(spark, str(tmp_path / "raw" / "historical"), RAW_DAILY_BARS)
+    # hive partition discovery adds year/month/day columns
+    assert {"year", "month", "day"} <= set(raw.columns)
+    clean = clean_daily_bars(raw.drop("year", "month", "day"))
+    rows = clean.collect()
+    assert len(rows) == 1 and rows[0].symbol == "AAPL"  # zero-close filtered
+
+
+def test_partitioned_and_clustered_writes(spark, tmp_path):
+    from stock_market_data_pipeline_v2_spark.sources.io import (
+        write_clustered,
+        write_parquet,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    write_parquet(df, str(tmp_path / "p"), partition_cols=["k"])
+    parts = [d for d in os.listdir(tmp_path / "p") if d.startswith("k=")]
+    assert len(parts) == 4
+
+    write_clustered(df, str(tmp_path / "c"), cluster_cols=["k", "v"], target_files=2)
+    back = spark.read.parquet(str(tmp_path / "c"))
+    assert back.count() == 100
+
+
+def test_sql_twin_matches_dataframe(spark):
+    from stock_market_data_pipeline_v2_spark.operators.dims import pricing_summary
+    from stock_market_data_pipeline_v2_spark.plans.sql_api import pricing_summary_sql
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    via_sql = pricing_summary_sql(spark, sf).collect()
+    via_df = pricing_summary(load_table(spark, sf, "lineitem")).collect()
+    assert via_sql == via_df
+
+
+def test_save_as_table(spark, tmp_path):
+    from stock_market_data_pipeline_v2_spark.plans.sql_api import save_as_table
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    save_as_table(df, "t_ddl_test")
+    assert spark.table("t_ddl_test").count() == 10
+    spark.sql("DROP TABLE t_ddl_test")
