@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the engine's invariants."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+_price = st.floats(
+    min_value=0.01, max_value=1e5, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    closes=st.lists(_price, min_size=2, max_size=20),
+)
+def test_returns_identity_and_density(spark, closes):
+    """daily_return_pct reconstructs close from prev_close; row numbers
+    are dense 1..n per symbol regardless of input order."""
+    from stock_market_data_pipeline_v2_spark.operators.returns import daily_returns
+
+    rows = [
+        Row(
+            symbol="S",
+            trade_date=f"2024-{(i // 28) + 1:02d}-{(i % 28) + 1:02d}",
+            open_price=c,
+            high_price=c * 1.01,
+            low_price=c * 0.99,
+            close_price=c,
+            volume=1,
+        )
+        for i, c in enumerate(closes)
+    ]
+    import random
+
+    random.Random(0).shuffle(rows)  # input order must not matter
+    bars = spark.createDataFrame(rows).withColumn("trade_date", F.to_date("trade_date"))
+    out = daily_returns(bars).orderBy("trade_date").collect()
+    assert [r.symbol_row_num for r in out] == list(range(1, len(closes) + 1))
+    for prev, cur in zip(out, out[1:]):
+        assert cur.prev_close_price == prev.close_price
+        if cur.daily_return_pct is not None and prev.close_price:
+            reconstructed = prev.close_price * (1 + cur.daily_return_pct / 100)
+            assert abs(reconstructed - cur.close_price) <= prev.close_price * 1e-4 / 2
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_merge_upsert_one_row_per_key_max_version(spark, data):
+    from stock_market_data_pipeline_v2_spark.operators.upsert import merge_upsert
+
+    rows = [Row(k1=a, k2=b, version=v, payload=f"{a}-{b}-{v}") for a, b, v in data]
+    df = spark.createDataFrame(rows)
+    half = len(rows) // 2
+    existing = spark.createDataFrame(rows[:half] or [rows[0]])
+    updates = spark.createDataFrame(rows[half:] or [rows[0]])
+    out = merge_upsert(existing, updates, keys=["k1", "k2"], version_col="version").collect()
+    seen = {}
+    for r in out:
+        assert (r.k1, r.k2) not in seen, "duplicate key in merge output"
+        seen[(r.k1, r.k2)] = r.version
+    expected_max = {}
+    for a, b, v in data:
+        expected_max[(a, b)] = max(expected_max.get((a, b), -1), v)
+    assert seen == expected_max
+
+
+def test_retention_filter(spark):
+    from stock_market_data_pipeline_v2_spark.operators.realtime import stage_realtime
+
+    analytics = spark.createDataFrame(
+        [
+            Row(
+                symbol="A",
+                window_start="2024-01-01 09:00:00",
+                window_end="2024-01-01 09:15:00",
+                ma_15m=1.0,
+                ma_1h=1.0,
+                volatility_15m=0.1,
+                volume_sum_15m=10,
+            )
+        ]
+    ).withColumns(
+        {
+            "window_start": F.to_timestamp("window_start"),
+            "window_end": F.to_timestamp("window_end"),
+        }
+    )
+    assert stage_realtime(analytics).count() == 1
+    # 2024 data is older than any small retention horizon from "now"
+    assert stage_realtime(analytics, retention_days=90).count() == 0
