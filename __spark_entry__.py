@@ -51,11 +51,13 @@ from stock_market_data_pipeline_v2_spark.operators.multimodal import (
 from stock_market_data_pipeline_v2_spark.operators.realtime import (
     enrich_realtime,
     realtime_signals,
+    session_window_aggregate,
     stage_realtime,
     tick_events,
     window_aggregate_15m,
     windowed_analytics,
 )
+from stock_market_data_pipeline_v2_spark.operators.joins import as_of_join
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -181,6 +183,37 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk(embs, _ann_queries(spark, sf_dir), k=5)
 
 
+def q_asof_tick_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    configure_runtime(spark)
+    events = load_table(spark, sf_dir, "events")
+    ticks = events.select(
+        F.upper(F.trim("event_type")).alias("symbol"),
+        "ts",
+        "event_id",
+        F.col("value").cast("double").alias("price"),
+    )
+    bars = (
+        bars_from_events(events)
+        .select(
+            "symbol",
+            F.col("trade_date").cast("timestamp").alias("bar_ts"),
+            "trade_date",
+            "close_price",
+        )
+    )
+    return as_of_join(
+        ticks, bars, keys=["symbol"], left_ts="ts", right_ts="bar_ts",
+        right_cols=["trade_date", "close_price"],
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return session_window_aggregate(load_table(spark, sf_dir, "events"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_binary(_docs(spark, sf_dir)).drop("payload")
 
@@ -249,6 +282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "asof_tick_bar": q_asof_tick_bar,
+        "session_windows": q_session_windows,
     }
 
 
@@ -281,4 +316,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK_SQL,
         "multimodal_meta": oracles.MULTIMODAL_META_SQL,
         # multimodal_decode: mapInPandas stub kernel — rows-only.
+        "asof_tick_bar": oracles.ASOF_TICK_BAR_SQL,
+        "session_windows": oracles.SESSION_WINDOWS_SQL,
     }

@@ -72,6 +72,72 @@ def interval_left_join_range(
     return joined.drop(right[right_start])
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the latest right row
+    with ``right_ts <= left_ts`` per key — the canonical tick→bar /
+    trade→quote alignment operator Spark lacks natively.
+
+    Implemented with the union+window trick instead of a range join:
+    tag both sides, union, sort per key by (ts, side) with the right
+    side first on ties, and carry the right payload forward with
+    ``last_value(…, ignoreNulls)``. One shuffle + one sort — O(n log n)
+    per key and no nested-loop/range join, so it scales like any
+    window operator (a range join would be quadratic per key; Spark's
+    own planner falls back to BroadcastNestedLoop for range-only
+    predicates).
+
+    ``right_cols`` are the payload columns carried from the right side
+    (they must not collide with left column names).
+    """
+    left_types = dict(left.dtypes)
+    right_types = dict(right.dtypes)
+    left_value_cols = [c for c in left.columns if c not in keys and c != left_ts]
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_value_cols],
+        *[F.lit(None).cast(right_types[c]).alias(c) for c in right_cols],
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in left_value_cols],
+        *[F.col(c) for c in right_cols],
+    )
+    from pyspark.sql import Window
+
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(k) for k in keys],
+        F.col("__ts").alias(left_ts),
+        *left_value_cols,
+        *[F.col(f"__asof_{c}").alias(c) for c in right_cols],
+    )
+
+
 def broadcast_dim_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -137,6 +137,38 @@ def windowed_analytics(ticks: DataFrame, strategy: str = "interval_join") -> Dat
     )
 
 
+def session_window_aggregate(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Session windows (gap-based) per entity — beyond the reference's
+    tumbling windows (SURVEY.md §2.9 lists them absent); Spark-native
+    via ``F.session_window``, which also runs under readStream with
+    watermarks for true streaming sessionization.
+
+    A new session starts when the gap since the previous event is
+    ≥ ``gap``; ``session_end`` = last event + gap (Spark semantics).
+    """
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(F.col(id_col), win.alias("session"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_away(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(
+            id_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stage_realtime(analytics: DataFrame, retention_days: int | None = None) -> DataFrame:
     """``stg_realtime_stock_analytics.sql`` parity: renames, window
     duration, integrity filters. The 90-day retention predicate (P13)

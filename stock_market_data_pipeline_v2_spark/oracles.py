@@ -522,6 +522,63 @@ SELECT doc_id,
 FROM documents
 """
 
+# operators/joins.py:as_of_join oracle — DuckDB native ASOF JOIN.
+# Ticks joined backward to the latest daily bar at-or-before the tick.
+ASOF_TICK_BAR_SQL = """
+WITH ticks2 AS (
+    SELECT symbol, ts, event_id, price FROM (
+        SELECT upper(trim(event_type)) AS symbol, CAST(ts AS TIMESTAMP) AS ts,
+               event_id, CAST(value AS DOUBLE) AS price
+        FROM events)
+),
+bars2 AS (
+    SELECT symbol, CAST(trade_date AS TIMESTAMP) AS bar_ts, trade_date, close_price
+    FROM (
+        SELECT symbol, trade_date,
+               max(CASE WHEN rn_last = 1 THEN price END) AS close_price
+        FROM (
+            SELECT upper(trim(event_type)) AS symbol,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS trade_date,
+                   CAST(value AS DOUBLE) AS price,
+                   row_number() OVER (PARTITION BY upper(trim(event_type)),
+                                                   CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                                      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_last
+            FROM events)
+        GROUP BY symbol, trade_date)
+)
+SELECT t.symbol, t.ts, t.event_id, t.price, b.trade_date, b.close_price
+FROM ticks2 t
+ASOF LEFT JOIN bars2 b ON t.symbol = b.symbol AND t.ts >= b.bar_ts
+"""
+
+# operators/realtime.py:session_window_aggregate oracle —
+# gaps-and-islands with the same >= gap boundary as F.session_window.
+SESSION_WINDOWS_SQL = """
+WITH e AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+marked AS (
+    SELECT *,
+        CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+islands AS (
+    SELECT *,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       min(ts)                          AS session_start,
+       max(ts) + INTERVAL '30 minutes'  AS session_end,
+       count(*)                         AS n_events,
+       round(sum(value), 2)             AS total_value
+FROM islands
+GROUP BY user_id, sid
+"""
+
 WINDOW_AGG_15M_SQL = with_ctes(
     EVENTS_TICKS, AGG_15M, select="SELECT * FROM agg_15m"
 )

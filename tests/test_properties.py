@@ -105,3 +105,33 @@ def test_retention_filter(spark):
     assert stage_realtime(analytics).count() == 1
     # 2024 data is older than any small retention horizon from "now"
     assert stage_realtime(analytics, retention_days=90).count() == 0
+
+
+def test_as_of_join_semantics(spark):
+    from stock_market_data_pipeline_v2_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k="A", ts=1, payload="before-any"),
+            Row(k="A", ts=5, payload="exact-match"),
+            Row(k="A", ts=9, payload="between"),
+            Row(k="B", ts=9, payload="other-key"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="A", rts=5, rv="r5"),
+            Row(k="A", rts=7, rv="r7"),
+            Row(k="B", rts=100, rv="r100"),
+        ]
+    )
+    out = {
+        (r.k, r.ts): r.rv
+        for r in as_of_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts", right_cols=["rv"]
+        ).collect()
+    }
+    assert out[("A", 1)] is None  # no right row at or before
+    assert out[("A", 5)] == "r5"  # equality counts (right sorts first)
+    assert out[("A", 9)] == "r7"  # latest at-or-before
+    assert out[("B", 9)] is None  # per-key isolation
