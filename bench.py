@@ -63,11 +63,17 @@ def main() -> None:
     # Warm the JVM/session on a trivial plan so query 1 isn't charged startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Best-of-2: the host can steal CPU from this VM (visible as
+    # /proc/stat steal time), which adds multi-second noise to any
+    # single run; the min of two runs is a stabler throughput signal.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -117,16 +117,27 @@ def doc_fingerprint(documents: DataFrame, shingle_len: int = 5) -> DataFrame:
     O(total chars) — scan-shaped, safe at any corpus size when
     documents are capped (chunk longer docs upstream).
     """
-    pos = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.length(F.col("t")) - (shingle_len - 1), F.lit(1)))
-    ).alias("pos")
-    exploded = documents.select("doc_id", _norm().alias("t")).select("doc_id", "t", pos)
+    # Per-row array_min over the shingle-hash array: the whole
+    # fingerprint is computed inside the scan projection — no explode,
+    # no shuffle, no aggregation. Scan-shaped at any corpus size.
+    t = F.col("t")
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - (shingle_len - 1), F.lit(1))
+    )
+    min_hash = F.array_min(
+        F.transform(positions, lambda i: F.md5(t.substr(i, F.lit(shingle_len))))
+    )
+    # Small corpus files arrive as one input split; the hash work is
+    # O(chars) per row, so buy parallelism with one cheap repartition
+    # of (doc_id, text) — at real scale the scan itself has splits and
+    # this becomes a no-op to remove.
+    par = documents.sparkSession.sparkContext.defaultParallelism
     return (
-        exploded.select(
+        documents.select("doc_id", _norm().alias("t"))
+        .repartition(par)
+        .select(
             "doc_id",
-            F.md5("t").alias("full_md5"),
-            F.md5(F.col("t").substr(F.col("pos"), F.lit(shingle_len))).alias("sh_hash"),
+            F.md5(t).alias("full_md5"),
+            min_hash.alias("min_shingle_hash"),
         )
-        .groupBy("doc_id", "full_md5")
-        .agg(F.min("sh_hash").alias("min_shingle_hash"))
     )
