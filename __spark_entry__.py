@@ -58,6 +58,14 @@ from stock_market_data_pipeline_v2_spark.operators.realtime import (
     windowed_analytics,
 )
 from stock_market_data_pipeline_v2_spark.operators.joins import as_of_join
+from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
+    bollinger_bands,
+    macd,
+    stochastic_k,
+)
+from stock_market_data_pipeline_v2_spark.operators.dedup import (
+    embedding_neardup_pairs_blas,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -214,6 +222,22 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_aggregate(load_table(spark, sf_dir, "events"))
 
 
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bollinger_bands(_clean_bars(spark, sf_dir))
+
+
+def q_stochastic_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stochastic_k(_clean_bars(spark, sf_dir))
+
+
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return macd(_clean_bars(spark, sf_dir))
+
+
+def q_dedup_embedding_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs_blas(_embs(spark, sf_dir), threshold=0.4)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_binary(_docs(spark, sf_dir)).drop("payload")
 
@@ -284,6 +308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "asof_tick_bar": q_asof_tick_bar,
         "session_windows": q_session_windows,
+        "bollinger_bands": q_bollinger,
+        "stochastic_k": q_stochastic_k,
+        "macd": q_macd,
+        "dedup_embedding_blas": q_dedup_embedding_blas,
     }
 
 
@@ -318,4 +346,10 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_decode: mapInPandas stub kernel — rows-only.
         "asof_tick_bar": oracles.ASOF_TICK_BAR_SQL,
         "session_windows": oracles.SESSION_WINDOWS_SQL,
+        "bollinger_bands": oracles.BOLLINGER_SQL,
+        "stochastic_k": oracles.STOCHASTIC_SQL,
+        # macd: recursive EMA chain (applyInPandas) — not SQL-window
+        # expressible; rows-only + golden tests.
+        # dedup_embedding_blas is bit-identical to the exact op: same oracle.
+        "dedup_embedding_blas": oracles.EMBEDDING_NEARDUP_SQL,
     }

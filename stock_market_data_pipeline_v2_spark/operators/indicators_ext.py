@@ -1,0 +1,125 @@
+"""Extended indicator library — beyond the reference's SMA/RSI set,
+rounding out what users of a stock-analytics engine expect.
+
+Two tiers, matching the custom-operator ladder (task brief):
+
+(a) window-expressible → plain DataFrame ops, oracle-checkable:
+    - Bollinger bands (SMA20 ± 2·stddev20, %B)
+    - Stochastic oscillator %K (14-row rolling high/low range)
+
+(b) genuinely recursive (EMA-family: each value depends on the
+    previous output) → ``applyInPandas`` per symbol, Arrow-batched:
+    - EMA(n), MACD(12,26,9) with Wilder-style seeding via pandas
+      ``ewm(span=n, adjust=False)``.
+    Recursion is not expressible as a SQL window frame, so these are
+    rows-only at the driver gate and golden-tested instead
+    (tests/test_indicators_ext.py).
+
+Scale: tier (a) shares the per-symbol sort with every other window
+op. Tier (b) groups by symbol — one pandas frame per symbol per task;
+at 100 TB the symbol universe (thousands) spreads across executors
+and each series fits memory (a decade of daily bars ≈ 2500 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from ..functions.core import null_if_zero_divide, round_away
+
+
+def bollinger_bands(
+    returns: DataFrame,
+    n: int = 20,
+    k: float = 2.0,
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+) -> DataFrame:
+    """SMA(n) ± k·stddev(n) over close, plus %B position in band."""
+    w = Window.partitionBy(partition_col).orderBy(order_col).rowsBetween(-(n - 1), 0)
+    mid = F.avg("close_price").over(w)
+    sd = F.stddev_samp("close_price").over(w)
+    upper = mid + k * sd
+    lower = mid - k * sd
+    return returns.select(
+        partition_col,
+        order_col,
+        "close_price",
+        round_away(mid, 4).alias("bb_mid"),
+        round_away(upper, 4).alias("bb_upper"),
+        round_away(lower, 4).alias("bb_lower"),
+        round_away(
+            null_if_zero_divide(F.col("close_price") - lower, upper - lower) * 100, 4
+        ).alias("bb_pct_b"),
+    )
+
+
+def stochastic_k(
+    returns: DataFrame,
+    n: int = 14,
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+) -> DataFrame:
+    """%K = (close − min(low,n)) / (max(high,n) − min(low,n)) · 100."""
+    w = Window.partitionBy(partition_col).orderBy(order_col).rowsBetween(-(n - 1), 0)
+    hi = F.max("high_price").over(w)
+    lo = F.min("low_price").over(w)
+    return returns.select(
+        partition_col,
+        order_col,
+        "close_price",
+        round_away(null_if_zero_divide(F.col("close_price") - lo, hi - lo) * 100, 4).alias(
+            "stoch_k"
+        ),
+    )
+
+
+def macd(
+    bars: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+) -> DataFrame:
+    """MACD via per-symbol ``applyInPandas`` (recursive EMA chain).
+
+    Output schema is derived from the input's key/order column types,
+    so the operator is reusable over any (entity, time) series.
+    """
+    schema = StructType(
+        [
+            StructField(partition_col, bars.schema[partition_col].dataType),
+            StructField(order_col, bars.schema[order_col].dataType),
+            StructField("close_price", DoubleType()),
+            StructField("ema_12", DoubleType()),
+            StructField("ema_26", DoubleType()),
+            StructField("macd", DoubleType()),
+            StructField("macd_signal", DoubleType()),
+            StructField("macd_hist", DoubleType()),
+        ]
+    )
+
+    def compute(pdf):
+        pdf = pdf.sort_values(order_col)
+        close = pdf["close_price"].astype("float64")
+        ema_f = close.ewm(span=fast, adjust=False).mean()
+        ema_s = close.ewm(span=slow, adjust=False).mean()
+        macd_line = ema_f - ema_s
+        sig = macd_line.ewm(span=signal, adjust=False).mean()
+        out = pdf[[partition_col, order_col]].copy()
+        out["close_price"] = close
+        out["ema_12"] = ema_f.round(4)
+        out["ema_26"] = ema_s.round(4)
+        out["macd"] = macd_line.round(4)
+        out["macd_signal"] = sig.round(4)
+        out["macd_hist"] = (macd_line - sig).round(4)
+        return out
+
+    return (
+        bars.select(partition_col, order_col, F.col("close_price").cast("double"))
+        .groupBy(partition_col)
+        .applyInPandas(compute, schema=schema)
+    )

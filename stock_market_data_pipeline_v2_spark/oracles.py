@@ -579,6 +579,39 @@ FROM islands
 GROUP BY user_id, sid
 """
 
+# operators/indicators_ext.py oracles (window-expressible tier).
+BOLLINGER = """
+bollinger AS (
+    SELECT
+        symbol, trade_date, close_price,
+        round(avg(close_price) OVER w20, 4)                                    AS bb_mid,
+        round(avg(close_price) OVER w20 + 2.0 * stddev_samp(close_price) OVER w20, 4)
+                                                                               AS bb_upper,
+        round(avg(close_price) OVER w20 - 2.0 * stddev_samp(close_price) OVER w20, 4)
+                                                                               AS bb_lower,
+        round((close_price - (avg(close_price) OVER w20 - 2.0 * stddev_samp(close_price) OVER w20))
+              / nullif((avg(close_price) OVER w20 + 2.0 * stddev_samp(close_price) OVER w20)
+                       - (avg(close_price) OVER w20 - 2.0 * stddev_samp(close_price) OVER w20), 0)
+              * 100, 4)                                                        AS bb_pct_b
+    FROM clean_bars
+    WINDOW w20 AS (PARTITION BY symbol ORDER BY trade_date
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+"""
+
+STOCHASTIC = """
+stochastic AS (
+    SELECT
+        symbol, trade_date, close_price,
+        round((close_price - min(low_price) OVER w14)
+              / nullif(max(high_price) OVER w14 - min(low_price) OVER w14, 0)
+              * 100, 4)                                                        AS stoch_k
+    FROM clean_bars
+    WINDOW w14 AS (PARTITION BY symbol ORDER BY trade_date
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+"""
+
 WINDOW_AGG_15M_SQL = with_ctes(
     EVENTS_TICKS, AGG_15M, select="SELECT * FROM agg_15m"
 )
@@ -600,4 +633,12 @@ REALTIME_SIGNALS_SQL = with_ctes(
     ENRICHED_RT,
     SIGNALS_RT,
     select="SELECT * FROM signals",
+)
+
+BOLLINGER_SQL = with_ctes(
+    EVENTS_TICKS, DAILY_BARS, CLEAN_BARS, BOLLINGER, select="SELECT * FROM bollinger"
+)
+
+STOCHASTIC_SQL = with_ctes(
+    EVENTS_TICKS, DAILY_BARS, CLEAN_BARS, STOCHASTIC, select="SELECT * FROM stochastic"
 )

@@ -1,0 +1,82 @@
+"""Extended indicators + BLAS dedup tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _bars(spark, closes, symbol="AAPL"):
+    rows = [
+        Row(
+            symbol=symbol,
+            trade_date=f"2024-01-{d+1:02d}",
+            open_price=float(c),
+            high_price=float(c) + 1,
+            low_price=float(c) - 1,
+            close_price=float(c),
+            volume=100,
+        )
+        for d, c in enumerate(closes)
+    ]
+    return spark.createDataFrame(rows).withColumn("trade_date", F.to_date("trade_date"))
+
+
+def test_bollinger_golden(spark):
+    from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
+        bollinger_bands,
+    )
+
+    out = bollinger_bands(_bars(spark, [10, 20, 30])).orderBy("trade_date").collect()
+    # row 3: mid = 20, stddev_samp = 10 → upper 40, lower 0, %B = 75
+    assert out[2].bb_mid == 20.0
+    assert out[2].bb_upper == 40.0 and out[2].bb_lower == 0.0
+    assert out[2].bb_pct_b == 75.0
+    # single-row frame: stddev null → bands null, %B null
+    assert out[0].bb_upper is None and out[0].bb_pct_b is None
+
+
+def test_stochastic_golden(spark):
+    from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
+        stochastic_k,
+    )
+
+    out = stochastic_k(_bars(spark, [10, 20, 30])).orderBy("trade_date").collect()
+    # row 3: high14 = 31, low14 = 9 → (30-9)/22*100 = 95.4545
+    assert out[2].stoch_k == 95.4545
+
+
+def test_macd_matches_pandas_ewm(spark):
+    from stock_market_data_pipeline_v2_spark.operators.indicators_ext import macd
+
+    closes = [10.0, 11.0, 10.5, 12.0, 13.0, 12.5, 14.0, 15.0, 14.5, 16.0]
+    out = macd(_bars(spark, closes)).orderBy("trade_date").toPandas()
+    s = pd.Series(closes)
+    ema12 = s.ewm(span=12, adjust=False).mean()
+    ema26 = s.ewm(span=26, adjust=False).mean()
+    line = ema12 - ema26
+    sig = line.ewm(span=9, adjust=False).mean()
+    assert list(out["ema_12"]) == list(ema12.round(4))
+    assert list(out["macd"]) == list(line.round(4))
+    assert list(out["macd_signal"]) == list(sig.round(4))
+    # first row: all EMAs seed at the first close → macd 0
+    assert out["macd"].iloc[0] == 0.0
+
+
+def test_blas_dedup_equals_exact(spark):
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_blas,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_neardup_pairs(embs, threshold=0.35).collect()
+    }
+    blas = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_neardup_pairs_blas(embs, threshold=0.35).collect()
+    }
+    assert exact and blas == exact  # identical pairs AND identical values
