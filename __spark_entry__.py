@@ -23,8 +23,11 @@ from stock_market_data_pipeline_v2_spark.operators.indicators import rolling_ind
 from stock_market_data_pipeline_v2_spark.operators.performance import stock_performance
 from stock_market_data_pipeline_v2_spark.operators.summary import daily_summary
 from stock_market_data_pipeline_v2_spark.operators.dims import (
+    event_type_pivot,
+    order_priority_rollup,
     pricing_summary,
     regional_customer_summary,
+    regional_supplier_revenue,
     top_revenue_orders,
 )
 from stock_market_data_pipeline_v2_spark.operators.upsert import merge_upsert
@@ -116,6 +119,28 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+def q_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return regional_supplier_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return order_priority_rollup(load_table(spark, sf_dir, "orders"))
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return event_type_pivot(load_table(spark, sf_dir, "events"))
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,6 +319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "merge_upsert": q_merge_upsert,
+        "regional_supplier_revenue": q_regional_supplier_revenue,
+        "order_priority_rollup": q_order_priority_rollup,
+        "event_type_pivot": q_event_type_pivot,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -332,6 +360,9 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "top_revenue_orders": oracles.TOP_REVENUE_ORDERS_SQL,
         "merge_upsert": oracles.MERGE_UPSERT_SQL,
+        "regional_supplier_revenue": oracles.REGIONAL_SUPPLIER_REVENUE_SQL,
+        "order_priority_rollup": oracles.ORDER_PRIORITY_ROLLUP_SQL,
+        "event_type_pivot": oracles.EVENT_TYPE_PIVOT_SQL,
         "text_quality": oracles.TEXT_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,
         "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,

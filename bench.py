@@ -24,6 +24,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 HEADLINE = [
     "stock_performance",
     "daily_summary",
+    "bollinger_bands",
+    "stochastic_k",
+    "macd",
+    "asof_tick_bar",
+    "session_windows",
+    "regional_supplier_revenue",
+    "order_priority_rollup",
+    "event_type_pivot",
+    "dedup_embedding_blas",
     "window_agg_15m",
     "windowed_analytics",
     "windowed_analytics_reagg",

@@ -87,6 +87,80 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-01") -> Dat
     )
 
 
+def regional_supplier_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5-shaped: revenue by nation where customer and supplier
+    share the nation, restricted to one region.
+
+    Join order matters at scale: region→nation (broadcast chain)
+    filters BEFORE touching the fact tables, so lineitem only joins
+    against the reduced supplier set; the single big shuffle is
+    orders⋈lineitem on orderkey.
+    """
+    n = nation.select("n_nationkey", F.col("n_name").alias("nation_name"), "n_regionkey")
+    r = region.filter(F.col("r_name") == region_name).select("r_regionkey")
+    nations_in_region = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "nation_name"
+    )
+    cust = customer.join(
+        F.broadcast(nations_in_region),
+        customer.c_nationkey == nations_in_region.n_nationkey,
+    ).select("c_custkey", "nation_name")
+    supp = supplier.join(
+        F.broadcast(nations_in_region.select("n_nationkey")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("s_nationkey").alias("supp_nationkey"))
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation_name")
+        .agg(round_away(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation_name"))
+    )
+
+
+def order_priority_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP aggregation (beyond the reference — SURVEY §2.4 notes
+    grouping sets absent): order counts and value by (status, priority)
+    with subtotals and a grand total; grouping level exposed via
+    ``grouping()`` flags for deterministic identification."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round_away(F.sum("o_totalprice"), 2).alias("total_value"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+    )
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT: one row per day, one count column per event type.
+
+    Spark's ``pivot`` with explicit values (no extra distinct-scan);
+    the oracle expresses the same as FILTER aggregates — both compile
+    to one hash aggregation.
+    """
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.select(F.to_date("ts").alias("event_date"), "event_type")
+        .groupBy("event_date")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
 def top_revenue_orders(
     lineitem: DataFrame,
     orders: DataFrame,

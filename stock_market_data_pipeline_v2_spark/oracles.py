@@ -642,3 +642,46 @@ BOLLINGER_SQL = with_ctes(
 STOCHASTIC_SQL = with_ctes(
     EVENTS_TICKS, DAILY_BARS, CLEAN_BARS, STOCHASTIC, select="SELECT * FROM stochastic"
 )
+
+REGIONAL_SUPPLIER_REVENUE_SQL = """
+SELECT
+    n.n_name AS nation_name,
+    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND s.s_nationkey IN (
+                    SELECT n2.n_nationkey FROM nation n2
+                    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                    WHERE r2.r_name = 'ASIA')
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation_name ASC
+"""
+
+ORDER_PRIORITY_ROLLUP_SQL = """
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    count(*)                                    AS n_orders,
+    round(sum(o_totalprice), 2)                 AS total_value,
+    CAST(grouping(o_orderstatus) AS BIGINT)     AS g_status,
+    CAST(grouping(o_orderpriority) AS BIGINT)   AS g_priority
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+EVENT_TYPE_PIVOT_SQL = """
+SELECT
+    CAST(CAST(ts AS TIMESTAMP) AS DATE)                   AS event_date,
+    count(*) FILTER (WHERE event_type = 'click')          AS click,
+    count(*) FILTER (WHERE event_type = 'error')          AS error,
+    count(*) FILTER (WHERE event_type = 'purchase')       AS purchase,
+    count(*) FILTER (WHERE event_type = 'signup')         AS signup,
+    count(*) FILTER (WHERE event_type = 'view')           AS view
+FROM events
+GROUP BY 1
+"""
