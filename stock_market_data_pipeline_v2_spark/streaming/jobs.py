@@ -54,20 +54,38 @@ def read_tick_stream(
     return raw.withColumn("event_time", F.to_timestamp("timestamp")).drop("timestamp")
 
 
+def dedupe_ticks(ticks: DataFrame, watermark: str = "15 minutes") -> DataFrame:
+    """At-least-once → effectively-once: drop duplicate ticks keyed by
+    (symbol, event_time) within the watermark horizon.
+
+    The reference's delivery path is at-least-once with no dedup
+    (Kafka consumer groups + plain INSERT,
+    ``load_stream_to_snowflake.py:40-44``) — replayed ticks double
+    into window sums. ``dropDuplicatesWithinWatermark`` keeps state
+    only for the watermark span, so dedup state is bounded.
+    """
+    return ticks.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["symbol", "event_time"]
+    )
+
+
 def streaming_window_aggregate(
     ticks: DataFrame,
     duration: str = "15 minutes",
-    watermark: str = "15 minutes",
+    watermark: str | None = "15 minutes",
 ) -> DataFrame:
     """A1 under readStream: watermarked tumbling-window aggregation.
 
     Append output mode ⇒ one final row per (symbol, window); events
     later than the watermark are dropped (the reference re-counted
-    them into duplicate windows).
+    them into duplicate windows). Pass ``watermark=None`` when the
+    upstream stage (e.g. :func:`dedupe_ticks`) already declared one —
+    redefining a watermark is disallowed.
     """
     win = F.window("event_time", duration)
+    source = ticks if watermark is None else ticks.withWatermark("event_time", watermark)
     return (
-        ticks.withWatermark("event_time", watermark)
+        source
         .groupBy("symbol", win.alias("window"))
         .agg(
             F.avg("price").alias("ma_15m"),
@@ -97,15 +115,21 @@ def start_silver_stream(
     duration: str = "15 minutes",
     watermark: str = "15 minutes",
     available_now: bool = False,
+    dedupe: bool = False,
 ) -> StreamingQuery:
     """raw ticks → watermarked window aggs → parquet silver zone.
 
     Checkpoint gives exactly-once file-sink semantics; with
     ``available_now`` the query drains pending input and stops
     (backfill / test mode), otherwise it runs continuously.
+    ``dedupe=True`` inserts the within-watermark tick dedup stage
+    (use when the upstream is at-least-once, e.g. Kafka replays).
     """
+    ticks = read_tick_stream(spark, source_dir)
+    if dedupe:
+        ticks = dedupe_ticks(ticks, watermark)
     agg = streaming_window_aggregate(
-        read_tick_stream(spark, source_dir), duration, watermark
+        ticks, duration, watermark=None if dedupe else watermark
     )
     writer = (
         agg.writeStream.format("parquet")

@@ -160,3 +160,23 @@ def test_batch_pipeline_end_to_end(spark, tmp_path):
         spark, "/root/testdata/sf0.001", str(tmp_path / "lake"), incremental=True
     )
     assert res2.silver_rows == 150
+
+
+def test_streaming_dedupe_within_watermark(spark, tmp_path):
+    from stock_market_data_pipeline_v2_spark.streaming.jobs import start_silver_stream
+
+    src = str(tmp_path / "src")
+    # the same tick delivered twice (at-least-once replay) + a distinct one
+    dup = _tick("AAPL", "2024-01-01 09:01:00", 100.0, volume=7)
+    _write_ticks(src, [dup, dup, _tick("AAPL", "2024-01-01 09:05:00", 102.0, volume=3),
+                       _tick("AAPL", "2024-01-01 10:00:00", 110.0)], "b1")
+    q = start_silver_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ck"),
+        available_now=True, dedupe=True,
+    )
+    q.awaitTermination(120)
+    rows = {r.window_start.strftime("%H:%M"): r for r in
+            spark.read.parquet(str(tmp_path / "out")).collect()}
+    w = rows["09:00"]
+    # duplicate counted ONCE: 2 ticks, volume 7+3, avg (100+102)/2
+    assert w.price_cnt == 2 and w.volume_sum_15m == 10 and w.ma_15m == 101.0

@@ -78,11 +78,28 @@ def values_equal(a, b, rel=1e-9) -> bool:
     return a == b
 
 
+def _norm_dtype(dt) -> str:
+    s = str(dt)
+    if s.startswith("int") or s.startswith("uint"):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    if s.startswith("datetime64"):
+        return "timestamp"
+    if s == "bool" or s == "boolean":
+        return "bool"
+    return "object"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         return problems
+    for c in sdf.columns:
+        ds, do = _norm_dtype(sdf[c].dtype), _norm_dtype(odf[c].dtype)
+        if ds != do and "object" not in (ds, do):
+            problems.append(f"dtype differs on {c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
         return problems
