@@ -24,6 +24,8 @@ from stock_market_data_pipeline_v2_spark.operators.performance import stock_perf
 from stock_market_data_pipeline_v2_spark.operators.summary import daily_summary
 from stock_market_data_pipeline_v2_spark.operators.dims import (
     event_type_pivot,
+    load_ticker_dim,
+    sector_activity_sketch,
     order_priority_rollup,
     pricing_summary,
     regional_customer_summary,
@@ -141,6 +143,16 @@ def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return event_type_pivot(load_table(spark, sf_dir, "events"))
+
+
+def q_sector_activity_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    configure_runtime(spark)
+    seed = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data/tickers_seed.csv")
+    return sector_activity_sketch(
+        load_table(spark, sf_dir, "events"), load_ticker_dim(spark, seed)
+    )
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_supplier_revenue": q_regional_supplier_revenue,
         "order_priority_rollup": q_order_priority_rollup,
         "event_type_pivot": q_event_type_pivot,
+        # sketch tier: approximate by contract → rows-only gate
+        "sector_activity_sketch": q_sector_activity_sketch,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,

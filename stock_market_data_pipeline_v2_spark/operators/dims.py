@@ -23,6 +23,45 @@ from ..functions.core import round_away
 from .joins import broadcast_dim_join
 
 
+def load_ticker_dim(spark, path: str = "data/tickers_seed.csv") -> DataFrame:
+    """S14: the symbol dimension seed (reference ships
+    ``dbt/seeds/sp500_tickers.csv`` but never joins it — SURVEY §1.1).
+    Ours keys on the engine's symbol universe so enrichment is usable."""
+    from ..schemas import TICKER_DIM
+    from ..sources.io import read_csv
+
+    return read_csv(spark, path, TICKER_DIM)
+
+
+def enrich_with_tickers(facts: DataFrame, tickers: DataFrame) -> DataFrame:
+    """The dormant capability the reference implies: symbol→sector
+    enrichment via broadcast (left join keeps unknown symbols)."""
+    return broadcast_dim_join(facts, tickers, keys=["symbol"], how="left")
+
+
+def sector_activity_sketch(events: DataFrame, tickers: DataFrame) -> DataFrame:
+    """Sketch-based rollup: distinct users and p95 value per sector via
+    approx_count_distinct (HLL) and percentile_approx (KLL-style).
+
+    The mergeable-sketch tier for 100 TB grains where exact
+    distinct/percentiles would buffer unbounded state (PERF.md);
+    approximate by contract → rows-only gate + tolerance test.
+    """
+    facts = events.select(
+        F.upper(F.trim("event_type")).alias("symbol"), "user_id", "value"
+    )
+    enriched = enrich_with_tickers(facts, tickers)
+    return (
+        enriched.groupBy("sector")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            round_away(F.percentile_approx("value", 0.95), 2).alias("p95_value"),
+            F.count(F.lit(1)).alias("events"),
+        )
+        .orderBy("sector")
+    )
+
+
 def customer_geography(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
     """customer ⋈ nation ⋈ region (broadcast chain)."""
     n = nation.select(

@@ -123,3 +123,35 @@ def test_realtime_signals_pipeline(spark):
 
     expected = sum(100.0 + i for i in range(30)) / 30
     assert hour_rows[0].ma_1h == _pt.approx(expected, abs=1e-6)
+
+
+def test_oversold_and_high_volume_branches(spark):
+    """Force the two signal branches the synthetic data never hits:
+    RSI OVERSOLD (monotonic crash) and is_high_volume_day (20d volume
+    spike ≥ 2×)."""
+    from pyspark.sql import Row
+
+    rows = []
+    price = 1000.0
+    for d in range(30):
+        # mostly-down series (small up day every 4th): avg_gain ≪
+        # avg_loss → RSI ≈ 4 (pure decline would NULL out via the
+        # reference's nullif(gain/loss, 0) guard)
+        price *= 1.01 if d % 4 == 3 else 0.92
+        rows.append(
+            Row(
+                symbol="CRSH",
+                trade_date=f"2024-01-{d+1:02d}" if d < 28 else f"2024-02-{d-27:02d}",
+                open_price=price,
+                high_price=price * 1.01,
+                low_price=price * 0.99,
+                close_price=price,
+                volume=1000 if d < 29 else 50000,  # final-day volume spike
+            )
+        )
+    bars = spark.createDataFrame(rows).withColumn("trade_date", F.to_date("trade_date"))
+    out = stock_performance(bars).orderBy("trade_date").collect()
+    assert out[-1].rsi_signal == "OVERSOLD" and out[-1].rsi_14 <= 30
+    assert out[-1].is_high_volume_day is True
+    assert out[-1].ma_signal_5_20 == "DEATH_CROSS"
+    assert out[-1].pct_of_52w_range is not None and out[-1].pct_of_52w_range <= 5.0

@@ -70,3 +70,30 @@ def test_save_as_table(spark, tmp_path):
     save_as_table(df, "t_ddl_test")
     assert spark.table("t_ddl_test").count() == 10
     spark.sql("DROP TABLE t_ddl_test")
+
+
+def test_ticker_seed_enrichment_and_sketches(spark):
+    import duckdb
+
+    from stock_market_data_pipeline_v2_spark.operators.dims import (
+        load_ticker_dim,
+        sector_activity_sketch,
+    )
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    tickers = load_ticker_dim(spark, "data/tickers_seed.csv")
+    assert tickers.count() == 5
+    out = sector_activity_sketch(
+        load_table(spark, "/root/testdata/sf0.01", "events"), tickers
+    ).collect()
+    sectors = {r.sector: r for r in out}
+    assert set(sectors) == {"Technology", "Consumer", "Communication"}
+    # sketch tolerance: HLL distinct within 10% of exact, p95 within 10%
+    exact = duckdb.sql(
+        """SELECT count(DISTINCT user_id) u, quantile_cont(value, 0.95) p
+           FROM read_parquet('/root/testdata/sf0.01/events.parquet')
+           WHERE upper(trim(event_type)) IN ('CLICK','ERROR','SIGNUP')"""
+    ).fetchone()
+    tech = sectors["Technology"]
+    assert abs(tech.approx_users - exact[0]) <= max(2, 0.1 * exact[0])
+    assert abs(tech.p95_value - exact[1]) <= 0.1 * exact[1]
