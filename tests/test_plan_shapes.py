@@ -1,0 +1,95 @@
+"""Plan-shape regression tests — the PERF.md properties, enforced.
+
+A future edit that silently loses predicate pushdown, broadcasts, or
+the shared window sort should fail here, not in a benchmark three
+rounds later.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    jqe = df._jdf.queryExecution()
+    return jqe.explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the lineitem FileScan reads 7 of 11 columns
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines and all(
+        "l_orderkey" not in l and "l_partkey" not in l for l in scan_lines
+    )
+    assert any("l_quantity" in l for l in scan_lines)
+
+
+def test_performance_mart_single_sort_lineage(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["stock_performance"](spark, SF))
+    # all window families share one partitioning: exactly 2 exchanges
+    # (bar-build agg + window partition), no join operators at all
+    assert plan.count("Exchange hashpartitioning") == 2
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert j not in plan
+
+
+def test_windowed_analytics_no_nested_loop(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["windowed_analytics"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan  # equi-bucket form
+    # the literal range form ALSO avoids nested-loop: Catalyst extracts
+    # the symbol equi-key and applies the range as a join filter
+    plan_range = _plan(m.queries()["windowed_analytics_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan_range
+    assert "BroadcastHashJoin" in plan_range
+
+
+def test_dim_joins_are_broadcast(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["regional_customer_summary"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_upsert_single_shuffle(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["merge_upsert"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_aggregate_equivalence(spark):
+    from stock_market_data_pipeline_v2_spark.functions.skew import salted_aggregate
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    direct = {
+        r.event_type: (round(r.total, 6), r.rows)
+        for r in events.groupBy("event_type")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("rows"))
+        .collect()
+    }
+    salted = {
+        r.event_type: (round(r.total, 6), r.rows)
+        for r in salted_aggregate(
+            events,
+            ["event_type"],
+            partial_aggs={"s": F.sum("value"), "c": F.count(F.lit(1))},
+            merge_aggs={"total": F.sum("s"), "rows": F.sum("c")},
+        ).collect()
+    }
+    assert salted == direct
