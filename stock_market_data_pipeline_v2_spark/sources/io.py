@@ -73,6 +73,39 @@ def write_parquet(
     writer.parquet(path)
 
 
+def compact_zone(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_cols: Sequence[str] | None = None,
+) -> int:
+    """Compact a parquet zone's small files (streaming sinks append one
+    file per micro-batch — the classic small-files problem).
+
+    Sizes the output file count from the zone's actual bytes, rewrites
+    to a temp dir (never reads and overwrites the same path in one
+    job), then swaps atomically-ish via rename. Returns the new file
+    count. With ``cluster_cols`` the rewrite also sorts within files so
+    compaction doubles as re-clustering (OPTIMIZE analogue).
+    """
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compacting"
+    out = df.repartition(int(n_out))
+    if cluster_cols:
+        out = out.sortWithinPartitions(*cluster_cols)
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

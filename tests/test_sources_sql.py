@@ -97,3 +97,22 @@ def test_ticker_seed_enrichment_and_sketches(spark):
     tech = sectors["Technology"]
     assert abs(tech.approx_users - exact[0]) <= max(2, 0.1 * exact[0])
     assert abs(tech.p95_value - exact[1]) <= 0.1 * exact[1]
+
+
+def test_compact_zone(spark, tmp_path):
+    from stock_market_data_pipeline_v2_spark.sources.io import compact_zone
+
+    path = str(tmp_path / "zone")
+    # simulate many micro-batch appends → many small files
+    for i in range(12):
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        ).write.mode("append").parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    assert before >= 12
+    n = compact_zone(spark, path, target_file_bytes=10**9, cluster_cols=["k"])
+    assert n == 1
+    df = spark.read.parquet(path)
+    assert df.count() == 1200 and df.agg(F.sum("id")).first()[0] == sum(range(1200))
