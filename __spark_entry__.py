@@ -166,7 +166,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = events.filter(F.col("ts") < cutoff)
     updates = events.filter(F.col("ts") >= cutoff)
     return merge_upsert(
-        existing, updates, keys=["user_id", "event_type"], version_col="ts"
+        existing,
+        updates,
+        keys=["user_id", "event_type"],
+        version_col="ts",
+        tiebreak_cols=["event_id"],
     )
 
 

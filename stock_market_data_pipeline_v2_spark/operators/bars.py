@@ -78,16 +78,23 @@ def clean_daily_bars(raw: DataFrame) -> DataFrame:
     the same filters plus symbol normalization; both are folded into
     one pass here so the scan happens once).
     """
+    # try_* variants: under Spark 4's default ANSI mode a plain
+    # to_date/cast ABORTS the job on one malformed raw value — the
+    # cleaning contract is null-out-and-filter (Spark 3 non-ANSI
+    # behavior the reference relied on), which try_cast restores
+    # without giving up ANSI safety elsewhere.
     return (
         raw.select(
             F.upper(F.trim(F.col("symbol"))).alias("symbol"),
-            F.to_date("date").alias("trade_date"),
-            F.col("daily_open").cast("double").alias("open_price"),
-            F.col("daily_high").cast("double").alias("high_price"),
-            F.col("daily_low").cast("double").alias("low_price"),
-            F.col("daily_close").cast("double").alias("close_price"),
-            F.col("daily_volume").cast("long").alias("volume"),
-            F.to_timestamp("batch_load_timestamp").alias("batch_loaded_at"),
+            F.try_to_timestamp(F.col("date"), F.lit("yyyy-MM-dd")).cast("date").alias(
+                "trade_date"
+            ),
+            F.col("daily_open").try_cast("double").alias("open_price"),
+            F.col("daily_high").try_cast("double").alias("high_price"),
+            F.col("daily_low").try_cast("double").alias("low_price"),
+            F.col("daily_close").try_cast("double").alias("close_price"),
+            F.col("daily_volume").try_cast("long").alias("volume"),
+            F.try_to_timestamp(F.col("batch_load_timestamp")).alias("batch_loaded_at"),
         )
         .filter(F.col("symbol").isNotNull())
         .filter(F.col("trade_date").isNotNull())

@@ -136,7 +136,7 @@ def regional_supplier_revenue(
     region_name: str = "ASIA",
 ) -> DataFrame:
     """TPC-H Q5-shaped: revenue by nation where customer and supplier
-    share the nation, restricted to one region.
+    share the SAME nation (enforced), restricted to one region.
 
     Join order matters at scale: region→nation (broadcast chain)
     filters BEFORE touching the fact tables, so lineitem only joins
@@ -151,7 +151,7 @@ def regional_supplier_revenue(
     cust = customer.join(
         F.broadcast(nations_in_region),
         customer.c_nationkey == nations_in_region.n_nationkey,
-    ).select("c_custkey", "nation_name")
+    ).select("c_custkey", "nation_name", F.col("c_nationkey").alias("cust_nationkey"))
     supp = supplier.join(
         F.broadcast(nations_in_region.select("n_nationkey")),
         supplier.s_nationkey == F.col("n_nationkey"),
@@ -161,6 +161,8 @@ def regional_supplier_revenue(
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # Q5 semantics: customer and supplier from the SAME nation
+        .filter(F.col("cust_nationkey") == F.col("supp_nationkey"))
         .groupBy("nation_name")
         .agg(round_away(revenue, 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("nation_name"))

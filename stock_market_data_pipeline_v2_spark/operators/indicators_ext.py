@@ -94,8 +94,8 @@ def macd(
             StructField(partition_col, bars.schema[partition_col].dataType),
             StructField(order_col, bars.schema[order_col].dataType),
             StructField("close_price", DoubleType()),
-            StructField("ema_12", DoubleType()),
-            StructField("ema_26", DoubleType()),
+            StructField(f"ema_{fast}", DoubleType()),
+            StructField(f"ema_{slow}", DoubleType()),
             StructField("macd", DoubleType()),
             StructField("macd_signal", DoubleType()),
             StructField("macd_hist", DoubleType()),
@@ -111,8 +111,8 @@ def macd(
         sig = macd_line.ewm(span=signal, adjust=False).mean()
         out = pdf[[partition_col, order_col]].copy()
         out["close_price"] = close
-        out["ema_12"] = ema_f.round(4)
-        out["ema_26"] = ema_s.round(4)
+        out[f"ema_{fast}"] = ema_f.round(4)
+        out[f"ema_{slow}"] = ema_s.round(4)
         out["macd"] = macd_line.round(4)
         out["macd_signal"] = sig.round(4)
         out["macd_hist"] = (macd_line - sig).round(4)

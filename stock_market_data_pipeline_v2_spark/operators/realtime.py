@@ -43,8 +43,8 @@ def tick_events(events: DataFrame) -> DataFrame:
     return events.select(
         F.upper(F.trim(F.col("event_type"))).alias("symbol"),
         F.col("ts").alias("event_time"),
-        F.col("value").cast("double").alias("price"),
-        F.get_json_object("props", "$.k").cast("long").alias("volume"),
+        F.col("value").try_cast("double").alias("price"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("volume"),
     )
 
 
@@ -104,6 +104,11 @@ def windowed_analytics(ticks: DataFrame, strategy: str = "interval_join") -> Dat
     ~1%% of rows — use where throughput matters more than
     bit-reproducibility (its correctness gate is rows-only).
     """
+    if strategy not in ("interval_join", "range_join", "reaggregate"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}; expected interval_join, "
+            "range_join, or reaggregate"
+        )
     agg15 = window_aggregate(ticks, "15 minutes")
     if strategy == "reaggregate":
         hour = F.window("window_start", "1 hour").start

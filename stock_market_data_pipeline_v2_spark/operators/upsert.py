@@ -32,17 +32,22 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     version_col: str,
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Latest-wins merge: one output row per key.
 
     Higher ``version_col`` wins; on exact version ties the updates
-    side wins (MERGE matched→update semantics).
+    side wins (MERGE matched→update semantics), then
+    ``tiebreak_cols`` (desc) — pass a unique id so same-side version
+    ties resolve deterministically instead of by partition order.
     """
     tagged = existing.withColumn("__src", F.lit(0)).unionByName(
         updates.withColumn("__src", F.lit(1))
     )
     w = Window.partitionBy(*keys).orderBy(
-        F.col(version_col).desc(), F.col("__src").desc()
+        F.col(version_col).desc(),
+        F.col("__src").desc(),
+        *[F.col(c).desc() for c in tiebreak_cols],
     )
     return (
         tagged.withColumn("__rn", F.row_number().over(w))

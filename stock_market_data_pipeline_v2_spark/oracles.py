@@ -653,10 +653,7 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
-              AND s.s_nationkey IN (
-                    SELECT n2.n_nationkey FROM nation n2
-                    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
-                    WHERE r2.r_name = 'ASIA')
+              AND s.s_nationkey = c.c_nationkey
 WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY revenue DESC, nation_name ASC

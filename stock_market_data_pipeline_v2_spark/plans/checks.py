@@ -110,17 +110,22 @@ def validate(
         )
     if freshness:
         ts_col, max_age = freshness
-        mx = df.agg(F.max(ts_col).alias("mx")).first()["mx"]
-        is_stale = 1 if mx is None else 0
-        if mx is not None:
-            import datetime
+        # Compare in epoch seconds on the JVM side — collecting a
+        # timestamp yields a naive datetime rendered in the DRIVER's
+        # local timezone, which would skew staleness by the UTC offset
+        # on any non-UTC host.
+        import time as _time
 
-            now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        mx_epoch = df.agg(
+            F.max(F.unix_timestamp(F.col(ts_col))).alias("mx")
+        ).first()["mx"]
+        is_stale = 1
+        if mx_epoch is not None:
             qty, unit = max_age.split()
             seconds = int(qty) * {"HOURS": 3600, "HOUR": 3600, "DAYS": 86400, "DAY": 86400}[
                 unit.upper()
             ]
-            is_stale = 1 if (now - mx).total_seconds() > seconds else 0
+            is_stale = 1 if (_time.time() - mx_epoch) > seconds else 0
         report.results.append(
             {"check": f"freshness:{ts_col}<{max_age}", "violations": is_stale, "severity": "warn"}
         )

@@ -63,7 +63,22 @@ def run_batch_pipeline(
             bars = merge_upsert(
                 existing, bars, keys=["symbol", "trade_date"], version_col="n_trades"
             )
-    write_parquet(bars, silver_path, mode="overwrite", partition_cols=["symbol"])
+            # Never overwrite a path the lazy plan still reads: a
+            # shuffle-stage retry would re-scan files the overwrite
+            # already deleted. Land in a temp zone and swap.
+            import os
+            import shutil
+
+            tmp = f"{silver_path}__staging"
+            write_parquet(bars, tmp, mode="overwrite", partition_cols=["symbol"])
+            old = f"{silver_path}__old"
+            os.rename(silver_path, old)
+            os.rename(tmp, silver_path)
+            shutil.rmtree(old)
+        else:
+            write_parquet(bars, silver_path, mode="overwrite", partition_cols=["symbol"])
+    else:
+        write_parquet(bars, silver_path, mode="overwrite", partition_cols=["symbol"])
     silver = spark.read.parquet(silver_path)
 
     report = validate(

@@ -78,21 +78,28 @@ def compact_zone(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_cols: Sequence[str] | None = None,
+    partition_cols: Sequence[str] | None = None,
 ) -> int:
     """Compact a parquet zone's small files (streaming sinks append one
     file per micro-batch — the classic small-files problem).
 
     Sizes the output file count from the zone's actual bytes, rewrites
     to a temp dir (never reads and overwrites the same path in one
-    job), then swaps atomically-ish via rename. Returns the new file
-    count. With ``cluster_cols`` the rewrite also sorts within files so
-    compaction doubles as re-clustering (OPTIMIZE analogue).
+    job), then swaps via rename-old → rename-new → delete-old, so a
+    crash at any point leaves either the old or the new zone intact
+    (never neither). Returns the new file count. With ``cluster_cols``
+    the rewrite also sorts within files (OPTIMIZE analogue); with
+    ``partition_cols`` the hive layout is preserved — compacting a
+    partitioned zone WITHOUT passing them would flatten it and break
+    downstream partition pruning.
     """
     import glob
     import os
     import shutil
 
     files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    if not files:
+        return 0
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
@@ -100,9 +107,14 @@ def compact_zone(
     out = df.repartition(int(n_out))
     if cluster_cols:
         out = out.sortWithinPartitions(*cluster_cols)
-    out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    old = f"{path}__old"
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(glob.glob(f"{path}/**/*.parquet", recursive=True))
 
 

@@ -51,7 +51,10 @@ def read_tick_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(source_dir)
-    return raw.withColumn("event_time", F.to_timestamp("timestamp")).drop("timestamp")
+    # try_to_timestamp: a malformed timestamp string nulls out (and is
+    # dropped by the watermark stage) instead of killing the stream
+    # under ANSI mode.
+    return raw.withColumn("event_time", F.try_to_timestamp("timestamp")).drop("timestamp")
 
 
 def dedupe_ticks(ticks: DataFrame, watermark: str = "15 minutes") -> DataFrame:
@@ -168,8 +171,12 @@ def start_signals_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df.write.mode("append").parquet(silver_dir)
-        silver = batch_df.sparkSession.read.parquet(silver_dir)
+        # Idempotent per-batch landing: foreachBatch is at-least-once,
+        # so a replayed batch_id OVERWRITES its own directory instead
+        # of appending duplicate (symbol, window) rows that would
+        # corrupt the lag/trailing enrichment downstream.
+        batch_df.write.mode("overwrite").parquet(f"{silver_dir}/batch_id={batch_id}")
+        silver = batch_df.sparkSession.read.parquet(silver_dir).drop("batch_id")
         # True 1-h MA (avg of ticks, not avg of window-avgs) from the
         # per-window partial sums the silver zone carries.
         hourly = silver.groupBy(

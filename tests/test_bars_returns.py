@@ -72,3 +72,22 @@ def test_zero_prev_close_yields_null_return(spark):
     )
     r = df.first()
     assert r.a is None and r.b == 0.0 and r.c == 2.5
+
+
+def test_malformed_raw_values_filtered_not_fatal(spark):
+    """Regression: under Spark 4's default ANSI mode, plain
+    to_date/cast ABORTS on malformed input; the cleaning contract is
+    null-out-and-filter (try_* variants)."""
+    rows = [
+        ("AAPL", "2024-01-02", 1.0, 2.0, 0.5, 1.5, 10, "2024-01-03T00:00:00"),
+        ("BAD1", "not-a-date", 1.0, 2.0, 0.5, 1.5, 10, "2024-01-03T00:00:00"),
+        ("BAD2", "2024-01-02", 1.0, 2.0, 0.5, 1.5, 10, "garbage-timestamp"),
+    ]
+    out = clean_daily_bars(
+        spark.createDataFrame([Row(*r) for r in rows], schema=RAW_DAILY_BARS)
+    ).collect()
+    symbols = {r.symbol for r in out}
+    assert "BAD1" not in symbols  # malformed date → null → filtered
+    assert "AAPL" in symbols and "BAD2" in symbols
+    bad2 = [r for r in out if r.symbol == "BAD2"][0]
+    assert bad2.batch_loaded_at is None  # nulled, row survives (ts not filtered)
