@@ -397,8 +397,9 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": oracles.SESSION_WINDOWS_SQL,
         "bollinger_bands": oracles.BOLLINGER_SQL,
         "stochastic_k": oracles.STOCHASTIC_SQL,
-        # macd: recursive EMA chain (applyInPandas) — not SQL-window
-        # expressible; rows-only + golden tests.
+        # macd's oracle is a recursive CTE reproducing pandas ewm
+        # bit-for-bit (see oracles.MACD_SQL).
+        "macd": oracles.MACD_SQL,
         # dedup_embedding_blas is bit-identical to the exact op: same oracle.
         "dedup_embedding_blas": oracles.EMBEDDING_NEARDUP_SQL,
     }

@@ -682,3 +682,39 @@ SELECT
 FROM events
 GROUP BY 1
 """
+
+# Recursive-CTE EMA chain — bit-identical to pandas ewm(span, adjust=False)
+# (y_t = (1-α)·y_{t-1} + α·x_t, α=2/(span+1); verified bitwise at sf0.01).
+# Promotes the applyInPandas MACD from rows-only to exact.
+MACD_SQL = (
+    "WITH RECURSIVE "
+    + with_ctes(EVENTS_TICKS, DAILY_BARS, CLEAN_BARS, select="").removeprefix("WITH ")
+    + """,
+ordered AS (
+    SELECT symbol, trade_date, close_price,
+           CAST(row_number() OVER (PARTITION BY symbol ORDER BY trade_date) AS BIGINT) AS rn
+    FROM clean_bars
+),
+ema AS (
+    SELECT symbol, trade_date, close_price, rn,
+           close_price AS e_fast, close_price AS e_slow,
+           CAST(0.0 AS DOUBLE) AS macd_line, CAST(0.0 AS DOUBLE) AS sig
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.symbol, o.trade_date, o.close_price, o.rn,
+           (1 - 2.0/13.0) * e.e_fast + (2.0/13.0) * o.close_price,
+           (1 - 2.0/27.0) * e.e_slow + (2.0/27.0) * o.close_price,
+           ((1 - 2.0/13.0) * e.e_fast + (2.0/13.0) * o.close_price)
+             - ((1 - 2.0/27.0) * e.e_slow + (2.0/27.0) * o.close_price),
+           (1 - 2.0/10.0) * e.sig + (2.0/10.0) *
+             (((1 - 2.0/13.0) * e.e_fast + (2.0/13.0) * o.close_price)
+              - ((1 - 2.0/27.0) * e.e_slow + (2.0/27.0) * o.close_price))
+    FROM ordered o JOIN ema e ON o.symbol = e.symbol AND o.rn = e.rn + 1
+)
+SELECT symbol, trade_date, close_price,
+       round(e_fast, 4) AS ema_12, round(e_slow, 4) AS ema_26,
+       round(macd_line, 4) AS macd, round(sig, 4) AS macd_signal,
+       round(macd_line - sig, 4) AS macd_hist
+FROM ema
+"""
+)
