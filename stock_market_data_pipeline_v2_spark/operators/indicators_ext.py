@@ -103,19 +103,49 @@ def macd(
     )
 
     def compute(pdf):
+        import numpy as np
+
+        # Explicit recursion y = (1-α)·prev + α·x — the same double
+        # operations as the oracle's recursive CTE, so equality is
+        # structural. pandas ewm(adjust=False) is NOT bit-identical:
+        # its kernel skips the update when prev == x (holding an exact
+        # constant where the recurrence drifts by 1 ulp).
+        def ema(xs: np.ndarray, span: int) -> np.ndarray:
+            a = 2.0 / (span + 1.0)
+            out = np.empty_like(xs)
+            prev = xs[0]
+            out[0] = prev
+            for i in range(1, len(xs)):
+                prev = (1 - a) * prev + a * xs[i]
+                out[i] = prev
+            return out
+
+        def round_away(xs: np.ndarray, digits: int) -> np.ndarray:
+            # DuckDB double rounding: x·10ⁿ, +0.5, floor, sign-aware —
+            # np.round would round half-to-even and diverge on ties.
+            p = float(10**digits)
+            scaled = xs * p
+            return np.where(
+                xs >= 0, np.floor(scaled + 0.5), -np.floor(-scaled + 0.5)
+            ) / p
+
+        if len(pdf) == 0:
+            import pandas as pd
+
+            return pd.DataFrame({f.name: [] for f in schema.fields})
         pdf = pdf.sort_values(order_col)
-        close = pdf["close_price"].astype("float64")
-        ema_f = close.ewm(span=fast, adjust=False).mean()
-        ema_s = close.ewm(span=slow, adjust=False).mean()
+        close = pdf["close_price"].astype("float64").to_numpy()
+        ema_f = ema(close, fast)
+        ema_s = ema(close, slow)
         macd_line = ema_f - ema_s
-        sig = macd_line.ewm(span=signal, adjust=False).mean()
+        sig = ema(macd_line, signal)
         out = pdf[[partition_col, order_col]].copy()
         out["close_price"] = close
-        out[f"ema_{fast}"] = ema_f.round(4)
-        out[f"ema_{slow}"] = ema_s.round(4)
-        out["macd"] = macd_line.round(4)
-        out["macd_signal"] = sig.round(4)
-        out["macd_hist"] = (macd_line - sig).round(4)
+        out[f"ema_{fast}"] = round_away(ema_f, 4)
+        out[f"ema_{slow}"] = round_away(ema_s, 4)
+        out["macd"] = round_away(macd_line, 4)
+        out["macd_signal"] = round_away(sig, 4)
+        out["macd_hist"] = round_away(macd_line - sig, 4)
         return out
 
     return (

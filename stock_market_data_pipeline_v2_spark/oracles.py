@@ -683,13 +683,19 @@ FROM events
 GROUP BY 1
 """
 
-# Recursive-CTE EMA chain — bit-identical to pandas ewm(span, adjust=False)
-# (y_t = (1-α)·y_{t-1} + α·x_t, α=2/(span+1); verified bitwise at sf0.01).
-# Promotes the applyInPandas MACD from rows-only to exact.
-MACD_SQL = (
-    "WITH RECURSIVE "
-    + with_ctes(EVENTS_TICKS, DAILY_BARS, CLEAN_BARS, select="").removeprefix("WITH ")
-    + """,
+# Recursive-CTE EMA chain — the Spark macd() operator computes the
+# identical recurrence y = (1-a)*prev + a*x with the identical
+# half-away rounding, so equality is structural, not data-luck.
+def macd_sql(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
+    af, as_, ag = f"2.0/{fast + 1}.0", f"2.0/{slow + 1}.0", f"2.0/{signal + 1}.0"
+    line = (
+        f"((1 - {af}) * e.e_fast + ({af}) * o.close_price)"
+        f" - ((1 - {as_}) * e.e_slow + ({as_}) * o.close_price)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + with_ctes(EVENTS_TICKS, DAILY_BARS, CLEAN_BARS, select="").removeprefix("WITH ")
+        + f""",
 ordered AS (
     SELECT symbol, trade_date, close_price,
            CAST(row_number() OVER (PARTITION BY symbol ORDER BY trade_date) AS BIGINT) AS rn
@@ -702,19 +708,19 @@ ema AS (
     FROM ordered WHERE rn = 1
     UNION ALL
     SELECT o.symbol, o.trade_date, o.close_price, o.rn,
-           (1 - 2.0/13.0) * e.e_fast + (2.0/13.0) * o.close_price,
-           (1 - 2.0/27.0) * e.e_slow + (2.0/27.0) * o.close_price,
-           ((1 - 2.0/13.0) * e.e_fast + (2.0/13.0) * o.close_price)
-             - ((1 - 2.0/27.0) * e.e_slow + (2.0/27.0) * o.close_price),
-           (1 - 2.0/10.0) * e.sig + (2.0/10.0) *
-             (((1 - 2.0/13.0) * e.e_fast + (2.0/13.0) * o.close_price)
-              - ((1 - 2.0/27.0) * e.e_slow + (2.0/27.0) * o.close_price))
+           (1 - {af}) * e.e_fast + ({af}) * o.close_price,
+           (1 - {as_}) * e.e_slow + ({as_}) * o.close_price,
+           {line},
+           (1 - {ag}) * e.sig + ({ag}) * ({line})
     FROM ordered o JOIN ema e ON o.symbol = e.symbol AND o.rn = e.rn + 1
 )
 SELECT symbol, trade_date, close_price,
-       round(e_fast, 4) AS ema_12, round(e_slow, 4) AS ema_26,
+       round(e_fast, 4) AS ema_{fast}, round(e_slow, 4) AS ema_{slow},
        round(macd_line, 4) AS macd, round(sig, 4) AS macd_signal,
        round(macd_line - sig, 4) AS macd_hist
 FROM ema
 """
-)
+    )
+
+
+MACD_SQL = macd_sql()

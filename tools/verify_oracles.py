@@ -124,8 +124,6 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 problems.append(
                     f"col {c}: {len(mism)} float-ulp-level diffs (within 1e-9; may still break driver hash) e.g. {mism[0]}"
                 )
-    if not problems and not exact:
-        pass
     return problems
 
 
