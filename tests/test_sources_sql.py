@@ -116,3 +116,35 @@ def test_compact_zone(spark, tmp_path):
     assert n == 1
     df = spark.read.parquet(path)
     assert df.count() == 1200 and df.agg(F.sum("id")).first()[0] == sum(range(1200))
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Scale technique: two tables bucketed+sorted on the join key
+    co-locate rows at WRITE time, so the join plans with zero
+    Exchange operators — the 100 TB answer to repeated big joins."""
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    lineitem = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_b"))
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("ord_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(
+            spark.table("ord_b"),
+            spark.table("li_b").l_orderkey == spark.table("ord_b").o_orderkey,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, "bucketed join must not shuffle"
+        assert "SortMergeJoin" in plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE li_b")
+    spark.sql("DROP TABLE ord_b")
