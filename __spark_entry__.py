@@ -63,6 +63,12 @@ from stock_market_data_pipeline_v2_spark.operators.realtime import (
     windowed_analytics,
 )
 from stock_market_data_pipeline_v2_spark.operators.joins import as_of_join
+from stock_market_data_pipeline_v2_spark.operators.stats import (
+    return_correlations,
+    symbols_active_in_both_halves,
+    top_volume_days,
+    users_only_before,
+)
 from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
     bollinger_bands,
     macd,
@@ -279,6 +285,26 @@ def q_dedup_embedding_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_blas(_embs(spark, sf_dir), threshold=0.4)
 
 
+def q_symbols_both_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return symbols_active_in_both_halves(load_table(spark, sf_dir, "events"))
+
+
+def q_users_only_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return users_only_before(load_table(spark, sf_dir, "events"))
+
+
+def q_top_volume_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_volume_days(_clean_bars(spark, sf_dir))
+
+
+def q_return_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_market_data_pipeline_v2_spark.operators.returns import daily_returns as _dr
+
+    return return_correlations(_dr(_clean_bars(spark, sf_dir)))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_binary(_docs(spark, sf_dir)).drop("payload")
 
@@ -354,6 +380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "asof_tick_bar": q_asof_tick_bar,
         "session_windows": q_session_windows,
+        "symbols_both_halves": q_symbols_both_halves,
+        "users_only_before": q_users_only_before,
+        "top_volume_days": q_top_volume_days,
+        "return_correlations": q_return_correlations,
         "bollinger_bands": q_bollinger,
         "stochastic_k": q_stochastic_k,
         "macd": q_macd,
@@ -395,6 +425,10 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_decode: mapInPandas stub kernel — rows-only.
         "asof_tick_bar": oracles.ASOF_TICK_BAR_SQL,
         "session_windows": oracles.SESSION_WINDOWS_SQL,
+        "symbols_both_halves": oracles.SYMBOLS_BOTH_HALVES_SQL,
+        "users_only_before": oracles.USERS_ONLY_BEFORE_SQL,
+        "top_volume_days": oracles.TOP_VOLUME_DAYS_SQL,
+        "return_correlations": oracles.RETURN_CORRELATIONS_SQL,
         "bollinger_bands": oracles.BOLLINGER_SQL,
         "stochastic_k": oracles.STOCHASTIC_SQL,
         # macd's oracle is a recursive CTE reproducing pandas ewm

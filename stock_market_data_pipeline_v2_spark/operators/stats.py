@@ -1,0 +1,76 @@
+"""Set operations, ranking, and cross-sectional statistics —
+completing the relational/statistical surface SURVEY §2 marks absent
+in the reference (§2.8: no UNION/INTERSECT/EXCEPT, no
+rank/dense_rank; §2.4: no covariance/correlation aggregates).
+
+All Catalyst built-ins; correlation uses ``F.corr`` (Pearson) over a
+date-aligned self-join of per-symbol return series — the standard
+cross-sectional co-movement matrix. Outputs round at 6 dp: both
+engines compute co-moments with one-pass updates whose ulp-level
+differences sit far below that precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.core import round_away
+
+
+def symbols_active_in_both_halves(events: DataFrame, split_date: str = "2024-01-16") -> DataFrame:
+    """INTERSECT: symbols seen both before and after the split date."""
+    sym = F.upper(F.trim(F.col("event_type"))).alias("symbol")
+    first_half = events.filter(F.col("ts") < F.lit(split_date).cast("timestamp")).select(sym)
+    second_half = events.filter(F.col("ts") >= F.lit(split_date).cast("timestamp")).select(sym)
+    return first_half.intersect(second_half).orderBy("symbol")
+
+
+def users_only_before(events: DataFrame, split_date: str = "2024-01-16") -> DataFrame:
+    """EXCEPT: users active in the first half but never after."""
+    first = events.filter(F.col("ts") < F.lit(split_date).cast("timestamp")).select("user_id")
+    second = events.filter(F.col("ts") >= F.lit(split_date).cast("timestamp")).select("user_id")
+    return first.exceptAll(second).distinct().orderBy("user_id")
+
+
+def top_volume_days(clean_bars: DataFrame, k: int = 3) -> DataFrame:
+    """dense_rank top-k days per symbol by volume (general top-k —
+    the k=1 case is the reference's max_by, SURVEY §2.8 O2)."""
+    w = Window.partitionBy("symbol").orderBy(F.desc("volume"), F.asc("trade_date"))
+    return (
+        clean_bars.withColumn("volume_rank", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("volume_rank") <= k)
+        .select("symbol", "trade_date", "volume", "volume_rank")
+    )
+
+
+def return_correlations(returns: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation of daily returns across symbols
+    (date-aligned self-join; symbol_a < symbol_b).
+
+    Scale: the join key is trade_date, so co-partitioning is by date;
+    with S symbols the pair count is S², but each date contributes
+    S(S-1)/2 rows — for large S switch to the matrix form
+    (assemble per-date return vectors, one reduce of outer products).
+    """
+    a = returns.select(
+        F.col("trade_date"),
+        F.col("symbol").alias("symbol_a"),
+        F.col("daily_return_pct").alias("ret_a"),
+    )
+    b = returns.select(
+        F.col("trade_date"),
+        F.col("symbol").alias("symbol_b"),
+        F.col("daily_return_pct").alias("ret_b"),
+    )
+    return (
+        a.join(b, "trade_date")
+        .filter(F.col("symbol_a") < F.col("symbol_b"))
+        .groupBy("symbol_a", "symbol_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            round_away(F.corr("ret_a", "ret_b"), 6).alias("return_corr"),
+            round_away(F.covar_samp("ret_a", "ret_b"), 6).alias("return_cov"),
+        )
+        .orderBy("symbol_a", "symbol_b")
+    )

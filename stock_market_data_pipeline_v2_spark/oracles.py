@@ -724,3 +724,52 @@ FROM ema
 
 
 MACD_SQL = macd_sql()
+
+SYMBOLS_BOTH_HALVES_SQL = """
+SELECT upper(trim(event_type)) AS symbol FROM events
+WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+INTERSECT
+SELECT upper(trim(event_type)) AS symbol FROM events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+ORDER BY symbol
+"""
+
+USERS_ONLY_BEFORE_SQL = """
+SELECT DISTINCT user_id FROM (
+    SELECT user_id FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+)
+ORDER BY user_id
+"""
+
+TOP_VOLUME_DAYS_SQL = with_ctes(
+    EVENTS_TICKS,
+    DAILY_BARS,
+    CLEAN_BARS,
+    select="""
+SELECT symbol, trade_date, volume, volume_rank FROM (
+    SELECT symbol, trade_date, volume,
+           CAST(dense_rank() OVER (PARTITION BY symbol
+                                   ORDER BY volume DESC, trade_date ASC) AS BIGINT) AS volume_rank
+    FROM clean_bars
+) WHERE volume_rank <= 3
+""",
+)
+
+RETURN_CORRELATIONS_SQL = with_ctes(
+    EVENTS_TICKS,
+    DAILY_BARS,
+    CLEAN_BARS,
+    DAILY_RETURNS,
+    select="""
+SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+       count(*)                                      AS n_days,
+       round(corr(a.daily_return_pct, b.daily_return_pct), 6)       AS return_corr,
+       round(covar_samp(a.daily_return_pct, b.daily_return_pct), 6) AS return_cov
+FROM daily_returns a
+JOIN daily_returns b ON a.trade_date = b.trade_date AND a.symbol < b.symbol
+GROUP BY a.symbol, b.symbol
+ORDER BY symbol_a, symbol_b
+""",
+)
