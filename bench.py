@@ -32,6 +32,8 @@ HEADLINE = [
     "regional_supplier_revenue",
     "order_priority_rollup",
     "event_type_pivot",
+    "top_volume_days",
+    "return_correlations",
     "dedup_embedding_blas",
     "window_agg_15m",
     "windowed_analytics",
