@@ -39,6 +39,7 @@ from stock_market_data_pipeline_v2_spark.operators.text import (
     text_stats,
 )
 from stock_market_data_pipeline_v2_spark.operators.dedup import (
+    dedup_clusters,
     dedup_exact,
     embedding_neardup_pairs,
     minhash_lsh_pairs,
@@ -210,6 +211,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(shingle_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
@@ -371,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -416,6 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": oracles.NGRAM_JACCARD_SQL,
+        "dedup_clusters": oracles.DEDUP_CLUSTERS_SQL,
         # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: approximate
         # candidate generation (exact-verified) — recall < 1 by design,
         # so rows-only; tests/test_llm_ops.py checks recall vs exact.

@@ -773,3 +773,42 @@ GROUP BY a.symbol, b.symbol
 ORDER BY symbol_a, symbol_b
 """,
 )
+
+# dedup_clusters oracle: transitive closure of the jaccard>=0.5 pair
+# graph via recursive CTE; cluster = min reachable doc.
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks
+),
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+    WHERE CAST(i AS DOUBLE) / (x.c + y.c - i) >= 0.5
+),
+edges AS (
+    SELECT doc_a, doc_b FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+    SELECT DISTINCT doc_a AS doc_id, doc_a AS r FROM edges
+    UNION
+    SELECT e.doc_a AS doc_id, rc.r
+    FROM edges e JOIN reach rc ON e.doc_b = rc.doc_id
+)
+SELECT doc_id, min(r) AS cluster_id
+FROM reach
+GROUP BY doc_id
+ORDER BY doc_id
+"""

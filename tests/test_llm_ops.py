@@ -132,3 +132,14 @@ def test_embedding_neardup_symmetric_bound(spark):
     for r in pairs:
         assert r.id_a < r.id_b
         assert 0.4 <= r.cosine <= 1.0
+
+
+def test_dedup_clusters_transitive(spark):
+    from stock_market_data_pipeline_v2_spark.operators.dedup import dedup_clusters
+
+    # chain A~B~C plus isolated pair D~E: components {1,2,3} and {10,11}
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=10, doc_b=11)]
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
