@@ -9,11 +9,13 @@ Two tiers, matching the custom-operator ladder (task brief):
 
 (b) genuinely recursive (EMA-family: each value depends on the
     previous output) → ``applyInPandas`` per symbol, Arrow-batched:
-    - EMA(n), MACD(12,26,9) with Wilder-style seeding via pandas
-      ``ewm(span=n, adjust=False)``.
-    Recursion is not expressible as a SQL window frame, so these are
-    rows-only at the driver gate and golden-tested instead
-    (tests/test_indicators_ext.py).
+    - EMA(n), MACD(12,26,9). The recursion y = (1−α)·prev + α·x is
+      HAND-ROLLED with the same double operations as the DuckDB
+      recursive-CTE oracle — do NOT "simplify" to pandas
+      ``ewm(adjust=False)``: its kernel skips the update when
+      prev == x, diverging by 1 ulp and breaking the structural
+      bit-parity the oracle gate depends on (ewm is only the
+      semantic reference; see tests/test_indicators_ext.py).
 
 Scale: tier (a) shares the per-symbol sort with every other window
 op. Tier (b) groups by symbol — one pandas frame per symbol per task;

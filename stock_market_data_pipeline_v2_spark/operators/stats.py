@@ -27,10 +27,15 @@ def symbols_active_in_both_halves(events: DataFrame, split_date: str = "2024-01-
 
 
 def users_only_before(events: DataFrame, split_date: str = "2024-01-16") -> DataFrame:
-    """EXCEPT: users active in the first half but never after."""
+    """Set EXCEPT: users active in the first half and NEVER after.
+
+    ``subtract`` (set difference), not ``exceptAll`` — bag difference
+    would leak a user active in both halves whenever their first-half
+    event count exceeds their second-half count.
+    """
     first = events.filter(F.col("ts") < F.lit(split_date).cast("timestamp")).select("user_id")
     second = events.filter(F.col("ts") >= F.lit(split_date).cast("timestamp")).select("user_id")
-    return first.exceptAll(second).distinct().orderBy("user_id")
+    return first.distinct().subtract(second.distinct()).orderBy("user_id")
 
 
 def top_volume_days(clean_bars: DataFrame, k: int = 3) -> DataFrame:
@@ -68,7 +73,11 @@ def return_correlations(returns: DataFrame) -> DataFrame:
         .filter(F.col("symbol_a") < F.col("symbol_b"))
         .groupBy("symbol_a", "symbol_b")
         .agg(
-            F.count(F.lit(1)).alias("n_days"),
+            # count only pairs corr/covar actually use (both non-null —
+            # each symbol's first day has a NULL lag-based return)
+            F.count_if(F.col("ret_a").isNotNull() & F.col("ret_b").isNotNull()).alias(
+                "n_days"
+            ),
             round_away(F.corr("ret_a", "ret_b"), 6).alias("return_corr"),
             round_away(F.covar_samp("ret_a", "ret_b"), 6).alias("return_cov"),
         )

@@ -735,11 +735,9 @@ ORDER BY symbol
 """
 
 USERS_ONLY_BEFORE_SQL = """
-SELECT DISTINCT user_id FROM (
-    SELECT user_id FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
-    EXCEPT ALL
-    SELECT user_id FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
-)
+SELECT user_id FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+EXCEPT
+SELECT user_id FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
 ORDER BY user_id
 """
 
@@ -764,7 +762,8 @@ RETURN_CORRELATIONS_SQL = with_ctes(
     DAILY_RETURNS,
     select="""
 SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
-       count(*)                                      AS n_days,
+       count(*) FILTER (WHERE a.daily_return_pct IS NOT NULL
+                        AND b.daily_return_pct IS NOT NULL) AS n_days,
        round(corr(a.daily_return_pct, b.daily_return_pct), 6)       AS return_corr,
        round(covar_samp(a.daily_return_pct, b.daily_return_pct), 6) AS return_cov
 FROM daily_returns a
