@@ -180,3 +180,47 @@ def test_streaming_dedupe_within_watermark(spark, tmp_path):
     w = rows["09:00"]
     # duplicate counted ONCE: 2 ticks, volume 7+3, avg (100+102)/2
     assert w.price_cnt == 2 and w.volume_sum_15m == 10 and w.ma_15m == 101.0
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window works under readStream with a watermark —
+    sessions close when the watermark passes start + gap."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.streaming.jobs import read_tick_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        _tick("U1", "2024-01-01 09:00:00", 1.0),
+        _tick("U1", "2024-01-01 09:10:00", 2.0),   # same session (gap 10m < 30m)
+        _tick("U1", "2024-01-01 11:00:00", 3.0),   # new session
+        _tick("U1", "2024-01-01 23:00:00", 9.0),   # watermark pusher
+    ]
+    with open(f"{src}/f.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    ticks = read_tick_stream(spark, src)
+    sessions = (
+        ticks.withWatermark("event_time", "30 minutes")
+        .groupBy("symbol", F.session_window("event_time", "30 minutes").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price").alias("total"))
+        .select("symbol", F.col("s.start").alias("start"), F.col("s.end").alias("end"), "n", "total")
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.start.strftime("%H:%M"): r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got["09:00"].n == 2 and got["09:00"].total == 3.0
+    # session end = last event + gap
+    assert got["09:00"].end.strftime("%H:%M") == "09:40"
+    assert got["11:00"].n == 1
