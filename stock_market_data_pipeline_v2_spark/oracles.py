@@ -497,7 +497,7 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 
 ANN_COSINE_TOPK_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
 s AS (
     SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
            list_cosine_similarity(q.v, e.v) AS c

@@ -42,6 +42,18 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     # sources.io.load_table (micros truncation matches DuckDB's
     # ns→µs cast).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # InferFiltersFromGenerate turns explode(expr) into an extra
+    # Filter(size(expr) > 0) whose predicate-pushdown INLINES the
+    # full generator expression below every intermediate projection.
+    # For computed arrays (LSH signatures, shingle sets) interpreted
+    # eval then re-expands inlined aliases per element — measured
+    # 14× on the ANN signature scan (6.7 s → 0.46 s). Every generate
+    # in this engine is over a computed array (the filter can never
+    # reach a parquet scan), so the rule is pure loss here.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     return spark
 
 
