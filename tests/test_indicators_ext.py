@@ -80,3 +80,15 @@ def test_blas_dedup_equals_exact(spark):
         for r in embedding_neardup_pairs_blas(embs, threshold=0.35).collect()
     }
     assert exact and blas == exact  # identical pairs AND identical values
+    # Force a multi-block grid (500 vectors / block_rows=64 → 8 blocks,
+    # 36 grid cells) so the diagonal/bipartite cell logic is exercised
+    # — at default block_rows small corpora collapse to one block and
+    # a grid bug (e.g. dropping cross-block pairs whose block-i member
+    # has the larger id) would go unseen.
+    blas_grid = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_neardup_pairs_blas(
+            embs, threshold=0.35, block_rows=64
+        ).collect()
+    }
+    assert blas_grid == exact
