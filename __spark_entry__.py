@@ -428,9 +428,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": oracles.NGRAM_JACCARD_SQL,
         "dedup_clusters": oracles.DEDUP_CLUSTERS_SQL,
-        # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: approximate
-        # candidate generation (exact-verified) — recall < 1 by design,
-        # so rows-only; tests/test_llm_ops.py checks recall vs exact.
+        # dedup_simhash IS exact despite the bucketed plan: the
+        # pigeonhole chunk join is complete for hamming ≤ max, so the
+        # brute-force oracle reproduces the identical pair set.
+        "dedup_simhash": oracles.SIMHASH_SQL,
+        # dedup_minhash_lsh / ann_lsh_topk: approximate candidate
+        # generation (exact-verified) — recall < 1 by design, so
+        # rows-only; tests/test_llm_ops.py checks recall vs exact.
         "dedup_embedding": oracles.EMBEDDING_NEARDUP_SQL,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK_SQL,
         "multimodal_meta": oracles.MULTIMODAL_META_SQL,

@@ -495,6 +495,51 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """
 
+# operators/dedup.py:simhash_pairs oracle. Same tokenization +
+# md5-digit bit extraction as the Spark side; the oracle verifies the
+# pair set by BRUTE-FORCE all-pairs hamming — valid because the Spark
+# side's pigeonhole chunk join is COMPLETE for hamming ≤ max_hamming
+# (some chunk must match exactly), so both produce the same exact set.
+# The 64-bit signature is held as four 16-bit chunk ints here (DuckDB
+# BIGINT shifts past bit 62 overflow; Spark packs a single long).
+_SIMHASH_BITS = ",\n    ".join(
+    "sum(CASE WHEN ((instr('0123456789abcdef', substr(h, {j}, 1)) - 1) >> {p}) & 1 = 1"
+    " THEN tf ELSE -tf END) AS b{i}".format(j=16 - i // 4, p=i % 4, i=i)
+    for i in range(64)
+)
+_SIMHASH_CHUNKS = ",\n    ".join(
+    " + ".join(
+        "(CASE WHEN b{b} > 0 THEN {v} ELSE 0 END)".format(b=16 * k + r, v=1 << r)
+        for r in range(16)
+    )
+    + " AS c{k}".format(k=k)
+    for k in range(4)
+)
+SIMHASH_SQL = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+),
+counted AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+d AS (SELECT doc_id, tf, md5(w) AS h FROM counted),
+bits AS (
+    SELECT doc_id,
+    {_SIMHASH_BITS}
+    FROM d GROUP BY doc_id
+),
+sig AS (
+    SELECT doc_id,
+    {_SIMHASH_CHUNKS}
+    FROM bits
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+          + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+"""
+
 ANN_COSINE_TOPK_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),

@@ -54,7 +54,9 @@ def test_simhash_finds_planted_dup(spark):
             Row(doc_id=3, text="completely different words entirely unrelated content"),
         ]
     )
-    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, max_hamming=6).collect()}
+    # hamming(1,2) = 8 under the md5-digit token hash (deterministic);
+    # unrelated pairs sit at 31-33 — budget 10 separates them cleanly.
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, max_hamming=10).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
