@@ -207,16 +207,33 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir))
 
 
+# Web-scale guard on every shingle-join entry: a shingle shared by
+# >1000 docs is boilerplate, and its inverted-index contribution is
+# O(freq²) join rows. The cap is deterministic, mirrored in the
+# DuckDB oracles (QUALIFY df<=1000) so the gate stays hash-exact;
+# recall impact: emitted jaccard is a lower bound, so pruning can
+# only lose pairs whose overlap was carried by ubiquitous shingles.
+_SHINGLE_DF_CAP = 1000
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shingle_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return shingle_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_shingle_freq=_SHINGLE_DF_CAP
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_clusters(shingle_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5))
+    return dedup_clusters(
+        shingle_jaccard_pairs(
+            _docs(spark, sf_dir), n=3, threshold=0.5, max_shingle_freq=_SHINGLE_DF_CAP
+        )
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, max_shingle_freq=_SHINGLE_DF_CAP
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

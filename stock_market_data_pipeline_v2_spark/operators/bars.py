@@ -49,12 +49,16 @@ def bars_from_events(
     tiebreak keeps the result deterministic under equal timestamps.
     """
     order_key = F.struct(F.col(ts_col), F.col(id_col))
-    qty = F.get_json_object(F.col(qty_json_col), qty_json_path).cast("long")
+    # try_cast, not cast: under default ANSI mode one malformed
+    # props.$.k (or price) value would abort the whole ingest job —
+    # cleaning paths null malformed rows out instead (same contract
+    # as tick_events in realtime.py; oracle mirrors with TRY_CAST).
+    qty = F.get_json_object(F.col(qty_json_col), qty_json_path).try_cast("long")
     return (
         events.select(
             F.upper(F.trim(F.col(entity_col))).alias("symbol"),
             F.to_date(F.col(ts_col)).alias("trade_date"),
-            F.col(price_col).cast("double").alias("price"),
+            F.col(price_col).try_cast("double").alias("price"),
             order_key.alias("order_key"),
             qty.alias("qty"),
         )

@@ -89,7 +89,9 @@ def window_aggregate_15m(ticks: DataFrame) -> DataFrame:
     )
 
 
-def windowed_analytics(ticks: DataFrame, strategy: str = "interval_join") -> DataFrame:
+def windowed_analytics(
+    ticks: DataFrame, strategy: str = "interval_join", rounded: bool = True
+) -> DataFrame:
     """15-min analytics + containing 1-hour MA (reference result shape,
     ``spark_stream_batch_processor.py:45-75`` minus load_timestamp).
 
@@ -102,7 +104,12 @@ def windowed_analytics(ticks: DataFrame, strategy: str = "interval_join") -> Dat
     shuffle), but sum-of-partial-sums differs from a direct sum by
     ~1 ulp, so rounded values can land one boundary step away on
     ~1%% of rows — use where throughput matters more than
-    bit-reproducibility (its correctness gate is rows-only).
+    bit-reproducibility (its correctness gate is rows-only; the raw
+    divergence bound is measured at sf0.1 by
+    tests/test_reagg_tolerance.py: max |reagg − join| < 1e-9).
+
+    rounded=False emits the raw (pre-6dp) ma/vol columns — for
+    numeric-bound tests and callers that round at a later boundary.
     """
     if strategy not in ("interval_join", "range_join", "reaggregate"):
         raise ValueError(
@@ -131,14 +138,17 @@ def windowed_analytics(ticks: DataFrame, strategy: str = "interval_join") -> Dat
         out = join_fn(
             agg15, agg1h, ["symbol"], "window_start", "window_start_1h", "1 hour"
         )
+    ma_15 = round_away("ma_raw", 6) if rounded else F.col("ma_raw")
+    vol_15 = round_away("vol_raw", 6) if rounded else F.col("vol_raw")
+    ma_1h = round_away("ma_1h_raw", 6) if rounded else F.col("ma_1h_raw")
     return out.select(
         "symbol",
         "window_start",
         "window_end",
-        round_away("ma_raw", 6).alias("ma_15m"),
-        round_away("vol_raw", 6).alias("volatility_15m"),
+        ma_15.alias("ma_15m"),
+        vol_15.alias("volatility_15m"),
         F.col("volume_sum").alias("volume_sum_15m"),
-        round_away("ma_1h_raw", 6).alias("ma_1h"),
+        ma_1h.alias("ma_1h"),
     )
 
 

@@ -44,8 +44,19 @@ def daily_summary(performance: DataFrame, date_col: str = "trade_date") -> DataF
             round_away(F.stddev_samp(ret), 4).alias("return_stddev"),
             F.max(ret).alias("best_return_pct"),
             F.min(ret).alias("worst_return_pct"),
-            F.max_by("symbol", ret).alias("top_gainer_symbol"),
-            F.min_by("symbol", ret).alias("top_loser_symbol"),
+            # Composite ordering key: two symbols tying on the 4dp-
+            # rounded return would otherwise make the argmax
+            # nondeterministic (struct compares ret first, then
+            # symbol). The key is NULLed for null returns so both
+            # engines skip those rows identically — a bare struct key
+            # would rank a null field smallest in Spark but LARGEST in
+            # DuckDB's struct max (verified empirically).
+            F.max_by(
+                "symbol", F.when(ret.isNotNull(), F.struct(ret, F.col("symbol")))
+            ).alias("top_gainer_symbol"),
+            F.min_by(
+                "symbol", F.when(ret.isNotNull(), F.struct(ret, F.col("symbol")))
+            ).alias("top_loser_symbol"),
             F.sum("volume").alias("total_volume"),
             round_away(F.avg("volume_vs_avg_20d"), 4).alias("avg_volume_vs_norm"),
             F.count_if(F.col("is_high_volume_day")).alias("high_volume_stocks"),

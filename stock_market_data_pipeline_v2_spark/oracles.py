@@ -19,8 +19,8 @@ ticks AS (
         upper(trim(event_type))                             AS symbol,
         CAST(ts AS TIMESTAMP)                               AS ts,
         event_id,
-        CAST(value AS DOUBLE)                               AS price,
-        CAST(json_extract_string(props, '$.k') AS BIGINT)   AS qty
+        TRY_CAST(value AS DOUBLE)                           AS price,
+        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
     FROM events
 )
 """
@@ -163,8 +163,12 @@ daily_summary AS (
         round(stddev_samp(daily_return_pct), 4)                         AS return_stddev,
         max(daily_return_pct)                                           AS best_return_pct,
         min(daily_return_pct)                                           AS worst_return_pct,
-        arg_max(symbol, daily_return_pct)                               AS top_gainer_symbol,
-        arg_min(symbol, daily_return_pct)                               AS top_loser_symbol,
+        (max(CASE WHEN daily_return_pct IS NOT NULL
+                  THEN struct_pack(r := daily_return_pct, s := symbol) END)).s
+                                                                        AS top_gainer_symbol,
+        (min(CASE WHEN daily_return_pct IS NOT NULL
+                  THEN struct_pack(r := daily_return_pct, s := symbol) END)).s
+                                                                        AS top_loser_symbol,
         CAST(sum(volume) AS BIGINT)                                     AS total_volume,
         round(avg(volume_vs_avg_20d), 4)                                AS avg_volume_vs_norm,
         count(*) FILTER (WHERE is_high_volume_day)                      AS high_volume_stocks,
@@ -476,9 +480,15 @@ sh AS (
     FROM toks
 ),
 sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+-- document-frequency stop list mirrors the engine's
+-- max_shingle_freq=1000 cap: join sides pruned, sizes unpruned.
+shj AS (
+    SELECT doc_id, shingle FROM sh
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+),
 p AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -831,9 +841,13 @@ sh AS (
     FROM toks
 ),
 sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+shj AS (
+    SELECT doc_id, shingle FROM sh
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+),
 p AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 ),
 pairs AS (

@@ -87,15 +87,44 @@ def compact_zone(
     to a temp dir (never reads and overwrites the same path in one
     job), then swaps via rename-old → rename-new → delete-old, so a
     crash at any point leaves either the old or the new zone intact
-    (never neither). Returns the new file count. With ``cluster_cols``
-    the rewrite also sorts within files (OPTIMIZE analogue); with
-    ``partition_cols`` the hive layout is preserved — compacting a
-    partitioned zone WITHOUT passing them would flatten it and break
-    downstream partition pruning.
+    (never neither); on the next invocation the leftover
+    ``path__old`` / ``path__compacting`` markers are detected and the
+    interrupted swap is rolled forward (or back) before compacting.
+    Returns the new file count. With ``cluster_cols`` the rewrite also
+    sorts within files (OPTIMIZE analogue); with ``partition_cols``
+    the hive layout is preserved — compacting a partitioned zone
+    WITHOUT passing them would flatten it and break downstream
+    partition pruning.
+
+    LOCAL-FILESYSTEM ONLY: the swap uses os.rename (atomic on POSIX).
+    Object stores (s3a:// etc.) have no atomic rename — compact there
+    via a table format with transactional commit (Delta/Iceberg
+    OPTIMIZE) instead; this function raises on non-local URIs rather
+    than corrupting the zone.
     """
     import glob
     import os
     import shutil
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_zone is local-filesystem only (atomic os.rename); got {path!r}"
+        )
+    tmp_marker, old_marker = f"{path}__compacting", f"{path}__old"
+    if os.path.exists(old_marker):
+        if os.path.exists(path):
+            # Crashed after the new zone was swapped in — finish the delete.
+            shutil.rmtree(old_marker)
+        elif os.path.exists(tmp_marker):
+            # Crashed between the two renames with a complete rewrite
+            # staged — roll forward.
+            os.rename(tmp_marker, path)
+            shutil.rmtree(old_marker)
+        else:
+            # No staged rewrite — roll back to the old zone.
+            os.rename(old_marker, path)
+    if os.path.exists(tmp_marker):
+        shutil.rmtree(tmp_marker)  # stale partial rewrite from a crash
 
     files = glob.glob(f"{path}/**/*.parquet", recursive=True)
     if not files:
@@ -103,18 +132,16 @@ def compact_zone(
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = f"{path}__compacting"
     out = df.repartition(int(n_out))
     if cluster_cols:
         out = out.sortWithinPartitions(*cluster_cols)
     writer = out.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(tmp)
-    old = f"{path}__old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    writer.parquet(tmp_marker)
+    os.rename(path, old_marker)
+    os.rename(tmp_marker, path)
+    shutil.rmtree(old_marker)
     return len(glob.glob(f"{path}/**/*.parquet", recursive=True))
 
 

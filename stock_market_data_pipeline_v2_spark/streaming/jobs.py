@@ -168,21 +168,46 @@ def start_signals_stream(
 
     from ..operators.joins import interval_left_join
 
+    from ..functions.core import round_away
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark_b = batch_df.sparkSession
         # Idempotent per-batch landing: foreachBatch is at-least-once,
         # so a replayed batch_id OVERWRITES its own directory instead
         # of appending duplicate (symbol, window) rows that would
-        # corrupt the lag/trailing enrichment downstream.
-        batch_df.write.mode("overwrite").parquet(f"{silver_dir}/batch_id={batch_id}")
-        silver = batch_df.sparkSession.read.parquet(silver_dir).drop("batch_id")
+        # corrupt the lag/trailing enrichment downstream. Partitioned
+        # by symbol so the gold recompute below can read the zone
+        # partition-pruned.
+        batch_df.write.partitionBy("symbol").mode("overwrite").parquet(
+            f"{silver_dir}/batch_id={batch_id}"
+        )
+        # Incremental gold: only symbols present in THIS micro-batch
+        # changed — recompute the mart for those symbols alone.
+        # isin on a driver-side symbol list (bounded: distinct symbols
+        # per trigger) pushes into the parquet scan as partition
+        # pruning; untouched symbols' history is never read.
+        symbols = [r.symbol for r in batch_df.select("symbol").distinct().collect()]
+        silver = (
+            spark_b.read.parquet(silver_dir)
+            .drop("batch_id")
+            .filter(F.col("symbol").isin(symbols))
+        )
+        # Numeric contract parity with the batch path: the batch mart
+        # rounds ma/volatility at 6dp at the aggregate boundary
+        # (realtime.py:86-87,138-141); feeding unrounded values into
+        # the enrichment can flip boundary-sitting momentum/vol-regime
+        # classifications between streaming and batch gold.
+        silver = silver.withColumn(
+            "ma_15m", round_away("ma_15m", 6)
+        ).withColumn("volatility_15m", round_away("volatility_15m", 6))
         # True 1-h MA (avg of ticks, not avg of window-avgs) from the
         # per-window partial sums the silver zone carries.
         hourly = silver.groupBy(
             "symbol", F.window("window_start", "1 hour").start.alias("hour_start")
         ).agg(
-            (F.sum("price_sum") / F.sum("price_cnt")).alias("ma_1h")
+            round_away(F.sum("price_sum") / F.sum("price_cnt"), 6).alias("ma_1h")
         )
         joined = interval_left_join(
             silver.drop("price_sum", "price_cnt"),
@@ -192,10 +217,19 @@ def start_signals_stream(
             "hour_start",
             "1 hour",
         )
-        # Gold recompute over full silver — idempotent overwrite, so a
-        # replayed micro-batch (at-least-once foreachBatch) converges.
         gold = realtime_signals(enrich_realtime(stage_realtime(joined)))
-        gold.write.mode("overwrite").parquet(gold_dir)
+        # Dynamic partition overwrite: only the recomputed symbols'
+        # partitions are replaced; untouched symbols' gold files are
+        # byte-identical across triggers (regression-locked in
+        # tests/test_streaming_pipeline.py). Replayed micro-batches
+        # (at-least-once foreachBatch) still converge — the recompute
+        # is deterministic from the idempotent silver zone.
+        (
+            gold.write.partitionBy("symbol")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(gold_dir)
+        )
 
     writer = (
         agg.writeStream.foreachBatch(process)

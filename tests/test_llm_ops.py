@@ -29,18 +29,52 @@ def test_minhash_lsh_recall_vs_exact(spark):
     )
 
     exact = {
-        (r.doc_a, r.doc_b)
+        (r.doc_a, r.doc_b): r.jaccard
         for r in shingle_jaccard_pairs(_docs(spark), threshold=0.5).collect()
     }
     lsh = {
-        (r.doc_a, r.doc_b)
+        (r.doc_a, r.doc_b): r.jaccard
         for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
     }
     assert exact, "testdata should contain planted near-dups"
-    # every LSH pair is exact-verified → no false positives
-    assert lsh <= exact
+    # subset oracle: every LSH pair is exact-verified → no false
+    # positives, and its jaccard is BIT-identical to the exact tier's
+    assert all(exact.get(k) == v for k, v in lsh.items())
     # banded (8x4) LSH at j>=0.5 should catch most planted dups
     assert len(lsh) / len(exact) >= 0.8
+
+
+def test_shingle_freq_cap_is_lower_bound(spark):
+    """max_shingle_freq prunes the JOIN only: capped output must be a
+    subset of uncapped with jaccard never above the uncapped score
+    (sizes stay unpruned, so pruning can only shrink intersections)."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+
+    docs = _docs(spark)
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in shingle_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    # cap=3 is aggressive enough to actually prune on 100 docs
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in shingle_jaccard_pairs(
+            docs, threshold=0.3, max_shingle_freq=3
+        ).collect()
+    }
+    assert capped.keys() <= full.keys()
+    assert all(capped[k] <= full[k] for k in capped)
+    # the generous cap used by the entry points must not prune at all
+    # at test scale — the oracle gate relies on that exactness
+    entry_cap = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in shingle_jaccard_pairs(
+            docs, threshold=0.3, max_shingle_freq=1000
+        ).collect()
+    }
+    assert entry_cap == full
 
 
 def test_simhash_finds_planted_dup(spark):
@@ -79,6 +113,22 @@ def test_ann_lsh_recall(spark):
     assert len(exact) == 25
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"ANN recall too low: {recall}"
+
+
+def test_release_cached_inputs(spark):
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        release_cached_inputs,
+        shingle_jaccard_pairs,
+    )
+
+    docs = _docs(spark)
+    pairs = shingle_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs.count()  # materialize (populates the shingle cache)
+    cached = pairs._cached_inputs
+    assert cached and all(c.is_cached for c in cached)
+    release_cached_inputs(pairs)
+    assert all(not c.is_cached for c in cached)
+    release_cached_inputs(docs)  # frames without caches are a no-op
 
 
 def test_text_stats_golden(spark):

@@ -115,6 +115,61 @@ def test_streaming_signals_foreachbatch(spark, tmp_path):
     assert abs(r.ma_1h - sum(hour_ticks) / len(hour_ticks)) < 1e-6
 
 
+def _partition_fingerprint(path: str) -> dict[str, tuple[int, float]]:
+    """(size, mtime) per data file under a partition directory."""
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                st = os.stat(os.path.join(root, fn))
+                out[os.path.join(root, fn)] = (st.st_size, st.st_mtime)
+    return out
+
+
+def test_streaming_gold_incremental_untouched_symbol(spark, tmp_path):
+    """A trigger containing only symbol B must not rewrite symbol A's
+    gold partition (incremental recompute + dynamic partition
+    overwrite) — the scale guard against O(history) work per trigger."""
+    from stock_market_data_pipeline_v2_spark.streaming.jobs import start_signals_stream
+
+    src = str(tmp_path / "src")
+    gold_dir = str(tmp_path / "gold")
+    rows = []
+    for sym in ("AAAA", "BBBB"):
+        for m in range(0, 60, 5):
+            rows.append(_tick(sym, f"2024-01-01 09:{m:02d}:00", 100.0 + m / 60))
+    rows.append(_tick("BBBB", "2024-01-01 11:00:00", 113.0))  # watermark pusher
+    _write_ticks(src, rows, "t1")
+
+    q = start_signals_stream(
+        spark, src, str(tmp_path / "silver"), gold_dir,
+        str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(180)
+    before_a = _partition_fingerprint(f"{gold_dir}/symbol=AAAA")
+    before_b = _partition_fingerprint(f"{gold_dir}/symbol=BBBB")
+    assert before_a and before_b
+
+    # Second trigger: BBBB-only events finalize new BBBB windows.
+    _write_ticks(src, [_tick("BBBB", "2024-01-01 12:00:00", 114.0)], "t2")
+    q = start_signals_stream(
+        spark, src, str(tmp_path / "silver"), gold_dir,
+        str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(180)
+
+    assert _partition_fingerprint(f"{gold_dir}/symbol=AAAA") == before_a
+    assert _partition_fingerprint(f"{gold_dir}/symbol=BBBB") != before_b
+    # And the rewrite is correct, not just different: BBBB gained the
+    # 11:00 window once its watermark passed.
+    gold = spark.read.parquet(gold_dir)
+    b_windows = {
+        r.window_start_at.strftime("%H:%M")
+        for r in gold.filter(F.col("symbol") == "BBBB").collect()
+    }
+    assert "11:00" in b_windows
+
+
 def test_kafka_json_roundtrip(spark):
     from stock_market_data_pipeline_v2_spark.schemas import RAW_TICKS
     from stock_market_data_pipeline_v2_spark.sources.kafka import (

@@ -1,0 +1,142 @@
+"""Scale probe for the dedup/ANN family: time the SCALE-TIER paths at
+1× and N× the sf0.1 documents/embeddings tables.
+
+Replication is density-preserving: each replica's shingle space is
+namespaced (every token gets a per-replica suffix) and each replica's
+embedding space is decorrelated (per-replica deterministic sign-flip
+pattern — norm- and within-replica-cosine-preserving), so N× data has
+N× the near-dup pairs, not N²×. Without this, replicating docs
+verbatim manufactures duplicate groups of size N and the probe would
+measure the O(dup_group²) pair blowup inherent to ANY exact dedup —
+a duplicate-density artifact, not an engine-scaling property.
+
+Only the scale-tier paths are probed (MinHash-LSH, SimHash, capped
+exact Jaccard, hyperplane-LSH ANN, block-grid BLAS embedding dedup).
+The O(n²) ground-truth tiers are verification baselines at small SF
+by design and are excluded.
+
+Usage: python tools/scale_probe_dedup.py [--mult 10] [--sf DIR]
+Prints one JSON line: {"mult": N, "queries": {name: sec, ...}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def replicate_docs(docs: DataFrame, mult: int) -> DataFrame:
+    if mult == 1:
+        return docs
+    n_ids = docs.agg(F.max("doc_id")).first()[0] + 1
+    copies = []
+    for i in range(mult):
+        c = docs.select(
+            (F.col("doc_id") + F.lit(i * n_ids)).alias("doc_id"),
+            # namespace every token: replica i shares no shingles with
+            # replica j, so pair density per doc stays constant
+            F.regexp_replace(F.col("text"), r"(\S+)", r"$1" + f"_{i}").alias(
+                "text"
+            ),
+        )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def replicate_embs(embs: DataFrame, mult: int) -> DataFrame:
+    if mult == 1:
+        return embs
+    n_ids = embs.agg(F.max("vec_id")).first()[0] + 1
+    copies = []
+    for i in range(mult):
+        # deterministic per-(replica, dim) sign pattern: preserves
+        # norms and within-replica cosines, decorrelates across
+        # replicas (expected cross-replica cosine ~0)
+        c = embs.select(
+            (F.col("vec_id") + F.lit(i * n_ids)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, j: x
+                * F.when(
+                    F.pmod(F.xxhash64(j * F.lit(1000) + F.lit(i)), 2) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ).alias("embedding"),
+        )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        embedding_neardup_pairs_blas,
+        minhash_lsh_pairs,
+        shingle_jaccard_pairs,
+        simhash_pairs,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        hyperplane_lsh_topk,
+    )
+    from stock_market_data_pipeline_v2_spark.session import get_spark
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    spark = get_spark("scale-probe-dedup")
+    docs = replicate_docs(load_table(spark, args.sf, "documents"), args.mult)
+    embs = replicate_embs(load_table(spark, args.sf, "embeddings"), args.mult)
+    # materialize inputs so the probe times the operator, not the
+    # replication lineage
+    docs = docs.cache()
+    embs = embs.cache()
+    docs.count(), embs.count()
+
+    qs = embs.filter(F.col("vec_id") % 100 == 0)
+    probes = {
+        "dedup_ngram_jaccard_capped": lambda: shingle_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_shingle_freq=1000
+        ),
+        "dedup_minhash_lsh": lambda: minhash_lsh_pairs(
+            docs, threshold=0.5, max_shingle_freq=1000
+        ),
+        "dedup_simhash": lambda: simhash_pairs(docs, max_hamming=3),
+        "ann_lsh_topk": lambda: hyperplane_lsh_topk(embs, qs, k=5),
+        "dedup_embedding_blas": lambda: embedding_neardup_pairs_blas(
+            embs, threshold=0.4
+        ),
+    }
+    if args.queries:
+        probes = {k: v for k, v in probes.items() if k in args.queries}
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, build in probes.items():
+        best = float("inf")
+        for _ in range(2):  # best-of-2: host CPU steal makes 1-run noisy
+            t0 = time.monotonic()
+            n = build().count()
+            best = min(best, time.monotonic() - t0)
+        times[name] = round(best, 2)
+        rows[name] = n
+    print(
+        json.dumps(
+            {"mult": args.mult, "sf": args.sf, "queries": times, "rows": rows}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
