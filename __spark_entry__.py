@@ -49,6 +49,7 @@ from stock_market_data_pipeline_v2_spark.operators.dedup import (
 from stock_market_data_pipeline_v2_spark.operators.similarity import (
     cosine_topk,
     hyperplane_lsh_topk,
+    ivf_topk,
 )
 from stock_market_data_pipeline_v2_spark.operators.multimodal import (
     attach_binary,
@@ -265,6 +266,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk(embs, _ann_queries(spark, sf_dir), k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return ivf_topk(embs, _ann_queries(spark, sf_dir), k=5)
+
+
 def q_asof_tick_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -404,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "asof_tick_bar": q_asof_tick_bar,
