@@ -279,3 +279,80 @@ def test_streaming_session_windows(spark, tmp_path):
     # session end = last event + gap
     assert got["09:00"].end.strftime("%H:%M") == "09:40"
     assert got["11:00"].n == 1
+
+
+def test_stateful_tick_features_ema_and_eviction(spark, tmp_path):
+    """applyInPandasWithState keyed EMA/VWAP: values match a hand
+    recursion across micro-batches, and an idle symbol's state is
+    EVICTED by the event-time timer (re-appearing key re-seeds) —
+    the bounded-state property keyed streaming needs at scale."""
+    from stock_market_data_pipeline_v2_spark.streaming.jobs import read_tick_stream
+    from stock_market_data_pipeline_v2_spark.streaming.stateful import (
+        stateful_tick_features,
+    )
+
+    src = str(tmp_path / "src")
+    alpha = 0.2
+    # t1: both symbols; t2/t3: only BBBB (advances the watermark past
+    # AAAA's 1h idle horizon → timer fires in t3's batch, state
+    # removed); t4: AAAA returns and must re-seed from 50.0.
+    _write_ticks(src, [
+        _tick("AAAA", "2024-01-01 09:00:00", 100.0, 10),
+        _tick("AAAA", "2024-01-01 09:10:00", 104.0, 30),
+        _tick("BBBB", "2024-01-01 09:10:00", 20.0, 10),
+    ], "t1")
+    _write_ticks(src, [_tick("BBBB", "2024-01-01 13:00:00", 22.0, 10)], "t2")
+    _write_ticks(src, [_tick("BBBB", "2024-01-01 13:10:00", 24.0, 10)], "t3")
+    _write_ticks(src, [
+        _tick("AAAA", "2024-01-01 13:20:00", 50.0, 10),
+        _tick("BBBB", "2024-01-01 13:20:00", 26.0, 10),
+    ], "t4")
+    # the file source orders micro-batches by mtime — sub-second
+    # writes tie, so pin strictly increasing mtimes to fix the order
+    for i, name in enumerate(("t1", "t2", "t3", "t4")):
+        os.utime(f"{src}/{name}.json", (1704100000 + i, 1704100000 + i))
+
+    ticks = read_tick_stream(spark, src, max_files_per_trigger=1)
+    feats = stateful_tick_features(ticks, alpha=alpha)
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("stateful_feats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql(
+        "select * from stateful_feats order by last_event_time"
+    ).collect()
+    last = {}
+    for r in rows:  # latest update per symbol (NOT max tick_cnt —
+        # eviction resets the count, so the re-seeded row has cnt 1)
+        if (
+            r.symbol not in last
+            or r.last_event_time > last[r.symbol].last_event_time
+        ):
+            last[r.symbol] = r
+
+    # BBBB never idles: EMA folds all four ticks from seed 20.
+    ema_b = 20.0
+    for p in (22.0, 24.0, 26.0):
+        ema_b = alpha * p + (1 - alpha) * ema_b
+    assert abs(last["BBBB"].ema_price - ema_b) < 1e-12
+    assert last["BBBB"].tick_cnt == 4
+    vwap_b = (20 * 10 + 22 * 10 + 24 * 10 + 26 * 10) / 40
+    assert abs(last["BBBB"].vwap - vwap_b) < 1e-12
+
+    # AAAA was evicted while idle: its final state reflects ONLY the
+    # post-eviction tick — tick_cnt reset to 1 and EMA re-seeded at
+    # 50.0 (continuation would give 0.2*50 + 0.8*ema_pre ≈ 51.3).
+    assert last["AAAA"].tick_cnt == 1
+    assert abs(last["AAAA"].ema_price - 50.0) < 1e-12
+    assert abs(last["AAAA"].vwap - 50.0) < 1e-12
+    # and the pre-eviction update WAS emitted earlier (the 2-tick
+    # running state from the first micro-batch)
+    pre = [r for r in rows if r.symbol == "AAAA" and r.tick_cnt == 2]
+    assert len(pre) == 1
+    assert abs(pre[0].ema_price - (alpha * 104.0 + (1 - alpha) * 100.0)) < 1e-12
