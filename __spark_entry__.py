@@ -35,7 +35,9 @@ from stock_market_data_pipeline_v2_spark.operators.dims import (
 from stock_market_data_pipeline_v2_spark.operators.upsert import merge_upsert
 from stock_market_data_pipeline_v2_spark.operators.text import (
     doc_fingerprint,
+    gopher_quality_filter,
     lang_id,
+    pii_scrub,
     text_stats,
 )
 from stock_market_data_pipeline_v2_spark.operators.dedup import (
@@ -202,6 +204,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(_docs(spark, sf_dir))
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_filter(_docs(spark, sf_dir))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "gopher_filter": q_gopher_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -449,6 +461,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracles.TEXT_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,
         "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
+        "pii_scrub": oracles.PII_SCRUB_SQL,
+        "gopher_filter": oracles.GOPHER_FILTER_SQL,
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": oracles.NGRAM_JACCARD_SQL,
         "dedup_clusters": oracles.DEDUP_CLUSTERS_SQL,

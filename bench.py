@@ -54,6 +54,8 @@ HEADLINE = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
+    "pii_scrub",       # added round 2
+    "gopher_filter",   # added round 2
     "multimodal_decode",
 ]
 

@@ -141,3 +141,98 @@ def doc_fingerprint(documents: DataFrame, shingle_len: int = 5) -> DataFrame:
             min_hash.alias("min_shingle_hash"),
         )
     )
+
+
+# PII categories, applied IN ORDER (each pattern counts+redacts on the
+# text as left by the previous stage — order is part of the contract
+# and the oracle mirrors it). Patterns stay in the RE2∩Java-regex-safe
+# subset: no lookaround, no backreferences.
+PII_PATTERNS = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    # ip before phone: both match digit-dot runs; ip is the more
+    # specific 4-octet shape and must win "1.2.3.4"-style strings.
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+]
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII redaction for training corpora: emails, IPv4s, SSN-shaped
+    and phone-shaped numbers replaced with ``<category>`` tokens, with
+    per-category match counts (counted at the stage the category runs,
+    so categories never double-count the same span).
+
+    Pure ``regexp_count``/``regexp_replace`` chain — scan-shaped, no
+    shuffle, no UDF; at 100 TB this is a free rider on whatever scan
+    already reads the text column. (Regex PII scrubbing is the
+    standard first-pass filter; it bounds what reaches the expensive
+    ML-based detectors, it does not replace them.)
+    """
+    t = _norm()
+    cols = [F.col("doc_id")]
+    scrubbed = t
+    for name, pat in PII_PATTERNS:
+        cols.append(
+            F.regexp_count(scrubbed, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name}>")
+    return documents.select(*cols, scrubbed.alias("scrubbed"))
+
+
+def gopher_quality_filter(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1):
+    per-document boolean gates + the final keep decision, as one
+    scan-shaped projection (no shuffle, no UDF).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min, max]; symbol-to-word ratio (``#`` and ``...``) below cap;
+    fraction of words containing a letter above floor; at least
+    ``min_stopwords`` stopword hits. Individual flags are emitted so a
+    curation pipeline can tally WHICH rule rejects how much — the
+    operational question at corpus scale.
+    """
+    t = _norm()
+    words = F.split(t, r"\s+")
+    n_words = F.size(words)
+    word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = null_if_zero_divide(
+        word_chars.cast("double"), n_words.cast("double")
+    )
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.")).cast("long")
+    symbol_ratio = null_if_zero_divide(
+        n_symbols.cast("double"), n_words.cast("double")
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_frac = null_if_zero_divide(
+        alpha_words.cast("double"), n_words.cast("double")
+    )
+    n_stop = F.regexp_count(t, F.lit(STOPWORDS_PATTERN)).cast("long")
+    pass_words = (n_words >= min_words) & (n_words <= max_words)
+    pass_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    pass_sym = symbol_ratio < max_symbol_ratio
+    pass_alpha = alpha_frac > min_alpha_word_frac
+    pass_stop = n_stop >= min_stopwords
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        round_away(mean_wl, 4).alias("mean_word_len"),
+        round_away(symbol_ratio, 4).alias("symbol_ratio"),
+        round_away(alpha_frac, 4).alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+        pass_words.alias("pass_word_count"),
+        pass_wl.alias("pass_mean_word_len"),
+        pass_sym.alias("pass_symbol_ratio"),
+        pass_alpha.alias("pass_alpha_words"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_words & pass_wl & pass_sym & pass_alpha & pass_stop).alias("keep"),
+    )

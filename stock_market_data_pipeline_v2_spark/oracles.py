@@ -449,6 +449,68 @@ SELECT *,
 FROM s
 """
 
+PII_SCRUB_SQL = """
+WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+s1 AS (
+    SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<email>', 'g') AS t
+    FROM d
+),
+s2 AS (
+    SELECT doc_id, n_email,
+        CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+        regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<ip>', 'g') AS t
+    FROM s1
+),
+s3 AS (
+    SELECT doc_id, n_email, n_ip,
+        CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+        regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<ssn>', 'g') AS t
+    FROM s2
+)
+SELECT doc_id, n_email, n_ip, n_ssn,
+    CAST(len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+    regexp_replace(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<phone>', 'g') AS scrubbed
+FROM s3
+"""
+
+GOPHER_FILTER_SQL = """
+WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+c AS (
+    SELECT doc_id,
+        CAST(len(string_split_regex(t, '\\s+')) AS BIGINT)                      AS n_words,
+        CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS DOUBLE)              AS word_chars,
+        CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS BIGINT)               AS n_symbols,
+        CAST(len(list_filter(string_split_regex(t, '\\s+'),
+                             w -> regexp_matches(w, '[a-z]'))) AS BIGINT)       AS alpha_words,
+        CAST(len(regexp_extract_all(t, '\\b(the|a|an|of|and|or|to|is|in|on|for)\\b')) AS BIGINT)
+                                                                                AS n_stopwords
+    FROM d
+),
+r AS (
+    SELECT doc_id, n_words,
+        word_chars / nullif(CAST(n_words AS DOUBLE), 0)                 AS mean_wl,
+        CAST(n_symbols AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0)  AS sym_ratio,
+        CAST(alpha_words AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0) AS alpha_frac,
+        n_stopwords
+    FROM c
+)
+SELECT doc_id, n_words,
+    round(mean_wl, 4)    AS mean_word_len,
+    round(sym_ratio, 4)  AS symbol_ratio,
+    round(alpha_frac, 4) AS alpha_word_frac,
+    n_stopwords,
+    (n_words >= 50 AND n_words <= 100000)    AS pass_word_count,
+    (mean_wl >= 3.0 AND mean_wl <= 10.0)     AS pass_mean_word_len,
+    (sym_ratio < 0.1)                        AS pass_symbol_ratio,
+    (alpha_frac > 0.8)                       AS pass_alpha_words,
+    (n_stopwords >= 2)                       AS pass_stopwords,
+    (n_words >= 50 AND n_words <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+     AND sym_ratio < 0.1 AND alpha_frac > 0.8 AND n_stopwords >= 2) AS keep
+FROM r
+"""
+
 DOC_FINGERPRINT_SQL = """
 WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
 pos AS (

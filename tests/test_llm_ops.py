@@ -222,3 +222,44 @@ def test_dedup_clusters_transitive(spark):
     )
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_pii_scrub_planted(spark):
+    from stock_market_data_pipeline_v2_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail Bob.Smith+x@corp.example.COM or 555-867-5309 now"),
+            Row(doc_id=2, text="server 10.0.255.3 ssn 123-45-6789 backup 1.2.3.4"),
+            Row(doc_id=3, text="clean text with no identifiers at all"),
+        ]
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "<email>" in out[1].scrubbed and "<phone>" in out[1].scrubbed
+    assert "@" not in out[1].scrubbed and "5309" not in out[1].scrubbed
+    assert out[2].n_ip == 2 and out[2].n_ssn == 1 and out[2].n_phone == 0
+    assert out[2].scrubbed == "server <ip> ssn <ssn> backup <ip>"
+    assert out[3].n_email == out[3].n_ip == out[3].n_ssn == out[3].n_phone == 0
+    assert out[3].scrubbed == "clean text with no identifiers at all"
+
+
+def test_gopher_filter_rules(spark):
+    from stock_market_data_pipeline_v2_spark.operators.text import (
+        gopher_quality_filter,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog and runs on for miles " * 5
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),                       # passes all gates
+            Row(doc_id=2, text="too short to keep"),        # word-count gate
+            Row(doc_id=3, text=("#### " * 60) + good),      # symbol-ratio gate
+            Row(doc_id=4, text="12 34 56 78 90 " * 20),     # alpha + stopword gates
+        ]
+    )
+    out = {r.doc_id: r for r in gopher_quality_filter(docs).collect()}
+    assert out[1].keep
+    assert not out[2].keep and not out[2].pass_word_count
+    assert not out[3].keep and not out[3].pass_symbol_ratio
+    assert not out[4].keep and not out[4].pass_alpha_words and not out[4].pass_stopwords
