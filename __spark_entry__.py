@@ -56,6 +56,8 @@ from stock_market_data_pipeline_v2_spark.operators.similarity import (
 from stock_market_data_pipeline_v2_spark.operators.multimodal import (
     attach_binary,
     decode_features,
+    resize_media,
+    sample_frames,
 )
 from stock_market_data_pipeline_v2_spark.operators.realtime import (
     enrich_realtime,
@@ -356,6 +358,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_binary(_docs(spark, sf_dir)))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary output column dropped for the gate: the harness hashes
+    # values and DuckDB cannot reproduce the stub resize; byte-level
+    # correctness is pinned by the pytest golden instead.
+    return resize_media(attach_binary(_docs(spark, sf_dir))).drop("resized")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(attach_binary(_docs(spark, sf_dir))).drop("frame")
+
+
 def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return tick_events(load_table(spark, sf_dir, "events"))
@@ -425,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "asof_tick_bar": q_asof_tick_bar,
         "session_windows": q_session_windows,
         "symbols_both_halves": q_symbols_both_halves,

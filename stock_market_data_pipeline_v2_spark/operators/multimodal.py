@@ -27,6 +27,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -102,3 +103,123 @@ def real_decode_placeholder(media: DataFrame) -> DataFrame:
         "in this environment; use decode_features (stub kernel) or "
         "swap _decode_batch for a codec-backed kernel"
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_format", StringType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("resized", BinaryType()),
+        StructField("resized_len", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Resize kernel over the binary column — STUB codec, real
+    pipeline. The stub treats the payload as a flat byte grid and
+    nearest-neighbor-samples it to ``out_w·out_h`` bytes (which IS a
+    resize of the byte array — deterministic, no codec needed); a
+    real kernel swaps in PIL's ``Image.resize`` and keeps everything
+    else: Arrow-batched mapInPandas, explicit schema with the binary
+    OUTPUT column (resized media stays opaque bytes for the next
+    stage), decode parallelism controlled by ``partitions`` not file
+    layout.
+
+    Scale: output size is fixed per row (out_w·out_h), so downstream
+    stages can size partitions exactly; the input blob never enters a
+    shuffle — resizing happens in the scan stage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_out = out_w * out_h
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            def rz(b: bytes) -> bytes:
+                if not len(b):
+                    return bytes(n_out)
+                arr = np.frombuffer(b, dtype=np.uint8)
+                idx = np.floor(np.linspace(0, len(arr) - 1, n_out)).astype(int)
+                return arr[idx].tobytes()
+
+            resized = pdf["payload"].map(rz)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_format": pdf["media_format"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized": resized,
+                    "resized_len": resized.map(len).astype("int64"),
+                }
+            )
+
+    src = media.repartition(partitions) if partitions else media
+    return src.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    every: int = 2,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Frame sampling for video-shaped payloads — STUB codec, real
+    pipeline. The stub chunks the payload into fixed ``frame_bytes``
+    "frames" and keeps every ``every``-th (a real kernel swaps in an
+    ffmpeg/pyav iterator and keeps the row-explosion shape). One input
+    row fans out to ceil(len/frame_bytes)/every output rows — the
+    1→N explode every frame-sampler needs, done INSIDE mapInPandas so
+    only sampled frames ever materialize (never the full frame list).
+
+    Scale: peak memory per task is one payload + its sampled frames;
+    frame rows carry (id, idx, bytes) only, so the downstream shuffle
+    (if any) moves exactly the sampled bytes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, -(-len(b) // frame_bytes))
+                for fi in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(bytes(b[fi * frame_bytes : (fi + 1) * frame_bytes]))
+            cks = [
+                int(np.frombuffer(f, dtype=np.uint8).sum()) % 65536 if f else 0
+                for f in frames
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": frames,
+                    "frame_len": pd.Series([len(f) for f in frames], dtype="int64"),
+                    "frame_checksum": pd.Series(cks, dtype="int64"),
+                }
+            )
+
+    src = media.repartition(partitions) if partitions else media
+    return src.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -263,3 +263,43 @@ def test_gopher_filter_rules(spark):
     assert not out[2].keep and not out[2].pass_word_count
     assert not out[3].keep and not out[3].pass_symbol_ratio
     assert not out[4].keep and not out[4].pass_alpha_words and not out[4].pass_stopwords
+
+
+def test_multimodal_resize_deterministic(spark):
+    from stock_market_data_pipeline_v2_spark.operators.multimodal import (
+        attach_binary,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="abcdefgh", lang="en", source="t", n_chars=8)]
+    )
+    r = resize_media(attach_binary(docs), out_w=2, out_h=2).first()
+    # nearest-neighbor sample of b"abcdefgh" (8 bytes) down to 4:
+    # linspace(0,7,4) = [0, 2.33, 4.67, 7] → floor → a, c, e, h
+    assert bytes(r.resized) == b"aceh"
+    assert r.resized_len == 4 and r.out_w == 2 and r.out_h == 2
+    # empty payload → zero-filled block, not a crash
+    empty = spark.createDataFrame(
+        [Row(doc_id=1, text="", lang="en", source="t", n_chars=0)]
+    )
+    r2 = resize_media(attach_binary(empty), out_w=2, out_h=2).first()
+    assert bytes(r2.resized) == bytes(4)
+
+
+def test_multimodal_frame_sampling(spark):
+    from stock_market_data_pipeline_v2_spark.operators.multimodal import (
+        attach_binary,
+        sample_frames,
+    )
+
+    text = "x" * 300  # payload: 300 bytes → frames of 64: ceil=5 (0..4)
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=text, lang="en", source="t", n_chars=300)]
+    )
+    rows = sample_frames(attach_binary(docs), frame_bytes=64, every=2).collect()
+    assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 2, 4]
+    by_idx = {r.frame_idx: r for r in rows}
+    assert by_idx[0].frame_len == 64
+    assert by_idx[4].frame_len == 300 - 4 * 64  # tail frame is short
+    assert by_idx[0].frame_checksum == (ord("x") * 64) % 65536
