@@ -33,6 +33,11 @@ from stock_market_data_pipeline_v2_spark.operators.dims import (
     top_revenue_orders,
 )
 from stock_market_data_pipeline_v2_spark.operators.upsert import merge_upsert
+from stock_market_data_pipeline_v2_spark.operators.curation import (
+    chunk_documents,
+    stratified_sample,
+    token_frequency,
+)
 from stock_market_data_pipeline_v2_spark.operators.text import (
     doc_fingerprint,
     gopher_quality_filter,
@@ -214,6 +219,18 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(_docs(spark, sf_dir))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(_docs(spark, sf_dir), chunk_chars=512, overlap=64)
+
+
+def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_frequency(_docs(spark, sf_dir), top_k=100)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(_docs(spark, sf_dir), quotas={"en": 50, "de": 30})
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,6 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "pii_scrub": q_pii_scrub,
         "gopher_filter": q_gopher_filter,
+        "chunk_documents": q_chunk_documents,
+        "token_frequency": q_token_frequency,
+        "stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -478,6 +498,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
         "pii_scrub": oracles.PII_SCRUB_SQL,
         "gopher_filter": oracles.GOPHER_FILTER_SQL,
+        "chunk_documents": oracles.CHUNK_DOCUMENTS_SQL,
+        "token_frequency": oracles.TOKEN_FREQUENCY_SQL,
+        "stratified_sample": oracles.STRATIFIED_SAMPLE_SQL,
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": oracles.NGRAM_JACCARD_SQL,
         "dedup_clusters": oracles.DEDUP_CLUSTERS_SQL,

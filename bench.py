@@ -54,8 +54,11 @@ HEADLINE = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
-    "pii_scrub",       # added round 2
-    "gopher_filter",   # added round 2
+    "pii_scrub",         # added round 2
+    "gopher_filter",     # added round 2
+    "chunk_documents",   # added round 2
+    "token_frequency",   # added round 2
+    "stratified_sample", # added round 2
     "multimodal_decode",
 ]
 

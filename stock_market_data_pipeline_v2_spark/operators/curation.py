@@ -1,0 +1,137 @@
+"""Corpus curation operators: chunking, vocabulary, reproducible
+sampling — the steps between raw documents and a training mix
+(BASELINE.json north star; no reference counterpart).
+
+All pure Catalyst expressions; the only shuffles are the token-count
+groupBy and the per-stratum sampling window. Everything is
+DETERMINISTIC by construction — a re-run of the pipeline on the same
+corpus yields byte-identical chunks/samples, which is what makes
+training mixes reproducible and ablations comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import TOKEN_PATTERN, _norm
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with
+    ``overlap`` leading context — the standard pre-tokenization step
+    for long documents (context windows are bounded; chunk boundaries
+    with overlap avoid cutting every boundary-spanning fact).
+
+    One row in → ceil(len/stride) rows out via a bounded ``sequence``
+    explode; chunk text is sliced inside the scan projection, so the
+    whole operator is scan-shaped: no shuffle, peak state O(doc len)
+    per row. At 100 TB, chunking changes ROW COUNT not byte volume
+    (plus overlap·chunks duplicated bytes — bounded by
+    overlap/stride, 12.5% at the defaults).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap={overlap} must be < chunk_chars={chunk_chars}")
+    stride = chunk_chars - overlap
+    t = F.col("t")
+    # chunk i covers [i·stride + 1, i·stride + chunk_chars] (1-based);
+    # last chunk starts while i·stride < len so every char is covered.
+    n_chunks = F.greatest(
+        F.ceil((F.length(t).cast("double")) / stride).cast("int"), F.lit(1)
+    )
+    return (
+        documents.select("doc_id", _norm().alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            n_chunks.alias("n_chunks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            t.substr(
+                F.col("chunk_idx") * stride + 1, F.lit(chunk_chars)
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def token_frequency(
+    documents: DataFrame,
+    top_k: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: global token counts + document frequency,
+    ranked (count desc, token asc — deterministic), top-k. The
+    vocabulary build every tokenizer-training / coverage-audit step
+    needs.
+
+    Shape: explode → ONE map-side-combined groupBy on token → top-k.
+    The explode multiplies rows but the partial aggregation collapses
+    them before the shuffle, so shuffle volume is O(distinct tokens
+    per partition), not O(total tokens) — the reason groupBy beats
+    any collect-and-count at corpus scale.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    # Top-k FIRST via orderBy+limit — Spark plans TakeOrderedAndProject
+    # (per-partition bounded heaps, merge of k-row results), so the
+    # billions-of-distinct-tokens case never sorts globally. The rank
+    # window then runs over ≤ k rows; its single partition is bounded
+    # by k, not by vocabulary size.
+    rank_w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        counts.filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .select("rank", "token", "n_occurrences", "n_docs")
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    quotas: dict[str, int],
+    stratum_col: str = "lang",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic quota sampling per stratum: keep the ``quota``
+    docs with the smallest ``md5(salt ∥ doc_id)`` in each stratum —
+    the hash-ordering trick that makes a sample REPRODUCIBLE across
+    engines, re-runs and partitionings (``sample()`` is none of
+    those), and incrementally stable: adding new docs only displaces
+    ties at the quota boundary, it never reshuffles the whole sample.
+    Changing ``salt`` draws an independent sample (ablation runs).
+
+    md5 (not xxhash64) so the DuckDB oracle reproduces the exact
+    sample — both engines hash the identical string. Strata not named
+    in ``quotas`` are dropped; a quota larger than the stratum keeps
+    the whole stratum. One shuffle (the per-stratum window sort).
+    """
+    quota_expr = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )
+    key = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy("sample_key")
+    return (
+        documents.withColumn("sample_key", key)
+        .withColumn("quota", quota_expr[F.col(stratum_col)])
+        .filter(F.col("quota").isNotNull())
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select("doc_id", stratum_col, "source", "sample_rank", "sample_key")
+    )

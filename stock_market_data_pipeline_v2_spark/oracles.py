@@ -523,6 +523,56 @@ GROUP BY doc_id, md5(t)
 """
 
 # operators/dedup.py oracles ------------------------------------------------
+# operators/curation.py oracles --------------------------------------------
+
+CHUNK_DOCUMENTS_SQL = """
+WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+n AS (
+    SELECT doc_id, t,
+        greatest(CAST(ceil(CAST(length(t) AS DOUBLE) / 448) AS INTEGER), 1) AS nc
+    FROM d
+)
+SELECT doc_id,
+    CAST(i AS BIGINT)                                   AS chunk_idx,
+    CAST(nc AS BIGINT)                                  AS n_chunks,
+    substr(t, CAST(i AS INTEGER) * 448 + 1, 512)        AS chunk_text
+FROM n, unnest(generate_series(0, nc - 1)) AS u(i)
+"""
+
+TOKEN_FREQUENCY_SQL = """
+WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+    FROM d
+),
+c AS (
+    SELECT token,
+        CAST(count(*) AS BIGINT)                 AS n_occurrences,
+        CAST(count(DISTINCT doc_id) AS BIGINT)   AS n_docs
+    FROM toks GROUP BY token
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS rank,
+       token, n_occurrences, n_docs
+FROM c
+QUALIFY rank <= 100
+"""
+
+STRATIFIED_SAMPLE_SQL = """
+WITH q AS (SELECT * FROM (VALUES ('en', 50), ('de', 30)) AS q(lang, quota)),
+s AS (
+    SELECT d.doc_id, d.lang, d.source,
+        md5('v1:' || CAST(d.doc_id AS VARCHAR)) AS sample_key, q.quota
+    FROM documents d JOIN q USING (lang)
+),
+r AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY sample_key) AS BIGINT)
+              AS sample_rank
+    FROM s
+)
+SELECT doc_id, lang, source, sample_rank, sample_key
+FROM r WHERE sample_rank <= quota
+"""
+
 DEDUP_EXACT_SQL = """
 SELECT md5(lower(trim(text))) AS text_hash,
        min(doc_id)            AS canonical_doc_id,

@@ -303,3 +303,47 @@ def test_multimodal_frame_sampling(spark):
     assert by_idx[0].frame_len == 64
     assert by_idx[4].frame_len == 300 - 4 * 64  # tail frame is short
     assert by_idx[0].frame_checksum == (ord("x") * 64) % 65536
+
+
+def test_chunk_documents_boundaries(spark):
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    text = "".join(chr(97 + (i % 26)) for i in range(1000))
+    docs = spark.createDataFrame([Row(doc_id=1, text=text), Row(doc_id=2, text="")])
+    rows = {
+        (r.doc_id, r.chunk_idx): r
+        for r in chunk_documents(docs, chunk_chars=512, overlap=64).collect()
+    }
+    # stride 448: 1000 chars → ceil(1000/448) = 3 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    c0, c1, c2 = (rows[(1, i)].chunk_text for i in range(3))
+    assert len(c0) == 512 and len(c1) == 512
+    assert len(c2) == 1000 - 2 * 448  # tail chunk
+    assert c0 == text[0:512] and c1 == text[448:960] and c2 == text[896:1000]
+    # the overlap region is shared verbatim across the boundary
+    assert c1[:64] == c0[-64:]
+    # empty doc still yields one (empty) chunk, not zero rows
+    assert rows[(2, 0)].chunk_text == "" and rows[(2, 0)].n_chunks == 1
+
+
+def test_stratified_sample_deterministic(spark):
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = _docs(spark)
+    a = {(r.doc_id, r.sample_rank) for r in stratified_sample(docs, {"en": 10}).collect()}
+    b = {(r.doc_id, r.sample_rank) for r in stratified_sample(docs, {"en": 10}).collect()}
+    assert a == b and len(a) == 10  # reproducible, quota-exact
+    # a different salt draws a genuinely different sample
+    c = {
+        (r.doc_id, r.sample_rank)
+        for r in stratified_sample(docs, {"en": 10}, salt="v2").collect()
+    }
+    assert {d for d, _ in c} != {d for d, _ in a}
+    # quota above stratum size keeps the whole stratum, no padding
+    big = stratified_sample(docs, {"de": 10_000}).collect()
+    n_de = docs.filter(F.col("lang") == "de").count()
+    assert len(big) == n_de
