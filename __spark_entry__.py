@@ -87,6 +87,7 @@ from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
 )
 from stock_market_data_pipeline_v2_spark.operators.dedup import (
     embedding_neardup_pairs_blas,
+    embedding_neardup_pairs_ivf,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -272,6 +273,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs_ivf(_embs(spark, sf_dir), threshold=0.4)
 
 
 def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,6 +475,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stochastic_k": q_stochastic_k,
         "macd": q_macd,
         "dedup_embedding_blas": q_dedup_embedding_blas,
+        # SemDeDup-style sub-quadratic tier: emitted pairs are a
+        # bit-identical SUBSET of dedup_embedding (recall < 1 by
+        # design — KMeans cells aren't SQL-expressible → rows-only;
+        # subset + recall gates in tests/test_llm_ops.py).
+        "dedup_embedding_ivf": q_dedup_embedding_ivf,
     }
 
 
