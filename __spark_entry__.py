@@ -35,6 +35,8 @@ from stock_market_data_pipeline_v2_spark.operators.dims import (
 from stock_market_data_pipeline_v2_spark.operators.upsert import merge_upsert
 from stock_market_data_pipeline_v2_spark.operators.curation import (
     chunk_documents,
+    ngram_containment,
+    pack_sequences,
     stratified_sample,
     token_frequency,
 )
@@ -232,6 +234,22 @@ def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(_docs(spark, sf_dir), quotas={"en": 50, "de": 30})
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    # every 20th doc plays the benchmark/eval set; the rest is corpus.
+    return ngram_containment(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        threshold=0.1,
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(_docs(spark, sf_dir), ctx_tokens=256)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "token_frequency": q_token_frequency,
         "stratified_sample": q_stratified_sample,
+        "ngram_containment": q_ngram_containment,
+        "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -511,6 +531,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": oracles.CHUNK_DOCUMENTS_SQL,
         "token_frequency": oracles.TOKEN_FREQUENCY_SQL,
         "stratified_sample": oracles.STRATIFIED_SAMPLE_SQL,
+        "ngram_containment": oracles.NGRAM_CONTAINMENT_SQL,
+        "pack_sequences": oracles.PACK_SEQUENCES_SQL,
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": oracles.NGRAM_JACCARD_SQL,
         "dedup_clusters": oracles.DEDUP_CLUSTERS_SQL,

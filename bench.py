@@ -59,6 +59,8 @@ HEADLINE = [
     "chunk_documents",   # added round 2
     "token_frequency",   # added round 2
     "stratified_sample", # added round 2
+    "ngram_containment", # added round 2
+    "pack_sequences",    # added round 2
     "multimodal_decode",
 ]
 

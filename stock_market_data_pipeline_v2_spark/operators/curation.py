@@ -103,6 +103,124 @@ def token_frequency(
     )
 
 
+def ngram_containment(
+    corpus: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: for each corpus document, the
+    fraction of its distinct word n-grams that appear anywhere in the
+    ``reference`` set (an eval/benchmark corpus) —
+    ``containment = |S_doc ∩ S_ref| / |S_doc|``, the asymmetric
+    cousin of Jaccard used for test-set-leakage detection (a long web
+    page quoting one eval item verbatim scores high even though its
+    Jaccard against the item is tiny). Returns
+    (doc_id, n_shingles, n_hits, containment) for corpus docs at or
+    above ``threshold`` — the kill list a pretraining mix subtracts
+    before training.
+
+    Shape: the reference collapses to its DISTINCT shingle set, so
+    the join has multiplicity ≤ 1 per corpus shingle — the output
+    never exceeds the corpus shingle count and no stop-list is needed
+    (unlike the dedup self-join there is no O(freq²) blowup).
+    Benchmarks are small next to a training corpus, so the reference
+    side is broadcast by default (``broadcast_reference=False`` falls
+    back to a shingle-key shuffle join for reference sets beyond
+    broadcast size). Docs with fewer than ``n`` words have no
+    shingles and are absent from the output (nothing to leak).
+    """
+    from .dedup import word_shingles
+
+    corpus_sh = word_shingles(corpus, n)
+    ref_sh = word_shingles(reference, n).select("shingle").distinct()
+    if broadcast_reference:
+        ref_sh = F.broadcast(ref_sh)
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus_sh.join(ref_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    containment = F.col("n_hits") / F.col("n_shingles")
+    from ..functions.core import round_away
+
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0).cast("long")))
+        .filter(containment >= threshold)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            round_away(containment, 4).alias("containment"),
+        )
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    ctx_tokens: int = 256,
+    range_size: int = 1024,
+) -> DataFrame:
+    """Deterministic greedy sequence PACKING: documents in doc_id
+    order are laid head-to-tail on a token tape; training example
+    (bin) k covers tape offsets [k·ctx_tokens, (k+1)·ctx_tokens), and
+    each document is assigned to the bin where it STARTS — the
+    overflow-spill packing contract (a bin may run over by its last
+    document; the trainer truncates or spills). Returns
+    (doc_id, n_tokens, start_offset, bin_id) — with this, a packing
+    job is a groupBy(bin_id) away from emitting training examples.
+
+    A global cumulative sum is the textbook single-partition-window
+    trap, so it is computed as a DISTRIBUTED two-level prefix sum:
+    per-range subtotals (``rng = doc_id // range_size``) are
+    prefix-summed on the small range frame (n_docs / range_size rows
+    — the only unpartitioned window, bounded by the knob), broadcast
+    back, and the per-document cumsum windows partition by range.
+    Integer arithmetic end-to-end → bit-exact against the oracle's
+    plain global-window formulation. Token counts use TOKEN_PATTERN
+    (same tokenizer as text_stats/token_frequency).
+    """
+    tok_count = F.size(
+        F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+    ).cast("long")
+    base = documents.select(
+        "doc_id",
+        tok_count.alias("n_tokens"),
+        F.floor(F.col("doc_id") / range_size).alias("rng"),
+    )
+    totals = base.groupBy("rng").agg(F.sum("n_tokens").alias("rng_tokens"))
+    w_rng = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "rng",
+        F.coalesce(F.sum("rng_tokens").over(w_rng), F.lit(0))
+        .cast("long")
+        .alias("rng_offset"),
+    )
+    w_doc = (
+        Window.partitionBy("rng")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offsets), "rng")
+        .withColumn(
+            "start_offset",
+            (
+                F.col("rng_offset")
+                + F.coalesce(F.sum("n_tokens").over(w_doc), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "bin_id",
+            F.floor(F.col("start_offset") / F.lit(float(ctx_tokens))).cast("long"),
+        )
+        .select("doc_id", "n_tokens", "start_offset", "bin_id")
+    )
+
+
 def stratified_sample(
     documents: DataFrame,
     quotas: dict[str, int],

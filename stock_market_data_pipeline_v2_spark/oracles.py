@@ -539,6 +539,56 @@ SELECT doc_id,
 FROM n, unnest(generate_series(0, nc - 1)) AS u(i)
 """
 
+NGRAM_CONTAINMENT_SQL = """
+WITH ca AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+    FROM documents WHERE doc_id % 20 != 0
+),
+sha AS (
+    SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM ca
+),
+rb AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+    FROM documents WHERE doc_id % 20 = 0
+),
+shb AS (
+    SELECT DISTINCT
+        unnest(list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM rb
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sha GROUP BY doc_id),
+h AS (
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM sha a JOIN shb b USING (shingle) GROUP BY a.doc_id
+)
+SELECT s.doc_id, s.n_shingles,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / s.n_shingles, 4) AS containment
+FROM sz s LEFT JOIN h USING (doc_id)
+WHERE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / s.n_shingles >= 0.1
+"""
+
+PACK_SEQUENCES_SQL = """
+WITH d AS (
+    SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+    FROM d
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 256.0) AS BIGINT) AS bin_id
+FROM c
+"""
+
 TOKEN_FREQUENCY_SQL = """
 WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
 toks AS (

@@ -169,6 +169,79 @@ def test_embedding_ivf_subset_and_recall(spark):
     assert recall >= 0.6, f"IVF dedup recall too low: {recall}"
 
 
+def test_ngram_containment_detects_quotes(spark):
+    """Decontamination semantics: a corpus doc quoting an eval item
+    verbatim scores containment 1.0 even when the doc is longer than
+    the item (the asymmetry Jaccard lacks); unrelated docs score 0."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        ngram_containment,
+    )
+
+    eval_item = "what is the capital of france answer paris"
+    reference = spark.createDataFrame([Row(doc_id=100, text=eval_item)])
+    corpus = spark.createDataFrame(
+        [
+            # pure verbatim quote → every trigram leaked
+            Row(doc_id=1, text=eval_item),
+            # quote embedded in a longer page → all of ITS OWN trigrams
+            # that leak are counted against ITS OWN size
+            Row(
+                doc_id=2,
+                text="a much longer page with plenty of its own prose "
+                + eval_item
+                + " followed by even more unrelated trailing chatter",
+            ),
+            Row(doc_id=3, text="totally unrelated words about gardening and weather"),
+        ]
+    )
+    rows = {
+        r.doc_id: r
+        for r in ngram_containment(corpus, reference, threshold=0.0).collect()
+    }
+    assert rows[1].containment == 1.0
+    assert 0.0 < rows[2].containment < 1.0
+    assert rows[2].n_hits == rows[1].n_shingles  # the full quote leaked
+    assert rows[3].containment == 0.0
+    # threshold filters the kill list
+    killed = {
+        r.doc_id
+        for r in ngram_containment(corpus, reference, threshold=0.5).collect()
+    }
+    assert killed == {1}
+
+
+def test_pack_sequences_contract(spark):
+    """Distributed two-level prefix sum must equal the plain
+    sequential packing contract: docs laid head-to-tail in doc_id
+    order, each assigned to the bin where it starts (bins may
+    overflow by one doc, never silently split a doc)."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    docs = _docs(spark)
+    # tiny range_size forces MANY ranges → the cross-range offset
+    # broadcast path is actually exercised, not degenerate
+    got = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.bin_id)
+        for r in pack_sequences(docs, ctx_tokens=100, range_size=7).collect()
+    }
+    ordered = sorted(got)
+    offset = 0
+    for doc_id in ordered:
+        n_tokens, start, bin_id = got[doc_id]
+        assert start == offset, f"doc {doc_id}: start {start} != cumsum {offset}"
+        assert bin_id == start // 100
+        offset += n_tokens
+    # a doc starting mid-bin stays in that bin even if it overflows it
+    overflowing = [
+        d for d in ordered
+        if got[d][1] % 100 + got[d][0] > 100
+    ]
+    assert overflowing, "fixture should contain at least one overflow doc"
+    assert all(got[d][2] == got[d][1] // 100 for d in overflowing)
+
+
 def test_release_cached_inputs(spark):
     from stock_market_data_pipeline_v2_spark.operators.dedup import (
         release_cached_inputs,

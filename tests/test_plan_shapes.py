@@ -73,6 +73,32 @@ def test_merge_upsert_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_ngram_containment_broadcasts_reference(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["ngram_containment"](spark, SF))
+    # the eval-set shingle side must reach the corpus join as a
+    # broadcast — a SortMergeJoin here would shuffle the corpus
+    # shingles against a benchmark-sized set
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_no_global_window_over_corpus(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["pack_sequences"](spark, SF))
+    # the two-level prefix sum: per-doc cumsum windows PARTITION by
+    # range (rng) — the only unpartitioned window runs over the
+    # knob-bounded range-subtotal frame, and the range offsets reach
+    # the per-doc side as a broadcast
+    assert "Window [sum(n_tokens" in plan
+    assert "partitionBy=[rng" in plan.replace("#", "").replace(" ", "") or (
+        "windowspecdefinition(rng" in plan
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_salted_aggregate_equivalence(spark):
     from stock_market_data_pipeline_v2_spark.functions.skew import salted_aggregate
 
