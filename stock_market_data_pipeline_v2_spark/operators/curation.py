@@ -11,10 +11,19 @@ training mixes reproducible and ablations comparable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import TOKEN_PATTERN, _norm
+
+
+def exact_long_div(col_name: str, divisor: int) -> Column:
+    """Integer floor-division on longs via SQL ``div`` — exact over
+    the FULL long range. ``floor(x / lit(d))`` routes through a double
+    and is exact only below 2^53 (~9e15): a 100 TB corpus at ~25e12
+    tape tokens is safe, but a larger tape would silently misbin.
+    Long arithmetic costs nothing and removes the cliff."""
+    return F.expr(f"`{col_name}` div CAST({int(divisor)} AS BIGINT)").cast("long")
 
 
 def chunk_documents(
@@ -213,10 +222,7 @@ def pack_sequences(
                 + F.coalesce(F.sum("n_tokens").over(w_doc), F.lit(0))
             ).cast("long"),
         )
-        .withColumn(
-            "bin_id",
-            F.floor(F.col("start_offset") / F.lit(float(ctx_tokens))).cast("long"),
-        )
+        .withColumn("bin_id", exact_long_div("start_offset", ctx_tokens))
         .select("doc_id", "n_tokens", "start_offset", "bin_id")
     )
 
