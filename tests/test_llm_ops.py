@@ -143,6 +143,79 @@ def test_ann_ivf_recall(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
 
 
+def test_ann_tiers_subset_of_brute_pool(spark):
+    """Symmetric gate to recall: PRECISION — every emitted (query,
+    neighbor, cosine) of the approximate ANN tiers appears in a deep
+    brute-force pool with the identical rounded cosine (the ANN
+    analogue of the dedup-IVF subset-bit-identity gate). Pool depth
+    50 ≫ k=5: a tier would have to miss 45 better neighbors for a
+    true emission to fall outside the pool."""
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        cosine_topk,
+        hyperplane_lsh_topk,
+        ivf_topk,
+    )
+
+    embs = _embs(spark)
+    queries = embs.filter(F.col("vec_id") % 100 == 0)
+    pool = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(embs, queries, k=50).collect()
+    }
+    for tier in (hyperplane_lsh_topk, ivf_topk):
+        rows = tier(embs, queries, k=5).collect()
+        assert rows, f"{tier.__name__} emitted nothing"
+        for r in rows:
+            key = (r.query_id, r.neighbor_id)
+            assert key in pool, f"{tier.__name__}: {key} outside brute top-50"
+            assert pool[key] == r.cosine, (
+                f"{tier.__name__}: cosine {r.cosine} != brute {pool[key]} at {key}"
+            )
+
+
+def test_ivf_index_build_query_split(spark):
+    """The prebuilt-index query paths return results identical to the
+    self-building paths — the split moves work, never answers — and
+    one n_assign=3 index serves BOTH the ANN tier (home cells) and
+    the SemDeDup dedup tier (full multi-assignment)."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        embedding_neardup_pairs_ivf,
+        release_cached_inputs,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+    )
+
+    embs = _embs(spark)
+    queries = embs.filter(F.col("vec_id") % 100 == 0)
+    idx = build_ivf_index(embs, n_assign=3, persist=True)
+    try:
+        assert idx.assignments.is_cached
+        got = {
+            (r.query_id, r.neighbor_id, r.rank, r.cosine)
+            for r in ivf_topk(None, queries, k=5, index=idx).collect()
+        }
+        ref = {
+            (r.query_id, r.neighbor_id, r.rank, r.cosine)
+            for r in ivf_topk(embs, queries, k=5).collect()
+        }
+        assert got == ref
+        got_d = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_neardup_pairs_ivf(
+                embs, threshold=0.4, index=idx
+            ).collect()
+        }
+        ref_plan = embedding_neardup_pairs_ivf(embs, threshold=0.4)
+        ref_d = {(r.id_a, r.id_b, r.cosine) for r in ref_plan.collect()}
+        release_cached_inputs(ref_plan)
+        assert got_d == ref_d
+    finally:
+        idx.release()
+    assert not idx.assignments.is_cached
+
+
 def test_embedding_ivf_subset_and_recall(spark):
     from stock_market_data_pipeline_v2_spark.operators.dedup import (
         embedding_neardup_pairs,
@@ -242,6 +315,81 @@ def test_pack_sequences_contract(spark):
     assert all(got[d][2] == got[d][1] // 100 for d in overflowing)
 
 
+def test_exact_long_div_past_double_precision(spark):
+    """bin_id arithmetic must stay exact past 2^53 — `floor(x/y)` on
+    doubles misbins there (ADVICE r2 #3). Probe offsets straddling
+    the double cliff against Python's arbitrary-precision `//`."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        exact_long_div,
+    )
+
+    ctx = 256
+    offsets = [
+        0,
+        255,
+        256,
+        2**53 - 1,
+        2**53,
+        2**53 + 1,
+        # 2^53+255 is halfway between representable doubles 2^53+254
+        # and 2^53+256; ties-to-even lands on +256, crossing a bin
+        # boundary → floor(double) misbins by +1
+        2**53 + 255,
+        2**62 + 12345,
+    ]
+    df = spark.createDataFrame([(o,) for o in offsets], "start_offset long")
+    got = {
+        r.start_offset: r.bin_id
+        for r in df.select(
+            "start_offset", exact_long_div("start_offset", ctx).alias("bin_id")
+        ).collect()
+    }
+    assert got == {o: o // ctx for o in offsets}
+    # and confirm the double path really is wrong up there (guards the
+    # test itself against a divisor where the cliff is invisible)
+    from pyspark.sql import functions as F
+
+    dbl = {
+        r.start_offset: r.bad
+        for r in df.select(
+            "start_offset",
+            F.floor(F.col("start_offset") / F.lit(float(ctx))).cast("long").alias("bad"),
+        ).collect()
+    }
+    assert any(dbl[o] != o // ctx for o in offsets)
+
+
+def test_bench_cache_discipline(spark):
+    """bench.py's loop materializes each query then releases its
+    attached caches (VERDICT r2 #4) — two emulated bench passes over
+    the cache-attaching operators must leave the session's RDD
+    storage exactly at baseline (no accumulation until LRU pressure).
+    """
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_cached_inputs,
+        shingle_jaccard_pairs,
+    )
+
+    docs = _docs(spark)
+
+    def storage_ids() -> set[int]:
+        return {
+            info.id() for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    base = storage_ids()
+    for _ in range(2):
+        for op in (shingle_jaccard_pairs, minhash_lsh_pairs):
+            df = op(docs, threshold=0.5, max_shingle_freq=1000)
+            df.count()
+            release_cached_inputs(df)
+    # no entry created by the loop survives it (earlier tests' leftovers
+    # may be async-GC'd meanwhile, so compare ids, not counts)
+    leaked = storage_ids() - base
+    assert not leaked, f"bench discipline leaked cached RDDs: {leaked}"
+
+
 def test_release_cached_inputs(spark):
     from stock_market_data_pipeline_v2_spark.operators.dedup import (
         release_cached_inputs,
@@ -322,6 +470,55 @@ def test_dedup_clusters_transitive(spark):
     )
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_star_matches_propagation(spark):
+    """Same labels from both CC algorithms on branchy input (chain +
+    pair + a triangle-with-tail) — the star twin must be a drop-in."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2),
+            Row(doc_a=2, doc_b=3),
+            Row(doc_a=10, doc_b=11),
+            Row(doc_a=20, doc_b=21),
+            Row(doc_a=21, doc_b=22),
+            Row(doc_a=22, doc_b=20),
+            Row(doc_a=22, doc_b=23),
+        ]
+    )
+    prop = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    star = {r.doc_id: r.cluster_id for r in dedup_clusters_star(pairs).collect()}
+    assert star == prop
+    assert star == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dedup_clusters_star_long_chain(spark):
+    """Adversarial diameter (VERDICT r2 #6): a planted 1000-doc chain.
+    Min-label propagation is O(diameter) rounds and must refuse at its
+    default budget (documented contract, not silent wrong labels);
+    the star algorithm converges in O(log) rounds and labels the
+    whole chain with its minimum."""
+    import pytest
+
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    n = 1000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels = dedup_clusters_star(pairs).collect()
+    assert len(labels) == n
+    assert all(r.cluster_id == 0 for r in labels)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs)
 
 
 def test_pii_scrub_planted(spark):
