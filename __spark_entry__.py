@@ -35,6 +35,7 @@ from stock_market_data_pipeline_v2_spark.operators.dims import (
 from stock_market_data_pipeline_v2_spark.operators.upsert import merge_upsert
 from stock_market_data_pipeline_v2_spark.operators.curation import (
     chunk_documents,
+    mix_corpus,
     ngram_containment,
     pack_sequences,
     stratified_sample,
@@ -45,6 +46,7 @@ from stock_market_data_pipeline_v2_spark.operators.text import (
     gopher_quality_filter,
     lang_id,
     pii_scrub,
+    repetition_filter,
     text_stats,
 )
 from stock_market_data_pipeline_v2_spark.operators.dedup import (
@@ -60,6 +62,7 @@ from stock_market_data_pipeline_v2_spark.operators.similarity import (
     IvfIndex,
     build_ivf_index,
     cosine_topk,
+    cosine_topk_blas,
     hyperplane_lsh_topk,
     ivf_topk,
 )
@@ -227,6 +230,19 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(_docs(spark, sf_dir))
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_filter(_docs(spark, sf_dir))
+
+
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # budgets mirror oracles.MIX_CORPUS_SQL exactly; src3's budget
+    # exceeds its corpus so the keep-whole-source path is exercised.
+    return mix_corpus(
+        _docs(spark, sf_dir),
+        budgets={"src0": 600, "src1": 300, "src2": 150, "src3": 100_000},
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_chars=512, overlap=64)
 
@@ -345,6 +361,11 @@ def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return cosine_topk(embs, _ann_queries(spark, sf_dir), k=5)
+
+
+def q_ann_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return cosine_topk_blas(embs, _ann_queries(spark, sf_dir), k=5)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "pii_scrub": q_pii_scrub,
         "gopher_filter": q_gopher_filter,
+        "repetition_filter": q_repetition_filter,
+        "mix_corpus": q_mix_corpus,
         "chunk_documents": q_chunk_documents,
         "token_frequency": q_token_frequency,
         "stratified_sample": q_stratified_sample,
@@ -517,6 +540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine_topk,
+        # exact-at-speed tier: BLAS candidate gen + exact re-rank,
+        # bit-identical to ann_cosine_topk — same oracle gates both.
+        "ann_cosine_topk_blas": q_ann_cosine_topk_blas,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
@@ -566,6 +592,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
         "pii_scrub": oracles.PII_SCRUB_SQL,
         "gopher_filter": oracles.GOPHER_FILTER_SQL,
+        "repetition_filter": oracles.REPETITION_FILTER_SQL,
+        "mix_corpus": oracles.MIX_CORPUS_SQL,
         "chunk_documents": oracles.CHUNK_DOCUMENTS_SQL,
         "token_frequency": oracles.TOKEN_FREQUENCY_SQL,
         "stratified_sample": oracles.STRATIFIED_SAMPLE_SQL,
@@ -584,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only; tests/test_llm_ops.py checks recall vs exact.
         "dedup_embedding": oracles.EMBEDDING_NEARDUP_SQL,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK_SQL,
+        "ann_cosine_topk_blas": oracles.ANN_COSINE_TOPK_SQL,
         "multimodal_meta": oracles.MULTIMODAL_META_SQL,
         # multimodal_decode: mapInPandas stub kernel — rows-only.
         "asof_tick_bar": oracles.ASOF_TICK_BAR_SQL,

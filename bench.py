@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding",
     "ann_cosine_topk",
+    "ann_cosine_topk_blas",  # added round 3: BLAS exact tier, same oracle
     "ann_lsh_topk",
     "ann_ivf_topk",  # added round 2 (headline total +1 query vs r01)
     "text_quality",

@@ -259,3 +259,55 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= F.col("quota"))
         .select("doc_id", stratum_col, "source", "sample_rank", "sample_key")
     )
+
+
+def mix_corpus(
+    documents: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    salt: str = "v1",
+) -> DataFrame:
+    """Token-budget corpus MIXING: assemble a training mix by filling
+    each source's token budget deterministically — the step that turns
+    per-source weights ("60% web, 30% code, 10% books") into an actual
+    document list. Docs are drawn per source in ``md5(salt ∥ doc_id)``
+    order (the same engine-portable hash draw as
+    :func:`stratified_sample` — reproducible across engines, re-runs
+    and partitionings, and incrementally stable) until the budget is
+    reached; the first doc to cross it is INCLUDED (the overflow-spill
+    contract of :func:`pack_sequences`: budgets are filled, never
+    silently undershot; the trainer truncates). Sources without a
+    budget are dropped.
+
+    One shuffle (the per-source window sort); token counts use
+    TOKEN_PATTERN, the same tokenizer as text_stats/token_frequency/
+    pack_sequences, so budgets here mean the same tokens the packer
+    bins. ``tokens_before`` is emitted so downstream packing can
+    resume each source's tape without recounting.
+    """
+    budget_expr = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    tok_count = F.size(
+        F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+    ).cast("long")
+    key = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy(source_col).orderBy("mix_key")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        documents.withColumn("mix_key", key)
+        .withColumn("n_tokens", tok_count)
+        .withColumn("token_budget", budget_expr[F.col(source_col)])
+        .filter(F.col("token_budget").isNotNull())
+        .withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w_cum), F.lit(0)).cast("long"),
+        )
+        .withColumn("mix_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("tokens_before") < F.col("token_budget"))
+        .select(
+            "doc_id", source_col, "n_tokens", "mix_rank", "tokens_before", "mix_key"
+        )
+    )

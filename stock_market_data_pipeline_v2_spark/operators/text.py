@@ -236,3 +236,99 @@ def gopher_quality_filter(
         pass_stop.alias("pass_stopwords"),
         (pass_words & pass_wl & pass_sym & pass_alpha & pass_stop).alias("keep"),
     )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a
+    SORTED array — i.e. the count of the most frequent element — as a
+    single Catalyst fold. Any total order groups duplicates
+    adjacently, so only run lengths matter, never the sort order
+    itself (no cross-engine collation hazard). Scan-shaped: per-doc
+    mode without exploding n-grams into a shuffle."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+
+
+def _word_grams(words: Column, n: int) -> Column:
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_filter(
+    documents: DataFrame,
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.20,
+    max_top_trigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style REPETITION rules (Rae et al. 2021, §A1.1 — the
+    "repetitious text" half; :func:`gopher_quality_filter` covers the
+    quality half): per-document duplicate-line fraction and the
+    word-mass fraction of the single most frequent word 2-/3-gram,
+    with per-rule flags and the combined keep decision.
+
+    All scan-shaped Catalyst expressions, no shuffle and no UDF: the
+    per-doc n-gram MODE is computed by sorting the in-row gram array
+    and folding for the longest equal run (:func:`_max_run`) —
+    exploding grams into a groupBy would turn a projection into a
+    corpus-wide shuffle for a per-row statistic. Thresholds default
+    to the published Gopher cuts (dup-line 0.30, top-2-gram 0.20,
+    top-3-gram 0.18). Docs too short to form an n-gram score 0
+    repetition (nothing measurable) and pass that rule.
+    """
+    t = _norm()
+    lines = F.split(t, r"\n")
+    words = F.split(t, r"\s+")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    dup_line_frac = F.lit(1.0) - null_if_zero_divide(
+        F.size(F.array_distinct(lines)).cast("double"), n_lines.cast("double")
+    )
+    mode2 = _max_run(F.array_sort(_word_grams(words, 2)))
+    mode3 = _max_run(F.array_sort(_word_grams(words, 3)))
+    top2 = F.coalesce(
+        null_if_zero_divide(
+            F.lit(2.0) * mode2.cast("double"), n_words.cast("double")
+        ),
+        F.lit(0.0),
+    )
+    top3 = F.coalesce(
+        null_if_zero_divide(
+            F.lit(3.0) * mode3.cast("double"), n_words.cast("double")
+        ),
+        F.lit(0.0),
+    )
+    pass_lines = dup_line_frac <= max_dup_line_frac
+    pass_2 = top2 <= max_top_bigram_frac
+    pass_3 = top3 <= max_top_trigram_frac
+    return documents.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        round_away(dup_line_frac, 4).alias("dup_line_frac"),
+        round_away(top2, 4).alias("top_bigram_frac"),
+        round_away(top3, 4).alias("top_trigram_frac"),
+        pass_lines.alias("pass_dup_lines"),
+        pass_2.alias("pass_top_bigram"),
+        pass_3.alias("pass_top_trigram"),
+        (pass_lines & pass_2 & pass_3).alias("keep"),
+    )

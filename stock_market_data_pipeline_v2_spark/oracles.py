@@ -1032,3 +1032,85 @@ FROM reach
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+# repetition_filter oracle: the per-doc n-gram mode via unnest +
+# group-by (DuckDB side) must equal Spark's in-row sorted-array run
+# fold — counts are integers, fractions share the identical IEEE
+# expression shape, rounded once at the end.
+REPETITION_FILTER_SQL = """
+WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+b AS (
+    SELECT doc_id,
+        string_split(t, chr(10))      AS ls,
+        string_split_regex(t, '\\s+') AS ws
+    FROM d
+),
+base AS (
+    SELECT doc_id,
+        CAST(len(ls) AS BIGINT) AS n_lines,
+        1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+                / nullif(CAST(len(ls) AS DOUBLE), 0) AS dup_line_frac,
+        CAST(len(ws) AS BIGINT) AS n_words
+    FROM b
+),
+g2 AS (
+    SELECT doc_id, g, count(*) AS cnt FROM (
+        SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM b WHERE len(ws) >= 2)
+    ) GROUP BY doc_id, g
+),
+m2 AS (SELECT doc_id, max(cnt) AS mode2 FROM g2 GROUP BY doc_id),
+g3 AS (
+    SELECT doc_id, g, count(*) AS cnt FROM (
+        SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+              FROM b WHERE len(ws) >= 3)
+    ) GROUP BY doc_id, g
+),
+m3 AS (SELECT doc_id, max(cnt) AS mode3 FROM g3 GROUP BY doc_id),
+r AS (
+    SELECT base.doc_id, n_lines, dup_line_frac,
+        coalesce(2.0 * mode2 / nullif(CAST(n_words AS DOUBLE), 0), 0.0) AS top2,
+        coalesce(3.0 * mode3 / nullif(CAST(n_words AS DOUBLE), 0), 0.0) AS top3
+    FROM base LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+)
+SELECT doc_id, n_lines,
+    round(dup_line_frac, 4) AS dup_line_frac,
+    round(top2, 4)          AS top_bigram_frac,
+    round(top3, 4)          AS top_trigram_frac,
+    (dup_line_frac <= 0.30) AS pass_dup_lines,
+    (top2 <= 0.20)          AS pass_top_bigram,
+    (top3 <= 0.18)          AS pass_top_trigram,
+    (dup_line_frac <= 0.30 AND top2 <= 0.20 AND top3 <= 0.18) AS keep
+FROM r
+"""
+
+# mix_corpus oracle: per-source hash-ordered greedy budget fill; the
+# budgets VALUES list mirrors __spark_entry__.q_mix_corpus exactly.
+MIX_CORPUS_SQL = """
+WITH q AS (SELECT * FROM (VALUES
+    ('src0', 600), ('src1', 300), ('src2', 150), ('src3', 100000)
+) AS q(source, token_budget)),
+d AS (
+    SELECT doc_id, source,
+        CAST(len(regexp_extract_all(lower(trim(text)),
+             '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+        md5('v1:' || CAST(doc_id AS VARCHAR))        AS mix_key
+    FROM documents
+),
+s AS (SELECT d.*, q.token_budget FROM d JOIN q USING (source)),
+r AS (
+    SELECT doc_id, source, n_tokens, mix_key,
+        CAST(coalesce(sum(n_tokens) OVER (
+            PARTITION BY source ORDER BY mix_key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                                                                 AS tokens_before,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY mix_key) AS BIGINT)
+                                                                 AS mix_rank,
+        token_budget
+    FROM s
+)
+SELECT doc_id, source, n_tokens, mix_rank, tokens_before, mix_key
+FROM r WHERE tokens_before < token_budget
+"""

@@ -173,6 +173,29 @@ def test_ann_tiers_subset_of_brute_pool(spark):
             )
 
 
+def test_cosine_topk_blas_bit_identical(spark):
+    """The BLAS exact tier must reproduce cosine_topk EXACTLY — every
+    (query, neighbor, rank, cosine) tuple, not just the pair set
+    (BLAS prunes candidates; the exact fold decides the ranks). Small
+    block_rows forces a real multi-block grid."""
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blas,
+    )
+
+    embs = _embs(spark)
+    queries = embs.filter(F.col("vec_id") % 25 == 0)
+    ref = {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in cosine_topk_blas(embs, queries, k=5, block_rows=64).collect()
+    }
+    assert got == ref
+
+
 def test_ivf_index_build_query_split(spark):
     """The prebuilt-index query paths return results identical to the
     self-building paths — the split moves work, never answers — and
@@ -470,6 +493,75 @@ def test_dedup_clusters_transitive(spark):
     )
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_repetition_filter_planted(spark):
+    """Planted repetition must trip exactly the right rule: a doc
+    that is one bigram over and over fails top-bigram; duplicated
+    lines fail dup-line; clean prose passes everything."""
+    from stock_market_data_pipeline_v2_spark.operators.text import (
+        repetition_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="buy now " * 20),  # one bigram, 40 words
+            Row(doc_id=2, text="line one\nline one\nline one\nline two"),
+            # ≥ 17 words: with all-unique n-grams, top3 = 3/n_words
+            # must fall under the 0.18 cut (the rules assume
+            # Gopher-scale docs, ≥ 50 words in production)
+            Row(
+                doc_id=3,
+                text="the quick brown fox jumps over a lazy dog near the wide "
+                "river bank today while birds sing softly above",
+            ),
+        ]
+    )
+    out = {r.doc_id: r for r in repetition_filter(docs).collect()}
+    # doc 1: "buy now" appears 20× in 40 words → top2 = 1.0
+    assert out[1].top_bigram_frac == 1.0
+    assert not out[1].pass_top_bigram and not out[1].keep
+    # doc 2: 4 lines, 2 distinct → dup_line_frac = 0.5 > 0.30
+    assert out[2].n_lines == 4
+    assert out[2].dup_line_frac == 0.5
+    assert not out[2].pass_dup_lines and not out[2].keep
+    # doc 3: no repetition ("the" twice is fine at n-gram level)
+    assert out[3].keep
+    assert out[3].dup_line_frac == 0.0
+
+
+def test_mix_corpus_budget_contract(spark):
+    """Budget fill: per-source hash order, the first doc crossing the
+    budget is included (never undershoot), later docs dropped; a
+    budget larger than the source keeps the whole source; sources
+    without a budget vanish."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        mix_corpus,
+    )
+
+    docs = _docs(spark)
+    budgets = {"src0": 100, "src1": 10_000_000}
+    rows = mix_corpus(docs, budgets=budgets).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == {"src0", "src1"}
+    # src1: whole source kept (budget >> corpus)
+    n_src1 = docs.filter(F.col("source") == "src1").count()
+    assert len(by_src["src1"]) == n_src1
+    for rs in by_src.values():
+        rs.sort(key=lambda r: r.mix_rank)
+        # hash order, contiguous ranks, tokens_before is the running sum
+        assert [r.mix_rank for r in rs] == list(range(1, len(rs) + 1))
+        cum = 0
+        for r in rs:
+            assert r.tokens_before == cum
+            cum += r.n_tokens
+    kept = by_src["src0"]
+    # every kept doc starts under budget; the last one may overflow it,
+    # and the hypothetical next doc would start at/over budget
+    assert all(r.tokens_before < 100 for r in kept)
+    assert kept[-1].tokens_before + kept[-1].n_tokens >= 100
 
 
 def test_dedup_clusters_star_matches_propagation(spark):

@@ -119,3 +119,31 @@ def test_salted_aggregate_equivalence(spark):
         ).collect()
     }
     assert salted == direct
+
+
+def test_repetition_filter_scan_shaped(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["repetition_filter"](spark, SF))
+    # per-doc n-gram mode via in-row sort+fold: a per-row statistic
+    # must not explode n-grams into a corpus-wide shuffle
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode either
+
+
+def test_mix_corpus_single_window_shuffle(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["mix_corpus"](spark, SF))
+    # one per-source window sort; the budget filter is plan-side
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ann_blas_no_cartesian_on_corpus(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["ann_cosine_topk_blas"](spark, SF))
+    # candidate generation is the grouped kernel; the exact re-rank
+    # joins only narrow candidates — queries reach it as a broadcast
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
