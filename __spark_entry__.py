@@ -81,6 +81,10 @@ from stock_market_data_pipeline_v2_spark.operators.realtime import (
     window_aggregate_15m,
     windowed_analytics,
 )
+from stock_market_data_pipeline_v2_spark.operators.retrieval import (
+    bm25_topk,
+    rrf_fuse,
+)
 from stock_market_data_pipeline_v2_spark.operators.joins import as_of_join
 from stock_market_data_pipeline_v2_spark.operators.stats import (
     return_correlations,
@@ -379,6 +383,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# query-term set mirrored in oracles.BM25_TOPK_SQL / HYBRID_RRF_SQL
+_BM25_TERMS = ["data", "query", "spark", "table", "window"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=50)
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    embs = _embs(spark, sf_dir)
+    lexical = bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=50)
+    semantic = cosine_topk(
+        embs, embs.filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(lexical, semantic)
+
+
 def q_asof_tick_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -545,6 +568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_blas": q_ann_cosine_topk_blas,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # lexical retrieval + hybrid fusion — the sparse counterpart
+        # to the ANN tiers; both fully oracle-gated.
+        "bm25_topk": q_bm25_topk,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -613,6 +640,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles.EMBEDDING_NEARDUP_SQL,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK_SQL,
         "ann_cosine_topk_blas": oracles.ANN_COSINE_TOPK_SQL,
+        "bm25_topk": oracles.BM25_TOPK_SQL,
+        "hybrid_search_rrf": oracles.HYBRID_RRF_SQL,
         "multimodal_meta": oracles.MULTIMODAL_META_SQL,
         # multimodal_decode: mapInPandas stub kernel — rows-only.
         "asof_tick_bar": oracles.ASOF_TICK_BAR_SQL,

@@ -1114,3 +1114,101 @@ r AS (
 SELECT doc_id, source, n_tokens, mix_rank, tokens_before, mix_key
 FROM r WHERE tokens_before < token_budget
 """
+
+# bm25_topk oracle. Exactness notes: the per-doc term sum is an
+# ORDERED left fold (list_reduce over a token-sorted list; Spark's
+# F.aggregate starts at 0.0 — IEEE-identical since 0.0 + x == x);
+# constants appear as the same arithmetic (1.2 + 1.0), never as the
+# literal 2.2, which is a DIFFERENT double; ranking runs on the
+# unrounded score with a doc_id tiebreak.
+BM25_TOPK_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)),
+        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+    FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE token IN ('data', 'query', 'spark', 'table', 'window')
+    GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+c AS (
+    SELECT tf.doc_id, tf.token,
+        ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+          * (tf * (1.2 + 1.0))
+          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+s AS (
+    SELECT doc_id,
+        list_reduce(list(contrib ORDER BY token), (x, y) -> x + y) AS score
+    FROM c GROUP BY doc_id
+),
+r AS (
+    SELECT doc_id, score,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM s
+)
+SELECT doc_id, round(score, 6) AS bm25, rank
+FROM r WHERE rank <= 50
+"""
+
+# hybrid_search_rrf oracle: the bm25 lexical list fused with the
+# exact semantic neighbor list of query vector 0 via reciprocal-rank
+# fusion — rational arithmetic on small ints, bit-exact.
+HYBRID_RRF_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)),
+        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+    FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE token IN ('data', 'query', 'spark', 'table', 'window')
+    GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+c AS (
+    SELECT tf.doc_id, tf.token,
+        ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+          * (tf * (1.2 + 1.0))
+          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+s AS (
+    SELECT doc_id,
+        list_reduce(list(contrib ORDER BY token), (x, y) -> x + y) AS score
+    FROM c GROUP BY doc_id
+),
+lex AS (
+    SELECT doc_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM s QUALIFY rank <= 50
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+simq AS (
+    SELECT e.vec_id AS doc_id, list_cosine_similarity(q.v, e.v) AS cs
+    FROM e CROSS JOIN q WHERE e.vec_id != 0
+),
+sem AS (
+    SELECT doc_id,
+        CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS BIGINT) AS rank
+    FROM simq QUALIFY rank <= 50
+),
+f AS (
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        a.rank AS rank_a, b.rank AS rank_b,
+        coalesce(1.0 / (60 + a.rank), 0.0)
+          + coalesce(1.0 / (60 + b.rank), 0.0) AS rrf_raw
+    FROM lex a FULL OUTER JOIN sem b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, rank_a, rank_b, round(rrf_raw, 6) AS rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_raw DESC, doc_id) AS BIGINT) AS fused_rank
+FROM f
+"""

@@ -564,6 +564,54 @@ def test_mix_corpus_budget_contract(spark):
     assert kept[-1].tokens_before + kept[-1].n_tokens >= 100
 
 
+def test_bm25_relevance_ordering(spark):
+    """BM25 semantics on planted docs: more distinct query terms →
+    higher score; rarer terms out-weigh common ones; repeated terms
+    saturate (tf term is concave); non-matching docs absent."""
+    import math
+
+    from stock_market_data_pipeline_v2_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    filler = "lorem ipsum dolor sit amet "
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=filler * 4 + "alpha beta"),      # both terms
+            Row(doc_id=2, text=filler * 4 + "alpha"),           # one term
+            Row(doc_id=3, text=filler * 4 + "alpha alpha alpha"),  # tf saturation
+            Row(doc_id=4, text=filler * 4),                     # no terms
+        ]
+    )
+    rows = {r.doc_id: r for r in bm25_topk(docs, ["alpha", "beta"], k=10).collect()}
+    assert 4 not in rows
+    assert rows[1].rank == 1  # two distinct terms beat any single-term tf
+    assert rows[3].bm25 > rows[2].bm25  # higher tf still helps...
+    assert rows[3].bm25 < 3 * rows[2].bm25  # ...but sub-linearly
+    # idf sanity: beta (df=1) is worth more than alpha (df=3)
+    idf = lambda df_, n=3: math.log((n - df_ + 0.5) / (df_ + 0.5) + 1)  # noqa: E731
+    assert idf(1) > idf(3)
+
+
+def test_rrf_fuse_contract(spark):
+    """RRF: ids in both lists sum both reciprocal terms; one-list ids
+    get one term; ordering is by fused score with id tiebreak."""
+    from stock_market_data_pipeline_v2_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([Row(doc_id=10, rank=1), Row(doc_id=11, rank=2)])
+    b = spark.createDataFrame([Row(doc_id=11, rank=1), Row(doc_id=12, rank=2)])
+    out = {r.doc_id: r for r in rrf_fuse(a, b).collect()}
+    assert out[11].rrf_score == round(1 / 62 + 1 / 61, 6)
+    assert out[10].rrf_score == round(1 / 61, 6)
+    assert out[12].rrf_score == round(1 / 62, 6)
+    assert out[11].fused_rank == 1
+    # 1/61 > 1/62 → doc 10 (rank-1 in a) beats doc 12 (rank-2 in b)
+    assert out[10].fused_rank == 2 and out[12].fused_rank == 3
+    assert out[10].rank_b is None and out[12].rank_a is None
+
+
 def test_dedup_clusters_star_matches_propagation(spark):
     """Same labels from both CC algorithms on branchy input (chain +
     pair + a triangle-with-tail) — the star twin must be a drop-in."""
