@@ -85,6 +85,10 @@ from stock_market_data_pipeline_v2_spark.operators.retrieval import (
     bm25_topk,
     rrf_fuse,
 )
+from stock_market_data_pipeline_v2_spark.operators.winnow import (
+    passage_overlap_pairs,
+    winnow_fingerprints,
+)
 from stock_market_data_pipeline_v2_spark.operators.joins import as_of_join
 from stock_market_data_pipeline_v2_spark.operators.stats import (
     return_correlations,
@@ -277,6 +281,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
+
+
+def q_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return passage_overlap_pairs(
+        _docs(spark, sf_dir), k=4, w=5, threshold=0.3, max_fp_freq=1000
+    )
 
 
 # Web-scale guard on every shingle-join entry: a shingle shared by
@@ -554,6 +568,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
+        # MOSS winnowing: local fingerprints with a deterministic
+        # detection guarantee (every shared run ≥ w+k−1 tokens) at
+        # ~2/(w+1) of the shingle-index cost; both oracle-gated.
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "passage_overlap": q_passage_overlap,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         # alternating large/small-star CC — diameter-independent round
@@ -627,6 +646,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment": oracles.NGRAM_CONTAINMENT_SQL,
         "pack_sequences": oracles.PACK_SEQUENCES_SQL,
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
+        "winnow_fingerprints": oracles.WINNOW_FINGERPRINTS_SQL,
+        "passage_overlap": oracles.PASSAGE_OVERLAP_SQL,
         "dedup_ngram_jaccard": oracles.NGRAM_JACCARD_SQL,
         "dedup_clusters": oracles.DEDUP_CLUSTERS_SQL,
         "dedup_clusters_star": oracles.DEDUP_CLUSTERS_SQL,

