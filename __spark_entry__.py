@@ -85,6 +85,11 @@ from stock_market_data_pipeline_v2_spark.operators.retrieval import (
     bm25_topk,
     rrf_fuse,
 )
+from stock_market_data_pipeline_v2_spark.operators.pq import (
+    PqIndex,
+    build_pq_index,
+    pq_adc_topk,
+)
 from stock_market_data_pipeline_v2_spark.operators.winnow import (
     passage_overlap_pairs,
     winnow_fingerprints,
@@ -359,6 +364,28 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> IvfIndex:
     return idx
 
 
+# PQ index: same build-once/query-many contract as the IVF index.
+_PQ_INDEX_CACHE: dict[tuple[str, str], PqIndex] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str) -> PqIndex:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _PQ_INDEX_CACHE.get(key)
+    if idx is None:
+        idx = build_pq_index(_embs(spark, sf_dir), persist=True)
+        _PQ_INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(
+        _embs(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=5,
+        index=_pq_index(spark, sf_dir),
+    )
+
+
 def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_ivf(
         _embs(spark, sf_dir), threshold=0.4, index=_ivf_index(spark, sf_dir)
@@ -587,6 +614,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_blas": q_ann_cosine_topk_blas,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # PQ/ADC compressed-scan tier (32× memory compression, exact
+        # re-rank) — k-means codebooks aren't SQL-expressible →
+        # rows-only; recall + brute-pool subset gates in pytest.
+        "ann_pq_topk": q_ann_pq_topk,
         # lexical retrieval + hybrid fusion — the sparse counterpart
         # to the ANN tiers; both fully oracle-gated.
         "bm25_topk": q_bm25_topk,

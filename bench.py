@@ -53,6 +53,7 @@ HEADLINE = [
     "ann_cosine_topk_blas",  # added round 3: BLAS exact tier, same oracle
     "ann_lsh_topk",
     "ann_ivf_topk",  # added round 2 (headline total +1 query vs r01)
+    "ann_pq_topk",   # added round 3: PQ/ADC compressed-scan tier
     "bm25_topk",          # added round 3: lexical retrieval family
     "passage_overlap",    # added round 3: winnowing fingerprint join
     "text_quality",

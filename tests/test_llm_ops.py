@@ -826,3 +826,52 @@ def test_winnow_guarantee_and_density(spark):
     pairs = passage_overlap_pairs(docs, k=k, w=w, threshold=0.1)
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert (1, 2) in got and not any(3 in p for p in got)
+
+
+def test_pq_adc_recall_subset_and_determinism(spark):
+    """PQ/ADC tier gates: (a) recall ≥ 0.6 vs brute top-k at the
+    defaults; (b) precision — every emitted (query, neighbor, cosine)
+    appears in the deep brute pool with the identical rounded cosine
+    (exact re-rank contract); (c) a rebuilt index encodes the corpus
+    IDENTICALLY (sorted-sample seeded training — the determinism the
+    rows-only gate leans on); (d) a multi-block grid passes the same
+    gates (per-block cuts keep a SUPERSET of the single-block
+    candidates, so ranks may shift toward brute — never away)."""
+    from stock_market_data_pipeline_v2_spark.operators.pq import (
+        build_pq_index,
+        pq_adc_topk,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.similarity import cosine_topk
+
+    embs = _embs(spark)
+    queries = embs.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    pool = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(embs, queries, k=50).collect()
+    }
+    idx = build_pq_index(embs, persist=True)
+    rows = pq_adc_topk(embs, queries, k=5, index=idx).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall too low: {recall}"
+    for r in rows:
+        key = (r.query_id, r.neighbor_id)
+        assert key in pool, f"PQ emission {key} outside brute top-50"
+        assert pool[key] == r.cosine
+    # (c) rebuild determinism: identical codes frame
+    idx2 = build_pq_index(embs, persist=True)
+    c1 = {(r.id, tuple(r.codes)) for r in idx.codes.collect()}
+    c2 = {(r.id, tuple(r.codes)) for r in idx2.codes.collect()}
+    assert c1 == c2
+    # (d) multi-block grid: same gates; recall can only improve
+    multi_rows = pq_adc_topk(embs, queries, k=5, index=idx, block_rows=64).collect()
+    multi = {(r.query_id, r.neighbor_id) for r in multi_rows}
+    assert len(exact & multi) / len(exact) >= recall
+    for r in multi_rows:
+        key = (r.query_id, r.neighbor_id)
+        assert key in pool and pool[key] == r.cosine
+    idx.release()
+    idx2.release()
