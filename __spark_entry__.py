@@ -38,6 +38,7 @@ from stock_market_data_pipeline_v2_spark.operators.curation import (
     mix_corpus,
     ngram_containment,
     pack_sequences,
+    prototypicality_prune,
     stratified_sample,
     token_frequency,
 )
@@ -377,6 +378,10 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> PqIndex:
     return idx
 
 
+def q_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prototypicality_prune(_ivf_index(spark, sf_dir), keep_fraction=0.7)
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         _embs(spark, sf_dir),
@@ -641,6 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # design — KMeans cells aren't SQL-expressible → rows-only;
         # subset + recall gates in tests/test_llm_ops.py).
         "dedup_embedding_ivf": q_dedup_embedding_ivf,
+        # D4-style prototypicality pruning off the SAME IVF index
+        # (k-means cells → rows-only; score/quota gates in pytest).
+        "prototypicality_prune": q_prototypicality_prune,
     }
 
 

@@ -66,6 +66,7 @@ HEADLINE = [
     "stratified_sample", # added round 2
     "ngram_containment", # added round 2
     "pack_sequences",    # added round 2
+    "prototypicality_prune",  # added round 3: D4-style pruning off the IVF index
     "multimodal_decode",
 ]
 

@@ -311,3 +311,77 @@ def mix_corpus(
             "doc_id", source_col, "n_tokens", "mix_rank", "tokens_before", "mix_key"
         )
     )
+
+
+def prototypicality_prune(
+    index,
+    keep_fraction: float = 0.7,
+    mode: str = "prune_prototypes",
+) -> DataFrame:
+    """Embedding-space data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"; the prototypicality half of D4, Tirumala et
+    al. 2023 — SemDeDup lives in operators/dedup.py): score every
+    vector by cosine to its k-means cell centroid and keep a per-cell
+    quota, dropping the MOST prototypical examples
+    (``prune_prototypes`` — with abundant data, easy/redundant
+    cluster cores teach least) or the LEAST prototypical
+    (``prune_outliers`` — for noisy web corpora where the cluster
+    fringe is junk).
+
+    Takes a prebuilt :class:`~.similarity.IvfIndex` — the SAME index
+    the ANN and SemDeDup tiers query (build once, derive every
+    embedding-space curation decision from it). Output: (id, cell,
+    prototypicality, cell_rank, keep) for every corpus vector —
+    keep is a flag, not a filter, so a pipeline can tally what a
+    cut would drop before committing to it.
+
+    Plan shape: centroids broadcast (model state), prototypicality is
+    one map-side cosine per vector, and the only shuffle is the
+    per-cell rank window; quota = ceil(keep_fraction · |cell|)
+    computed inside the same window pass (count over the cell
+    partition). Deterministic: rank ties break toward the smaller id.
+    Scales as one narrow-row window over n vectors regardless of
+    corpus width — the vectors themselves stay in the scan stage.
+    """
+    if mode not in ("prune_prototypes", "prune_outliers"):
+        raise ValueError(f"unknown mode: {mode}")
+    from ..functions.core import round_away
+    from ..functions.vectors import cosine_from_parts, dot_unrolled, l2_norm_unrolled
+
+    dim = index.dim
+    assigned = index.assignments.select(
+        "id", "v", "nrm", F.element_at("cells", 1).alias("cell")
+    )
+    cent = index.centroids.select(
+        "cell", F.col("cv").alias("ctr")
+    ).withColumn("ctr_nrm", l2_norm_unrolled("ctr", dim))
+    proto = cosine_from_parts(
+        dot_unrolled("v", "ctr", dim), F.col("nrm"), F.col("ctr_nrm")
+    )
+    # prune_prototypes keeps the LOW-prototypicality tail → rank asc;
+    # prune_outliers keeps the HIGH tail → rank desc.
+    order = (
+        [F.asc("proto_raw"), F.asc("id")]
+        if mode == "prune_prototypes"
+        else [F.desc("proto_raw"), F.asc("id")]
+    )
+    w = Window.partitionBy("cell").orderBy(*order)
+    wc = Window.partitionBy("cell")
+    return (
+        assigned.join(F.broadcast(cent), "cell")
+        .withColumn("proto_raw", proto)
+        .withColumn("cell_rank", F.row_number().over(w).cast("long"))
+        .withColumn("cell_n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "keep",
+            F.col("cell_rank")
+            <= F.ceil(F.col("cell_n") * F.lit(float(keep_fraction))).cast("long"),
+        )
+        .select(
+            "id",
+            "cell",
+            round_away(F.col("proto_raw"), 6).alias("prototypicality"),
+            "cell_rank",
+            "keep",
+        )
+    )

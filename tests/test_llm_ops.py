@@ -875,3 +875,61 @@ def test_pq_adc_recall_subset_and_determinism(spark):
         assert key in pool and pool[key] == r.cosine
     idx.release()
     idx2.release()
+
+
+def test_prototypicality_prune_contract(spark):
+    """Pruning gates: scores equal a numpy recompute of
+    cosine(vector, home-cell centroid); per-cell quota respected in
+    both modes with opposite tails kept; every corpus vector appears
+    exactly once; deterministic across invocations."""
+    import numpy as np
+
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        prototypicality_prune,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    embs = _embs(spark)
+    n = embs.count()
+    idx = build_ivf_index(embs, n_assign=2, persist=True)
+    rows = prototypicality_prune(idx, keep_fraction=0.7).collect()
+    assert len(rows) == n and len({r.id for r in rows}) == n
+
+    cent = {r.cell: np.asarray(r.cv) for r in idx.centroids.collect()}
+    vecs = {r.id: (np.asarray(r.v), r.cells[0]) for r in idx.assignments.collect()}
+    for r in rows[:200]:
+        v, home = vecs[r.id]
+        assert r.cell == home
+        c = cent[r.cell]
+        denom = np.linalg.norm(v) * np.linalg.norm(c)
+        want = float(v @ c / denom) if denom else None
+        assert want is not None and abs(r.prototypicality - want) < 1e-6
+
+    import math
+    from collections import Counter
+
+    cell_n = Counter(r.cell for r in rows)
+    kept = Counter(r.cell for r in rows if r.keep)
+    assert all(kept[c] == math.ceil(0.7 * cell_n[c]) for c in cell_n)
+    # prune_prototypes keeps the LOW-score tail; prune_outliers the HIGH
+    by_cell_scores = {}
+    for r in rows:
+        by_cell_scores.setdefault(r.cell, []).append((r.prototypicality, r.keep))
+    out_rows = prototypicality_prune(idx, keep_fraction=0.7, mode="prune_outliers").collect()
+    hi = {}
+    for r in out_rows:
+        hi.setdefault(r.cell, []).append((r.prototypicality, r.keep))
+    for c, scored in by_cell_scores.items():
+        lo_kept = max(s for s, k in scored if k)
+        lo_drop = min((s for s, k in scored if not k), default=None)
+        if lo_drop is not None:
+            assert lo_kept <= lo_drop + 1e-12  # kept tail is the low one
+        hi_kept = min(s for s, k in hi[c] if k)
+        hi_drop = max((s for s, k in hi[c] if not k), default=None)
+        if hi_drop is not None:
+            assert hi_kept >= hi_drop - 1e-12
+    again = prototypicality_prune(idx, keep_fraction=0.7).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+    idx.release()
