@@ -24,6 +24,8 @@ from stock_market_data_pipeline_v2_spark.operators.performance import stock_perf
 from stock_market_data_pipeline_v2_spark.operators.summary import daily_summary
 from stock_market_data_pipeline_v2_spark.operators.dims import (
     event_type_pivot,
+    promo_revenue_monthly,
+    small_qty_part_revenue,
     load_ticker_dim,
     sector_activity_sketch,
     order_priority_rollup,
@@ -146,6 +148,20 @@ def q_regional_customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return promo_revenue_monthly(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return small_qty_part_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
 
 
@@ -584,6 +600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "regional_supplier_revenue": q_regional_supplier_revenue,
         "order_priority_rollup": q_order_priority_rollup,
+        # Q14/Q17 shapes: conditional agg over a broadcast dim join;
+        # correlated aggregate re-planned as a broadcast agg join.
+        "promo_revenue_monthly": q_promo_revenue_monthly,
+        "small_qty_part_revenue": q_small_qty_part_revenue,
         "event_type_pivot": q_event_type_pivot,
         # sketch tier: approximate by contract → rows-only gate
         "sector_activity_sketch": q_sector_activity_sketch,
@@ -671,6 +691,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": oracles.MERGE_UPSERT_SQL,
         "regional_supplier_revenue": oracles.REGIONAL_SUPPLIER_REVENUE_SQL,
         "order_priority_rollup": oracles.ORDER_PRIORITY_ROLLUP_SQL,
+        "promo_revenue_monthly": oracles.PROMO_REVENUE_MONTHLY_SQL,
+        "small_qty_part_revenue": oracles.SMALL_QTY_PART_REVENUE_SQL,
         "event_type_pivot": oracles.EVENT_TYPE_PIVOT_SQL,
         "text_quality": oracles.TEXT_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,

@@ -30,6 +30,8 @@ HEADLINE = [
     "asof_tick_bar",
     "session_windows",
     "regional_supplier_revenue",
+    "promo_revenue_monthly",    # added round 3: Q14 shape
+    "small_qty_part_revenue",   # added round 3: Q17 shape
     "order_priority_rollup",
     "event_type_pivot",
     "top_volume_days",

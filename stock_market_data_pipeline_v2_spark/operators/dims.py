@@ -227,3 +227,66 @@ def top_revenue_orders(
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(limit)
     )
+
+
+def promo_revenue_monthly(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14-shaped: monthly promo-revenue share via CONDITIONAL
+    aggregation over a fact⋈dim join — the part dimension broadcasts
+    (model-sized), so the fact side never shuffles for the join and
+    the only exchange is the per-month hash aggregate (72 groups).
+
+    promo_share = 100 · Σ(rev | p_type = ECONOMY) / Σ(rev), rev =
+    l_extendedprice·(1−l_discount). Money sums round at 2 dp, the
+    share at 4 dp — both absorb partition-order ulp noise (PERF.md)."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            round_away(F.sum(promo), 2).alias("promo_revenue"),
+            round_away(F.sum(rev), 2).alias("total_revenue"),
+            round_away(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_share"
+            ),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def small_qty_part_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17-shaped: revenue locked in small-quantity orders —
+    the correlated-aggregate pattern (``l_quantity < 0.2 ·
+    avg(l_quantity) per part``) re-planned Spark-first: the per-part
+    averages are a 2 000-row aggregate BROADCAST back onto the fact
+    scan (no correlated re-scan per row, no fact-side shuffle for the
+    threshold join); only the final per-brand aggregate exchanges.
+
+    Exactness: l_quantity is integral-valued, so the per-part sum is
+    exact in ANY accumulation order and the 0.2·avg threshold is the
+    identical double in both engines — the strict ``<`` filter cannot
+    flip a border row (asserted against DuckDB by the oracle gate).
+    avg_yearly follows Q17's Σ(l_extendedprice)/7."""
+    qstats = lineitem.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    small = lineitem.join(F.broadcast(qstats), "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return (
+        small.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            small.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            round_away(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly_revenue"
+            ),
+        )
+        .orderBy("p_brand")
+    )

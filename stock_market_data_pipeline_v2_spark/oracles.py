@@ -623,6 +623,38 @@ SELECT doc_id, lang, source, sample_rank, sample_key
 FROM r WHERE sample_rank <= quota
 """
 
+PROMO_REVENUE_MONTHLY_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(sum(CASE WHEN p_type = 'ECONOMY'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+           AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+SMALL_QTY_PART_REVENUE_SQL = """
+WITH q AS (
+    SELECT l_partkey,
+           CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+),
+s AS (
+    SELECT l.l_partkey, l.l_extendedprice
+    FROM lineitem l JOIN q USING (l_partkey)
+    WHERE l.l_quantity < 0.2 * q.avg_qty
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT)                 AS n_small,
+       round(sum(l_extendedprice) / 7.0, 2)     AS avg_yearly_revenue
+FROM s JOIN part ON s.l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
 # operators/winnow.py oracles ----------------------------------------------
 # Winnowing (Schleimer et al. 2003): k=4 word grams, window w=5.
 # Both engines order struct<h,pos> lexicographically (hash first,
