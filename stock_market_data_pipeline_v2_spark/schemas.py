@@ -106,3 +106,15 @@ TESTDATA_TABLES = (
     "documents",
     "embeddings",
 )
+
+
+# Alert feed for the stream-stream join (streaming/jobs.py:
+# stream_stream_enrich): a second event-time stream keyed by symbol.
+RAW_ALERTS = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("alert_ts", StringType()),
+        StructField("level", StringType()),
+        StructField("alert_id", LongType()),
+    ]
+)

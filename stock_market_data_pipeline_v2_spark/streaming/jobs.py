@@ -239,3 +239,95 @@ def start_signals_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_alert_stream(
+    spark: SparkSession, source_dir: str, fmt: str = "json"
+) -> DataFrame:
+    """Second event-time stream for the stream-stream join: alerts
+    keyed by symbol (same file-drop-as-Kafka contract as
+    :func:`read_tick_stream`)."""
+    from ..schemas import RAW_ALERTS
+    from ..session import configure_runtime
+
+    configure_runtime(spark)
+    raw = spark.readStream.format(fmt).schema(RAW_ALERTS).load(source_dir)
+    return raw.withColumn("alert_time", F.try_to_timestamp("alert_ts")).drop(
+        "alert_ts"
+    )
+
+
+def stream_stream_enrich(
+    ticks: DataFrame,
+    alerts: DataFrame,
+    tolerance: str = "10 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """STREAM-STREAM inner join: each tick picks up every alert for
+    its symbol raised within ``tolerance`` BEFORE the tick
+    (alert_time ≤ event_time < alert_time + tolerance) — the
+    "trade against active alert" enrichment. Beyond the reference
+    (its streaming is cron re-reads; no join at all) and beyond the
+    round-2 streaming layer (aggregations + keyed state only).
+
+    Both sides carry watermarks and the join predicate bounds
+    event-time distance, so Spark derives a state-eviction horizon
+    for BOTH buffers (watermark + tolerance) — state is
+    O(events within the horizon), not O(stream). Without the time
+    bound the buffers grow forever; with only one watermark the
+    unbounded side still buffers everything (the two conditions are
+    the documented requirements for watermarked stream-stream joins).
+    Append mode: a (tick, alert) pair is emitted exactly once, when
+    both sides have arrived and the pair can no longer be
+    invalidated. The equi-key (symbol) keeps the join a hash join on
+    the shuffle key; the range predicate is a post-filter within the
+    symbol bucket, exactly like the batch equi-bucket interval join
+    (operators/joins.py) — at scale the state store shards by
+    symbol, so a hot symbol is a keyed-skew problem, same as batch.
+    """
+    t = ticks.withWatermark("event_time", watermark).alias("t")
+    a = alerts.withWatermark("alert_time", watermark).alias("a")
+    cond = (
+        (F.col("t.symbol") == F.col("a.symbol"))
+        & (F.col("a.alert_time") <= F.col("t.event_time"))
+        & (
+            F.col("t.event_time")
+            < F.col("a.alert_time") + F.expr(f"INTERVAL {tolerance}")
+        )
+    )
+    return t.join(a, cond, "inner").select(
+        F.col("t.symbol").alias("symbol"),
+        F.col("t.event_time").alias("event_time"),
+        F.col("t.price").alias("price"),
+        F.col("a.alert_id").alias("alert_id"),
+        F.col("a.level").alias("level"),
+        F.col("a.alert_time").alias("alert_time"),
+    )
+
+
+def start_enriched_stream(
+    spark: SparkSession,
+    tick_dir: str,
+    alert_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    tolerance: str = "10 minutes",
+    watermark: str = "15 minutes",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """ticks ⋈ alerts → parquet, checkpointed (restart-safe append)."""
+    joined = stream_stream_enrich(
+        read_tick_stream(spark, tick_dir),
+        read_alert_stream(spark, alert_dir),
+        tolerance=tolerance,
+        watermark=watermark,
+    )
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

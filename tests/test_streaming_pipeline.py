@@ -356,3 +356,77 @@ def test_stateful_tick_features_ema_and_eviction(spark, tmp_path):
     pre = [r for r in rows if r.symbol == "AAAA" and r.tick_cnt == 2]
     assert len(pre) == 1
     assert abs(pre[0].ema_price - (alpha * 104.0 + (1 - alpha) * 100.0)) < 1e-12
+
+
+def _alert(sym: str, ts: str, level: str, alert_id: int) -> dict:
+    return {"symbol": sym, "alert_ts": ts, "level": level, "alert_id": alert_id}
+
+
+def test_stream_stream_join_matches_batch_and_appends_once(spark, tmp_path):
+    """Watermarked stream-stream inner join: (a) the drained result
+    equals the batch join of the same files under the same predicate;
+    (b) a second trigger emits only the NEW pairs (checkpointed
+    append — no duplicates of finalized pairs); (c) cross-symbol and
+    out-of-tolerance pairs never appear."""
+    from stock_market_data_pipeline_v2_spark.streaming.jobs import (
+        start_enriched_stream,
+    )
+
+    ticks = str(tmp_path / "ticks")
+    alerts = str(tmp_path / "alerts")
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_ticks(
+        ticks,
+        [
+            _tick("AAPL", "2024-01-01 09:05:00", 100.0),
+            _tick("AAPL", "2024-01-01 09:08:00", 101.0),
+            _tick("AAPL", "2024-01-01 09:30:00", 102.0),  # outside tolerance of a1
+            _tick("MSFT", "2024-01-01 09:05:00", 200.0),  # wrong symbol for a1
+        ],
+        "b1",
+    )
+    _write_alerts = lambda rows, name: _write_ticks(alerts, rows, name)  # noqa: E731
+    _write_alerts([_alert("AAPL", "2024-01-01 09:00:00", "warn", 1)], "a1")
+
+    q = start_enriched_stream(spark, ticks, alerts, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = {(r.symbol, r.event_time.strftime("%H:%M"), r.alert_id) for r in spark.read.parquet(out).collect()}
+    assert got == {("AAPL", "09:05", 1), ("AAPL", "09:08", 1)}
+
+    # batch equivalence on the same files
+    from stock_market_data_pipeline_v2_spark.schemas import RAW_ALERTS, RAW_TICKS
+
+    bt = (
+        spark.read.schema(RAW_TICKS).json(ticks)
+        .withColumn("event_time", F.try_to_timestamp("timestamp"))
+    )
+    ba = (
+        spark.read.schema(RAW_ALERTS).json(alerts)
+        .withColumn("alert_time", F.try_to_timestamp("alert_ts"))
+    )
+    batch = bt.alias("t").join(
+        ba.alias("a"),
+        (F.col("t.symbol") == F.col("a.symbol"))
+        & (F.col("a.alert_time") <= F.col("t.event_time"))
+        & (F.col("t.event_time") < F.col("a.alert_time") + F.expr("INTERVAL 10 minutes")),
+    )
+    bset = {
+        (r["symbol"], r["event_time"].strftime("%H:%M"), r["alert_id"])
+        for r in batch.select("t.symbol", "t.event_time", "a.alert_id").collect()
+    }
+    assert got == bset
+
+    # second trigger: new alert pairs with an EXISTING buffered tick;
+    # previously emitted pairs must not re-emit
+    _write_alerts([_alert("AAPL", "2024-01-01 09:25:00", "crit", 2)], "a2")
+    q = start_enriched_stream(spark, ticks, alerts, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    final = [
+        (r.symbol, r.event_time.strftime("%H:%M"), r.alert_id)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert sorted(final) == sorted(
+        [("AAPL", "09:05", 1), ("AAPL", "09:08", 1), ("AAPL", "09:30", 2)]
+    )
