@@ -41,6 +41,7 @@ from stock_market_data_pipeline_v2_spark.operators.curation import (
     ngram_containment,
     pack_sequences,
     prototypicality_prune,
+    quality_decile_bins,
     stratified_sample,
     token_frequency,
 )
@@ -295,6 +296,10 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 20 == 0),
         threshold=0.1,
     )
+
+
+def q_quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_decile_bins(_docs(spark, sf_dir))
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_containment": q_ngram_containment,
         "pack_sequences": q_pack_sequences,
+        # exact global quality ranking via distributed two-level rank
+        "quality_decile_bins": q_quality_decile_bins,
         "dedup_exact": q_dedup_exact,
         # MOSS winnowing: local fingerprints with a deterministic
         # detection guarantee (every shared run ≥ w+k−1 tokens) at
@@ -706,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": oracles.STRATIFIED_SAMPLE_SQL,
         "ngram_containment": oracles.NGRAM_CONTAINMENT_SQL,
         "pack_sequences": oracles.PACK_SEQUENCES_SQL,
+        "quality_decile_bins": oracles.QUALITY_DECILE_BINS_SQL,
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "winnow_fingerprints": oracles.WINNOW_FINGERPRINTS_SQL,
         "passage_overlap": oracles.PASSAGE_OVERLAP_SQL,

@@ -69,6 +69,7 @@ HEADLINE = [
     "ngram_containment", # added round 2
     "pack_sequences",    # added round 2
     "prototypicality_prune",  # added round 3: D4-style pruning off the IVF index
+    "quality_decile_bins",    # added round 3: exact global quality ranking
     "multimodal_decode",
 ]
 

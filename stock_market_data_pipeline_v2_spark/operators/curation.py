@@ -385,3 +385,55 @@ def prototypicality_prune(
             "keep",
         )
     )
+
+
+def quality_decile_bins(documents: DataFrame, n_bins: int = 10) -> DataFrame:
+    """EXACT global quality binning — "keep the top 30% by quality"
+    needs every document's exact rank, and a naive
+    ``row_number() OVER (ORDER BY ...)`` is the single-partition
+    window trap at corpus scale. Computed instead as a distributed
+    two-level rank (same shape as :func:`pack_sequences`):
+    ``repartitionByRange`` on (quality desc, doc_id) range-sorts the
+    corpus, per-partition row_numbers run in parallel, and partition
+    offsets come from one unpartitioned window over ≤ parallelism
+    rows (knob-bounded, never the corpus). The final rank is
+    boundary-placement-independent — ANY range partitioning plus
+    local sort yields the identical global rank — so the result is
+    bit-stable and the oracle's plain global-window formulation gates
+    it exactly. Bin assignment is exact long arithmetic:
+    ``(rank−1)·n_bins div n + 1``.
+
+    Output: (doc_id, quality_score, quality_rank, decile 1..n_bins,
+    best quality first). Scores come from :func:`~.text.text_stats`
+    (same expression the ``text_quality`` oracle pins down).
+    """
+    from .text import text_stats
+
+    scored = text_stats(documents).select("doc_id", "quality_score")
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    ranged = scored.repartitionByRange(
+        par, F.desc("quality_score"), F.asc("doc_id")
+    ).withColumn("__pid", F.spark_partition_id())
+    w_loc = Window.partitionBy("__pid").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    local = ranged.withColumn("__lrn", F.row_number().over(w_loc).cast("long"))
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
+        F.sum("__cnt").over(w_all).cast("long").alias("__n"),
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn("quality_rank", (F.col("__off") + F.col("__lrn")).cast("long"))
+        .withColumn(
+            "decile",
+            (F.expr(f"(quality_rank - 1) * {int(n_bins)} div __n") + 1).cast("long"),
+        )
+        .select("doc_id", "quality_score", "quality_rank", "decile")
+    )

@@ -655,6 +655,8 @@ FROM s JOIN part ON s.l_partkey = p_partkey
 GROUP BY p_brand
 """
 
+QUALITY_DECILE_BINS_SQL = None  # set below: composes TEXT_STATS_SQL
+
 # operators/winnow.py oracles ----------------------------------------------
 # Winnowing (Schleimer et al. 2003): k=4 word grams, window w=5.
 # Both engines order struct<h,pos> lexicographically (hash first,
@@ -1305,3 +1307,17 @@ SELECT doc_id, rank_a, rank_b, round(rrf_raw, 6) AS rrf_score,
        CAST(row_number() OVER (ORDER BY rrf_raw DESC, doc_id) AS BIGINT) AS fused_rank
 FROM f
 """
+
+
+# operators/curation.py:quality_decile_bins — exact global rank +
+# integer bin arithmetic; composes the text_quality oracle so the
+# score expression is pinned by ONE definition.
+QUALITY_DECILE_BINS_SQL = (
+    "WITH ts AS (" + TEXT_STATS_SQL + "),\n"
+    "r AS (SELECT doc_id, quality_score,\n"
+    "  CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT)"
+    " AS quality_rank,\n"
+    "  CAST(count(*) OVER () AS BIGINT) AS n FROM ts)\n"
+    "SELECT doc_id, quality_score, quality_rank,\n"
+    "  CAST((quality_rank - 1) * 10 // n + 1 AS BIGINT) AS decile FROM r"
+)
