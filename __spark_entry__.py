@@ -92,6 +92,7 @@ from stock_market_data_pipeline_v2_spark.operators.retrieval import (
 from stock_market_data_pipeline_v2_spark.operators.pq import (
     PqIndex,
     build_pq_index,
+    ivfpq_adc_topk,
     pq_adc_topk,
 )
 from stock_market_data_pipeline_v2_spark.operators.winnow import (
@@ -412,6 +413,16 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_adc_topk(
+        _embs(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=5,
+        ivf_index=_ivf_index(spark, sf_dir),
+        pq_index=_pq_index(spark, sf_dir),
+    )
+
+
 def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_ivf(
         _embs(spark, sf_dir), threshold=0.4, index=_ivf_index(spark, sf_dir)
@@ -650,6 +661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-rank) — k-means codebooks aren't SQL-expressible →
         # rows-only; recall + brute-pool subset gates in pytest.
         "ann_pq_topk": q_ann_pq_topk,
+        # IVF×PQ composition (FAISS IndexIVFPQ): cell pruning times
+        # code compression — the trillion-vector shape; rows-only.
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         # lexical retrieval + hybrid fusion — the sparse counterpart
         # to the ANN tiers; both fully oracle-gated.
         "bm25_topk": q_bm25_topk,

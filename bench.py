@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",  # added round 2 (headline total +1 query vs r01)
     "ann_pq_topk",   # added round 3: PQ/ADC compressed-scan tier
+    "ann_ivfpq_topk",  # added round 3: IVF x PQ composition
     "bm25_topk",          # added round 3: lexical retrieval family
     "passage_overlap",    # added round 3: winnowing fingerprint join
     "text_quality",

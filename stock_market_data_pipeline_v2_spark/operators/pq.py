@@ -389,3 +389,148 @@ def pq_adc_topk(
             round_away(F.col("cosine_raw"), 6).alias("cosine"),
         )
     )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    ivf_index=None,
+    pq_index: PqIndex | None = None,
+    n_probe: int = 16,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: float = 1e-9,
+) -> DataFrame:
+    """IVF-PQ — the production composition (FAISS ``IndexIVFPQ``):
+    the IVF coarse quantizer prunes the corpus to ``n_probe`` cells
+    (probed fraction n_probe/√n shrinks with corpus size) and the PQ
+    codes make scanning those cells ~32× lighter in memory traffic —
+    multiplicative savings, which is why a trillion-vector index is
+    ALWAYS IVF(-ish) × PQ(-ish). Both indexes are the ones the other
+    tiers already share (build once, compose everywhere).
+
+    Plan: probe ranking against the broadcast centroid table (same as
+    ``ivf_topk``); the cell equi-join lands on (id, home cell, codes)
+    rows — 8 B payloads, raw vectors absent; per-cell grouped kernels
+    ADC-score members against the probing queries' LUTs and keep a
+    per-(query, cell) ``refine·k`` cut with a tie margin; one narrow
+    window trims to the global per-query ``refine·k`` by ADC before
+    the exact cosine re-rank fetches candidate vectors BY ID. Output
+    contract identical to every other tier (exact cosines, dense
+    ranks, deterministic tiebreak); recall < 1 through cell misses
+    (raise ``n_probe``) or ADC misranking (raise ``refine``) — both
+    measured in tests/test_llm_ops.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if ivf_index is None or pq_index is None:
+        raise ValueError("ivfpq_adc_topk needs prebuilt ivf_index and pq_index")
+    m, ksub, dim = pq_index.m, pq_index.ksub, pq_index.dim
+    dsub = dim // m
+    cb = pq_index.codebook_local
+    fetch = max(1, refine * k)
+
+    mem = (
+        ivf_index.assignments.select(
+            "id", F.element_at("cells", 1).alias("cell")
+        )
+        .join(pq_index.codes, "id")
+        .select(
+            "id",
+            "cell",
+            "codes",
+            F.lit(None).cast("array<double>").alias("qv"),
+            F.lit(None).cast("long").alias("query_id"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    probe_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cdot"), F.asc("cell")
+    )
+    q_probes = (
+        q.crossJoin(F.broadcast(ivf_index.centroids))
+        .withColumn("cdot", dot_unrolled("qv", "cv", ivf_index.dim))
+        .withColumn("pr", F.row_number().over(probe_rank))
+        .filter(F.col("pr") <= n_probe)
+        .select(
+            F.lit(None).cast("long").alias("id"),
+            "cell",
+            F.lit(None).cast("array<int>").alias("codes"),
+            "qv",
+            "query_id",
+        )
+    )
+
+    def adc_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        is_q = pdf["qv"].notna().to_numpy()
+        if not is_q.any() or is_q.all():
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "adc": []}
+            ).astype({"query_id": np.int64, "neighbor_id": np.int64, "adc": np.float64})
+        qids = pdf["query_id"][is_q].to_numpy(dtype=np.int64)
+        cids = pdf["id"][~is_q].to_numpy(dtype=np.int64)
+        qmat = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["qv"][is_q]])
+        qn = np.linalg.norm(qmat, axis=1)
+        qn[qn == 0] = np.nan
+        qunit = qmat / qn[:, None]
+        codes_mat = np.stack(
+            [np.asarray(x, dtype=np.int64) for x in pdf["codes"][~is_q]]
+        )
+        cbook = np.asarray(cb, dtype=np.float64)
+        lut = np.einsum("qsd,scd->qsc", qunit.reshape(len(qids), m, dsub), cbook)
+        scores = np.zeros((len(qids), len(cids)))
+        for sub in range(m):
+            scores += lut[:, sub, codes_mat[:, sub]]
+        scores = np.nan_to_num(scores, nan=-np.inf)
+        scores[qids[:, None] == cids[None, :]] = -np.inf
+        kk = min(fetch, scores.shape[1])
+        thresh = np.partition(scores, -kk, axis=1)[:, -kk]
+        qi, ci = np.nonzero(scores >= (thresh[:, None] - margin))
+        return pd.DataFrame(
+            {"query_id": qids[qi], "neighbor_id": cids[ci], "adc": scores[qi, ci]}
+        )
+
+    cand = (
+        mem.unionByName(q_probes)
+        .groupBy("cell")
+        .applyInPandas(adc_cell, schema="query_id long, neighbor_id long, adc double")
+    )
+    adc_w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    trimmed = (
+        cand.withColumn("adc_rank", F.row_number().over(adc_w))
+        .filter(F.col("adc_rank") <= fetch)
+        .select("query_id", "neighbor_id")
+    )
+    c_exact = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", l2_norm_unrolled("cv", dim))
+    q_exact = q.withColumn("qn", l2_norm_unrolled("qv", dim))
+    cos = cosine_from_parts(
+        dot_unrolled("qv", "cv", dim), F.col("qn"), F.col("cn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_raw"), F.asc("neighbor_id")
+    )
+    return (
+        trimmed.join(c_exact, "neighbor_id")
+        .join(F.broadcast(q_exact), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            round_away(F.col("cosine_raw"), 6).alias("cosine"),
+        )
+    )

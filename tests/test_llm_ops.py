@@ -933,3 +933,47 @@ def test_prototypicality_prune_contract(spark):
     again = prototypicality_prune(idx, keep_fraction=0.7).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in rows}
     idx.release()
+
+
+def test_ivfpq_recall_and_pool_precision(spark):
+    """IVF-PQ composition gates: recall ≥ 0.6 vs brute; every
+    emission in the deep brute pool with the identical exact cosine;
+    raising the refine budget with everything else fixed never lowers
+    recall (a larger ADC trim keeps a SUPERSET of candidates; note
+    n_probe is NOT monotone under a fixed budget — extra cells'
+    members compete in the global trim and can evict true neighbors
+    the ADC underscores)."""
+    from stock_market_data_pipeline_v2_spark.operators.pq import (
+        build_pq_index,
+        ivfpq_adc_topk,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+    )
+
+    embs = _embs(spark)
+    queries = embs.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    pool = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(embs, queries, k=50).collect()
+    }
+    ivf = build_ivf_index(embs, n_assign=3, persist=True)
+    pq = build_pq_index(embs, persist=True)
+    rows = ivfpq_adc_topk(embs, queries, k=5, ivf_index=ivf, pq_index=pq).collect()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, f"IVF-PQ recall too low: {recall}"
+    for r in rows:
+        key = (r.query_id, r.neighbor_id)
+        assert key in pool and pool[key] == r.cosine
+    wide = ivfpq_adc_topk(
+        embs, queries, k=5, ivf_index=ivf, pq_index=pq, refine=32
+    ).collect()
+    wide_recall = len(exact & {(r.query_id, r.neighbor_id) for r in wide}) / len(exact)
+    assert wide_recall >= recall
+    ivf.release()
+    pq.release()
