@@ -311,6 +311,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir))
 
 
+def q_passage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(
+        passage_overlap_pairs(
+            _docs(spark, sf_dir), k=4, w=5, threshold=0.3, max_fp_freq=1000
+        )
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
 
@@ -643,6 +651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ~2/(w+1) of the shingle-index cost; both oracle-gated.
         "winnow_fingerprints": q_winnow_fingerprints,
         "passage_overlap": q_passage_overlap,
+        # winnow pairs → connected components: the same keep-one
+        # contract as dedup_clusters, over passage-level evidence.
+        "passage_clusters": q_passage_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         # alternating large/small-star CC — diameter-independent round
@@ -731,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "winnow_fingerprints": oracles.WINNOW_FINGERPRINTS_SQL,
         "passage_overlap": oracles.PASSAGE_OVERLAP_SQL,
+        "passage_clusters": oracles.PASSAGE_CLUSTERS_SQL,
         "dedup_ngram_jaccard": oracles.NGRAM_JACCARD_SQL,
         "dedup_clusters": oracles.DEDUP_CLUSTERS_SQL,
         "dedup_clusters_star": oracles.DEDUP_CLUSTERS_SQL,

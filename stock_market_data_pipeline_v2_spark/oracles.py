@@ -718,6 +718,47 @@ WHERE CAST(n_shared AS DOUBLE) / least(x.n_fp, y.n_fp) >= 0.3
 """
 )
 
+PASSAGE_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _WINNOW_FP
+    + """,
+po_fp AS (SELECT DISTINCT doc_id, fp_hash FROM wn_fp),
+po_sz AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM po_fp GROUP BY doc_id
+),
+po_j AS (
+    SELECT doc_id, fp_hash FROM po_fp
+    QUALIFY count(*) OVER (PARTITION BY fp_hash) <= 1000
+),
+po_p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM po_j a JOIN po_j b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM po_p JOIN po_sz x ON po_p.doc_a = x.doc_id
+              JOIN po_sz y ON po_p.doc_b = y.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / least(x.n_fp, y.n_fp) >= 0.3
+),
+edges AS (
+    SELECT doc_a, doc_b FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+    SELECT DISTINCT doc_a AS doc_id, doc_a AS r FROM edges
+    UNION
+    SELECT e.doc_a AS doc_id, rc.r
+    FROM edges e JOIN reach rc ON e.doc_b = rc.doc_id
+)
+SELECT doc_id, min(r) AS cluster_id
+FROM reach
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+)
+
 DEDUP_EXACT_SQL = """
 SELECT md5(lower(trim(text))) AS text_hash,
        min(doc_id)            AS canonical_doc_id,

@@ -94,10 +94,18 @@ def main() -> None:
         shingle_jaccard_pairs,
         simhash_pairs,
     )
+    from stock_market_data_pipeline_v2_spark.operators.pq import (
+        build_pq_index,
+        ivfpq_adc_topk,
+        pq_adc_topk,
+    )
     from stock_market_data_pipeline_v2_spark.operators.similarity import (
         build_ivf_index,
         hyperplane_lsh_topk,
         ivf_topk,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.winnow import (
+        passage_overlap_pairs,
     )
     from stock_market_data_pipeline_v2_spark.session import get_spark
     from stock_market_data_pipeline_v2_spark.sources.io import load_table
@@ -118,7 +126,14 @@ def main() -> None:
     # grows (the assignment scan is n·n_cells dots), flattening to
     # linear once n_cells hits the 4096 cap at n ≈ 16.8M.
     idx = build_ivf_index(embs, n_assign=3, persist=True)
+    pq_idx = build_pq_index(embs, persist=True)
     probes = {
+        "passage_overlap": lambda: passage_overlap_pairs(docs, threshold=0.3),
+        "pq_build": lambda: build_pq_index(embs).codes,
+        "ann_pq_topk": lambda: pq_adc_topk(embs, qs, k=5, index=pq_idx),
+        "ann_ivfpq_topk": lambda: ivfpq_adc_topk(
+            embs, qs, k=5, ivf_index=idx, pq_index=pq_idx
+        ),
         "dedup_ngram_jaccard_capped": lambda: shingle_jaccard_pairs(
             docs, n=3, threshold=0.5, max_shingle_freq=1000
         ),
