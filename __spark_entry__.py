@@ -37,6 +37,7 @@ from stock_market_data_pipeline_v2_spark.operators.dims import (
 from stock_market_data_pipeline_v2_spark.operators.upsert import merge_upsert
 from stock_market_data_pipeline_v2_spark.operators.curation import (
     chunk_documents,
+    curation_pipeline,
     mix_corpus,
     ngram_containment,
     pack_sequences,
@@ -297,6 +298,10 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 20 == 0),
         threshold=0.1,
     )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_pipeline(_docs(spark, sf_dir))
 
 
 def q_quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         # exact global quality ranking via distributed two-level rank
         "quality_decile_bins": q_quality_decile_bins,
+        # integrated cleaning pass: quality+repetition gates -> PII
+        # scrub -> exact-dedup canonicals, one oracle-gated plan
+        "curation_pipeline": q_curation_pipeline,
         "dedup_exact": q_dedup_exact,
         # MOSS winnowing: local fingerprints with a deterministic
         # detection guarantee (every shared run ≥ w+k−1 tokens) at
@@ -739,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment": oracles.NGRAM_CONTAINMENT_SQL,
         "pack_sequences": oracles.PACK_SEQUENCES_SQL,
         "quality_decile_bins": oracles.QUALITY_DECILE_BINS_SQL,
+        "curation_pipeline": oracles.CURATION_PIPELINE_SQL,
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "winnow_fingerprints": oracles.WINNOW_FINGERPRINTS_SQL,
         "passage_overlap": oracles.PASSAGE_OVERLAP_SQL,

@@ -71,6 +71,7 @@ HEADLINE = [
     "pack_sequences",    # added round 2
     "prototypicality_prune",  # added round 3: D4-style pruning off the IVF index
     "quality_decile_bins",    # added round 3: exact global quality ranking
+    "curation_pipeline",      # added round 3: integrated cleaning pass
     "multimodal_decode",
 ]
 

@@ -437,3 +437,45 @@ def quality_decile_bins(documents: DataFrame, n_bins: int = 10) -> DataFrame:
         )
         .select("doc_id", "quality_score", "quality_rank", "decile")
     )
+
+
+def curation_pipeline(documents: DataFrame) -> DataFrame:
+    """The INTEGRATED cleaning pass a pretraining corpus goes through
+    before mixing/packing, as one oracle-gated plan: Gopher quality
+    gates AND repetition gates decide keep; PII is scrubbed from the
+    survivors; exact duplicates collapse to their canonical (min
+    doc_id) with the duplicate count retained for mix weighting.
+    Output: (doc_id, scrubbed, dup_count, quality-filtered, deduped)
+    — the corpus a downstream ``mix_corpus``/``pack_sequences`` run
+    consumes.
+
+    Composition, not new semantics: every stage is an existing
+    oracle-gated operator (:func:`~.text.gopher_quality_filter`,
+    :func:`~.text.repetition_filter`, :func:`~.text.pii_scrub`,
+    :func:`~.dedup.dedup_exact`), so the pipeline oracle is their
+    SQL CTEs joined on doc_id. Plan shape: four scan-shaped branches
+    over the same source joined on the narrow doc_id key; the
+    medallion runner (plans/pipeline.py) materializes zone boundaries
+    between such stages at production scale, so per-stage scans — not
+    a hand-fused mega-projection — are the honest cost model.
+    """
+    from .dedup import dedup_exact
+    from .text import gopher_quality_filter, pii_scrub, repetition_filter
+
+    g = gopher_quality_filter(documents).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    r = repetition_filter(documents).select(
+        "doc_id", F.col("keep").alias("keep_repetition")
+    )
+    p = pii_scrub(documents).select("doc_id", "scrubbed")
+    canon = dedup_exact(documents).select(
+        F.col("canonical_doc_id").alias("doc_id"), "dup_count"
+    )
+    return (
+        p.join(g, "doc_id")
+        .join(r, "doc_id")
+        .join(canon, "doc_id")  # inner: only hash-group canonicals survive
+        .filter(F.col("keep_quality") & F.col("keep_repetition"))
+        .select("doc_id", "scrubbed", "dup_count")
+    )

@@ -1362,3 +1362,17 @@ QUALITY_DECILE_BINS_SQL = (
     "SELECT doc_id, quality_score, quality_rank,\n"
     "  CAST((quality_rank - 1) * 10 // n + 1 AS BIGINT) AS decile FROM r"
 )
+
+
+# operators/curation.py:curation_pipeline — composition of four
+# already-gated stages; nested WITHs are scoped per CTE body.
+CURATION_PIPELINE_SQL = (
+    "WITH g AS (" + GOPHER_FILTER_SQL + "),\n"
+    "r AS (" + REPETITION_FILTER_SQL + "),\n"
+    "p AS (" + PII_SCRUB_SQL + "),\n"
+    "d AS (" + DEDUP_EXACT_SQL + ")\n"
+    "SELECT p.doc_id, p.scrubbed, d.dup_count\n"
+    "FROM p JOIN g USING (doc_id) JOIN r USING (doc_id)\n"
+    "     JOIN d ON d.canonical_doc_id = p.doc_id\n"
+    "WHERE g.keep AND r.keep"
+)
