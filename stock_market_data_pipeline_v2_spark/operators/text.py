@@ -266,13 +266,15 @@ def _max_run(sorted_arr: Column) -> Column:
 
 
 def _word_grams(words: Column, n: int) -> Column:
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """n-grams by zip_with composition — ``words`` occurs only as a
+    plain argument (evaluated once per row), never inside a lambda
+    body where Catalyst would re-evaluate the split per gram (see
+    dedup.grams_from — same rework, 7.5 s → sub-second at sf0.1)."""
+    g = words
+    for j in range(1, n):
+        tail = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
+        g = F.zip_with(g, tail, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(g, lambda x: x.isNotNull())
 
 
 def repetition_filter(

@@ -69,16 +69,15 @@ def winnow_fingerprints(
     of ≥ w+k−1 tokens is detected) and the sampling density
     (~2/(w+1) of k-grams kept).
     """
+    from .dedup import grams_from
+
     par = documents.sparkSession.sparkContext.defaultParallelism
     words = F.split(F.col("__t"), r"\s+")
     n_grams = F.size(words) - (k - 1)
-    grams = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.md5(F.array_join(F.slice(words, i, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # grams_from's zip_with composition evaluates the split O(1)
+    # times per row (not once per gram — the no-CSE-into-lambdas
+    # trap); md5 rides a transform whose input is evaluated once.
+    grams = F.transform(grams_from(F.col("__t"), k), lambda x: F.md5(x))
     exploded = (
         documents.select("doc_id", _norm_text(text_col).alias("__t"))
         .repartition(par)
