@@ -16,7 +16,9 @@ from stock_market_data_pipeline_v2_spark.session import configure_runtime
 from stock_market_data_pipeline_v2_spark.sources.io import load_table
 from stock_market_data_pipeline_v2_spark.operators.bars import (
     bars_from_events,
+    daily_vwap,
     filter_clean_bars,
+    forward_fill_bars,
 )
 from stock_market_data_pipeline_v2_spark.operators.returns import daily_returns
 from stock_market_data_pipeline_v2_spark.operators.indicators import rolling_indicators
@@ -584,6 +586,14 @@ def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tick_events(load_table(spark, sf_dir, "events"))
 
 
+def q_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_vwap(_ticks(spark, sf_dir))
+
+
+def q_forward_fill_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return forward_fill_bars(_clean_bars(spark, sf_dir))
+
+
 def q_window_agg_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_aggregate_15m(_ticks(spark, sf_dir))
 
@@ -614,6 +624,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_bars": q_daily_bars,
+        # volume-weighted average price + calendar gap-fill panel
+        "daily_vwap": q_daily_vwap,
+        "forward_fill_bars": q_forward_fill_bars,
         "daily_returns": q_daily_returns,
         "rolling_indicators": q_rolling_indicators,
         "stock_performance": q_stock_performance,
@@ -715,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "daily_bars": oracles.DAILY_BARS_SQL,
+        "daily_vwap": oracles.DAILY_VWAP_SQL,
+        "forward_fill_bars": oracles.FORWARD_FILL_BARS_SQL,
         "daily_returns": oracles.DAILY_RETURNS_SQL,
         "rolling_indicators": oracles.ROLLING_INDICATORS_SQL,
         "stock_performance": oracles.STOCK_PERFORMANCE_SQL,

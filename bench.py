@@ -28,6 +28,8 @@ HEADLINE = [
     "stochastic_k",
     "macd",
     "asof_tick_bar",
+    "daily_vwap",          # added round 3
+    "forward_fill_bars",   # added round 3
     "session_windows",
     "regional_supplier_revenue",
     "promo_revenue_monthly",    # added round 3: Q14 shape

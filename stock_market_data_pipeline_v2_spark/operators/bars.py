@@ -119,3 +119,86 @@ def filter_clean_bars(bars: DataFrame) -> DataFrame:
         .filter(F.col("volume") >= 0)
         .filter(F.col("trade_date") <= F.current_date())
     )
+
+
+def daily_vwap(ticks: DataFrame) -> DataFrame:
+    """Volume-weighted average price per (symbol, day) from the typed
+    tick view (realtime.tick_events): vwap = Σ(price·qty)/Σ(qty) over
+    ticks with both fields present, alongside the traded quantity and
+    tick counts. One map-side-combined hash aggregate — the same
+    single-shuffle shape as the bar build. Null-qty ticks contribute
+    to ``n_ticks`` but not to the weighted sums; a day with zero
+    total quantity yields NULL vwap (guarded divide)."""
+    from ..functions.core import null_if_zero_divide, round_away
+
+    priced = F.when(
+        F.col("price").isNotNull() & F.col("qty").isNotNull(),
+        F.col("price") * F.col("qty"),
+    )
+    qty_w = F.when(
+        F.col("price").isNotNull() & F.col("qty").isNotNull(), F.col("qty")
+    )
+    return (
+        ticks.select(
+            "symbol",
+            F.to_date("event_time").alias("trade_date"),
+            "price",
+            F.col("volume").alias("qty"),
+        )
+        .groupBy("symbol", "trade_date")
+        .agg(
+            round_away(
+                null_if_zero_divide(
+                    F.sum(priced), F.sum(qty_w).cast("double")
+                ),
+                4,
+            ).alias("vwap"),
+            F.sum(qty_w).cast("long").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+def forward_fill_bars(bars: DataFrame) -> DataFrame:
+    """Calendar alignment + gap fill: complete the (symbol × trading
+    day) grid over the observed date span and carry the last known
+    close forward — the join-ready panel every cross-sectional
+    analytic (correlations, market breadth) needs when symbols trade
+    on different days.
+
+    Shape: the date spine comes from ONE row of min/max aggregates
+    exploded to a sequence (model-sized — days, not rows) and
+    broadcast against the distinct symbols; the left join back to
+    bars and the per-symbol ``last(ignorenulls)`` window are the only
+    shuffles. Output: (symbol, trade_date, close_price — null on gap
+    days, filled_close — forward-filled, is_filled). Days before a
+    symbol's first observation stay null and are flagged false."""
+    span = bars.agg(
+        F.min("trade_date").alias("d0"), F.max("trade_date").alias("d1")
+    )
+    dates = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("trade_date")
+    )
+    grid = bars.select("symbol").distinct().crossJoin(F.broadcast(dates))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("trade_date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(
+            bars.select("symbol", "trade_date", "close_price"),
+            ["symbol", "trade_date"],
+            "left",
+        )
+        .withColumn(
+            "filled_close", F.last("close_price", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "is_filled",
+            F.col("close_price").isNull() & F.col("filled_close").isNotNull(),
+        )
+        .select("symbol", "trade_date", "close_price", "filled_close", "is_filled")
+    )

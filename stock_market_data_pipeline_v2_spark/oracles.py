@@ -1376,3 +1376,52 @@ CURATION_PIPELINE_SQL = (
     "     JOIN d ON d.canonical_doc_id = p.doc_id\n"
     "WHERE g.keep AND r.keep"
 )
+
+
+# operators/bars.py:daily_vwap — Σ(price·qty)/Σ(qty) per (symbol, day)
+# over fully-priced ticks; SUM of doubles rounds at 4 dp (ulp noise
+# absorbed, PERF.md). CAST qty sums to BIGINT (DuckDB hugeint).
+DAILY_VWAP_SQL = with_ctes(
+    EVENTS_TICKS,
+    select="""
+SELECT symbol, CAST(ts AS DATE) AS trade_date,
+       round(sum(CASE WHEN price IS NOT NULL AND qty IS NOT NULL
+                      THEN price * qty END)
+             / nullif(CAST(sum(CASE WHEN price IS NOT NULL AND qty IS NOT NULL
+                                    THEN qty END) AS DOUBLE), 0), 4) AS vwap,
+       CAST(sum(CASE WHEN price IS NOT NULL AND qty IS NOT NULL
+                     THEN qty END) AS BIGINT) AS total_qty,
+       count(*) AS n_ticks
+FROM ticks
+GROUP BY 1, 2
+""",
+)
+
+# operators/bars.py:forward_fill_bars — calendar grid + IGNORE NULLS
+# carry-forward; mirrors Spark's last(ignorenulls) frame exactly.
+FORWARD_FILL_BARS_SQL = with_ctes(
+    EVENTS_TICKS,
+    DAILY_BARS,
+    CLEAN_BARS,
+    """
+span AS (SELECT min(trade_date) AS d0, max(trade_date) AS d1 FROM clean_bars),
+dates AS (
+    SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        AS trade_date
+    FROM span
+),
+grid AS (SELECT symbol, trade_date
+         FROM (SELECT DISTINCT symbol FROM clean_bars), dates)
+""",
+    select="""
+SELECT g.symbol, g.trade_date, b.close_price,
+       last_value(b.close_price IGNORE NULLS) OVER (
+           PARTITION BY g.symbol ORDER BY g.trade_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_close,
+       (b.close_price IS NULL AND last_value(b.close_price IGNORE NULLS) OVER (
+           PARTITION BY g.symbol ORDER BY g.trade_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL)
+           AS is_filled
+FROM grid g LEFT JOIN clean_bars b USING (symbol, trade_date)
+""",
+)
