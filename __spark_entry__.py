@@ -39,6 +39,7 @@ from stock_market_data_pipeline_v2_spark.operators.dims import (
 from stock_market_data_pipeline_v2_spark.operators.upsert import merge_upsert
 from stock_market_data_pipeline_v2_spark.operators.curation import (
     chunk_documents,
+    corpus_stats_by_source,
     curation_pipeline,
     mix_corpus,
     ngram_containment,
@@ -300,6 +301,10 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 20 == 0),
         threshold=0.1,
     )
+
+
+def q_corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats_by_source(_docs(spark, sf_dir))
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integrated cleaning pass: quality+repetition gates -> PII
         # scrub -> exact-dedup canonicals, one oracle-gated plan
         "curation_pipeline": q_curation_pipeline,
+        "corpus_stats_by_source": q_corpus_stats_by_source,
         "dedup_exact": q_dedup_exact,
         # MOSS winnowing: local fingerprints with a deterministic
         # detection guarantee (every shared run ≥ w+k−1 tokens) at
@@ -763,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracles.PACK_SEQUENCES_SQL,
         "quality_decile_bins": oracles.QUALITY_DECILE_BINS_SQL,
         "curation_pipeline": oracles.CURATION_PIPELINE_SQL,
+        "corpus_stats_by_source": oracles.CORPUS_STATS_BY_SOURCE_SQL,
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "winnow_fingerprints": oracles.WINNOW_FINGERPRINTS_SQL,
         "passage_overlap": oracles.PASSAGE_OVERLAP_SQL,

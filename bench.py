@@ -74,6 +74,7 @@ HEADLINE = [
     "prototypicality_prune",  # added round 3: D4-style pruning off the IVF index
     "quality_decile_bins",    # added round 3: exact global quality ranking
     "curation_pipeline",      # added round 3: integrated cleaning pass
+    "corpus_stats_by_source", # added round 3: per-source corpus profile
     "multimodal_decode",
 ]
 

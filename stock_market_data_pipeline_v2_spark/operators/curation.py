@@ -479,3 +479,64 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
         .filter(F.col("keep_quality") & F.col("keep_repetition"))
         .select("doc_id", "scrubbed", "dup_count")
     )
+
+
+def corpus_stats_by_source(documents: DataFrame) -> DataFrame:
+    """Per-(source, lang) corpus profile — the first report any
+    training-mix decision reads: document and token counts, token
+    share, length distribution (mean + exact median), mean quality,
+    and the distinct-token count (lexical diversity). One
+    scan-shaped stats projection feeding two aggregates: the
+    (source, lang) rollup (map-side combined, tiny group domain) and
+    a distinct-token count per group via the token explode — the only
+    corpus-sized shuffle, keyed by (source, lang, token) so it
+    partial-aggregates before moving. Exact median buffers per-group
+    values: the grain is (source × lang) — bounded — same accepted
+    cost as daily_summary (PERF.md)."""
+    stats = documents.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).cast("long").alias("n_tokens"),
+    )
+    from ..functions.core import null_if_zero_divide, round_away
+
+    base = stats.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        round_away(F.avg("n_tokens"), 2).alias("mean_tokens"),
+        F.median("n_tokens").alias("median_tokens"),
+    )
+    toks = documents.select(
+        "source",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("token"),
+    )
+    diversity = toks.groupBy("source", "lang").agg(
+        F.count_distinct("token").alias("distinct_tokens")
+    )
+    total = base.select(F.sum("total_tokens").alias("__all"))
+    return (
+        base.join(diversity, ["source", "lang"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_tokens",
+            round_away(
+                null_if_zero_divide(
+                    F.col("total_tokens").cast("double"),
+                    F.col("__all").cast("double"),
+                ),
+                4,
+            ).alias("token_share"),
+            "mean_tokens",
+            F.col("median_tokens").cast("double").alias("median_tokens"),
+            "distinct_tokens",
+        )
+    )

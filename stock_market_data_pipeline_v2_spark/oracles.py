@@ -1425,3 +1425,40 @@ SELECT g.symbol, g.trade_date, b.close_price,
 FROM grid g LEFT JOIN clean_bars b USING (symbol, trade_date)
 """,
 )
+
+
+# operators/curation.py:corpus_stats_by_source — per-(source, lang)
+# profile; exact median (even-count mean-of-middle matches Spark).
+CORPUS_STATS_BY_SOURCE_SQL = """
+WITH d AS (
+    SELECT source, lang, doc_id,
+        CAST(len(regexp_extract_all(lower(trim(text)),
+             '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+base AS (
+    SELECT source, lang,
+        CAST(count(*) AS BIGINT)      AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        round(avg(n_tokens), 2)       AS mean_tokens,
+        CAST(median(n_tokens) AS DOUBLE) AS median_tokens
+    FROM d GROUP BY 1, 2
+),
+toks AS (
+    SELECT source, lang,
+        unnest(regexp_extract_all(lower(trim(text)),
+               '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+    FROM documents
+),
+div AS (
+    SELECT source, lang, CAST(count(DISTINCT token) AS BIGINT)
+        AS distinct_tokens
+    FROM toks GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS all_tokens FROM base)
+SELECT b.source, b.lang, b.n_docs, b.total_tokens,
+       round(CAST(b.total_tokens AS DOUBLE)
+             / nullif(CAST(t.all_tokens AS DOUBLE), 0), 4) AS token_share,
+       b.mean_tokens, b.median_tokens, v.distinct_tokens
+FROM base b JOIN div v USING (source, lang), tot t
+"""

@@ -160,3 +160,40 @@ def test_winnow_single_logical_shuffle(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     phys = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
     assert phys.count("Exchange") == 2  # repartition spread + window
+
+
+def test_promo_revenue_broadcasts_part(spark):
+    """Q14 shape: the part dim must broadcast — the fact side never
+    shuffles for the join; the only exchange is the month aggregate."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["promo_revenue_monthly"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+    assert "SortMergeJoin" not in plan
+
+
+def test_small_qty_broadcasts_agg_subquery(spark):
+    """Q17 shape: the per-part average frame joins back by broadcast,
+    not by re-shuffling the fact table."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["small_qty_part_revenue"](spark, SF))
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_bins_no_corpus_window(spark):
+    """The exact global rank must not plan a single-partition window
+    over the corpus: every row_number window partitions by __pid and
+    the only unpartitioned windows run over the tiny offsets frame."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        quality_decile_bins,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = quality_decile_bins(docs)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # corpus-side row_number windows must carry a partition spec
+    for mwin in re.finditer(r"Window \[row_number\(\).*?\]", phys):
+        assert "__pid" in mwin.group(0)
