@@ -53,6 +53,7 @@ from stock_market_data_pipeline_v2_spark.operators.text import (
     doc_fingerprint,
     gopher_quality_filter,
     lang_id,
+    lm_perplexity,
     pii_scrub,
     repetition_filter,
     text_stats,
@@ -252,6 +253,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_perplexity(_docs(spark, sf_dir))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        # CCNet-style LM quality scoring (add-one bigram, self-scored)
+        "lm_perplexity": q_lm_perplexity,
         "pii_scrub": q_pii_scrub,
         "gopher_filter": q_gopher_filter,
         "repetition_filter": q_repetition_filter,
@@ -758,6 +765,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracles.TEXT_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,
         "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
+        "lm_perplexity": oracles.LM_PERPLEXITY_SQL,
         "pii_scrub": oracles.PII_SCRUB_SQL,
         "gopher_filter": oracles.GOPHER_FILTER_SQL,
         "repetition_filter": oracles.REPETITION_FILTER_SQL,

@@ -65,6 +65,7 @@ HEADLINE = [
     "lang_id",
     "doc_fingerprint",
     "pii_scrub",         # added round 2
+    "lm_perplexity",     # added round 3: CCNet-style LM quality scoring
     "gopher_filter",     # added round 2
     "chunk_documents",   # added round 2
     "token_frequency",   # added round 2

@@ -334,3 +334,102 @@ def repetition_filter(
         pass_3.alias("pass_top_trigram"),
         (pass_lines & pass_2 & pass_3).alias("keep"),
     )
+
+
+def lm_perplexity(
+    documents: DataFrame, lm_corpus: DataFrame | None = None
+) -> DataFrame:
+    """Bigram language-model perplexity per document — LM-based
+    quality filtering (the CCNet/Wenzek et al. 2020 recipe: score
+    text against an n-gram LM, cut the high-perplexity tail as junk
+    and, optionally, the lowest tail as boilerplate). Add-one
+    smoothed bigram model: P(w₂|w₁) = (C(w₁w₂)+1)/(C(w₁)+V), scored
+    as exp of the mean negative log-likelihood over the document's
+    bigrams. ``lm_corpus`` defaults to ``documents`` (self-scoring);
+    pass a held-out/reference corpus for the production shape.
+
+    Exactness: per-document log-prob sums fold over the
+    position-sorted contribution list (partition-order-free — PERF.md
+    lesson 2; the oracle mirrors with ``list_reduce(list(... ORDER BY
+    pos)))``. Bigram arrays build by zip_with composition (lesson 3:
+    no per-gram re-tokenization). Scale shape: the model IS a pair of
+    count tables — the score join is a plain hash join keyed by the
+    bigram string, partial-aggregated map-side on both build and
+    probe sides; V rides a one-row broadcast, never a driver scalar.
+    Docs with <2 tokens have no bigrams and are absent (nothing to
+    score)."""
+    from ..functions.core import round_away
+
+    lm = lm_corpus if lm_corpus is not None else documents
+    spark_par = documents.sparkSession.sparkContext.defaultParallelism
+
+    def toks_arr() -> Column:
+        return F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+
+    def bigram_structs(arr: Column) -> Column:
+        pairs = F.zip_with(
+            arr,
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda a, b: F.struct(
+                F.concat(a, F.lit(" "), b).alias("bg"), a.alias("w1")
+            ),
+        )
+        return F.filter(pairs, lambda x: x["bg"].isNotNull())
+
+    uni = (
+        lm.select(F.explode(toks_arr()).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_w1"))
+    )
+    bi = (
+        lm.select(F.explode(bigram_structs(toks_arr())).alias("p"))
+        .select(F.col("p.bg").alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    doc_bg = (
+        documents.select("doc_id", _norm().alias("__t"))
+        .repartition(spark_par)
+        .select(
+            "doc_id",
+            F.posexplode(
+                bigram_structs(
+                    F.regexp_extract_all(
+                        F.col("__t"), F.lit(TOKEN_PATTERN), F.lit(0)
+                    )
+                )
+            ).alias("pos", "p"),
+        )
+        .select("doc_id", "pos", F.col("p.bg").alias("bg"), F.col("p.w1").alias("w1"))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c_bg"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c_w1"), F.lit(0)) + F.col("v")).cast("double")
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("pos"), F.col("logp")))),
+            lambda s: s["logp"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nll = -F.col("sum_logp") / F.col("n_bigrams")
+    return (
+        doc_bg.join(bi, "bg", "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("logp", logp)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            fold.alias("sum_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            round_away(nll, 6).alias("avg_nll"),
+            round_away(F.exp(nll), 4).alias("perplexity"),
+        )
+    )

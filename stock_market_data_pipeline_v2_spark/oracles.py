@@ -1462,3 +1462,42 @@ SELECT b.source, b.lang, b.n_docs, b.total_tokens,
        b.mean_tokens, b.median_tokens, v.distinct_tokens
 FROM base b JOIN div v USING (source, lang), tot t
 """
+
+
+# operators/text.py:lm_perplexity — add-one bigram LM, self-scored;
+# position-sorted list_reduce mirrors the Spark ordered fold (BM25
+# precedent: 0.0 + x1 == x1 in IEEE, so the init-less fold agrees).
+LM_PERPLEXITY_SQL = """
+WITH tk AS (
+    SELECT doc_id,
+        regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ta
+    FROM documents
+),
+uni AS (
+    SELECT w1, CAST(count(*) AS BIGINT) AS c_w1
+    FROM (SELECT unnest(ta) AS w1 FROM tk) GROUP BY 1
+),
+bgl AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           ta[i] || ' ' || ta[i+1] AS bg, ta[i] AS w1
+    FROM tk, unnest(generate_series(1, len(ta) - 1)) AS u(i)
+    WHERE len(ta) >= 2
+),
+bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM bgl GROUP BY 1),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+sc AS (
+    SELECT b.doc_id, b.pos,
+        ln(CAST(coalesce(bi.c_bg, 0) + 1 AS DOUBLE)
+           / CAST(coalesce(u.c_w1, 0) + v.v AS DOUBLE)) AS logp
+    FROM bgl b LEFT JOIN bi USING (bg) LEFT JOIN uni u ON b.w1 = u.w1, v
+),
+s AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        list_reduce(list(logp ORDER BY pos), (x, y) -> x + y) AS sum_logp
+    FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(-sum_logp / n_bigrams, 6) AS avg_nll,
+       round(exp(-sum_logp / n_bigrams), 4) AS perplexity
+FROM s
+"""
