@@ -540,3 +540,46 @@ def corpus_stats_by_source(documents: DataFrame) -> DataFrame:
             "distinct_tokens",
         )
     )
+
+
+def write_training_shards(
+    documents: DataFrame,
+    out_dir: str,
+    shard_tokens: int = 100_000,
+    range_size: int = 1024,
+) -> DataFrame:
+    """Export the corpus as token-budgeted TRAINING SHARDS: documents
+    in doc_id order are packed onto the token tape
+    (:func:`pack_sequences` with the shard budget as the bin width —
+    same spill contract: a shard may run over by its last document),
+    then written as one hive partition per shard
+    (``out_dir/shard_id=K/``) so a data loader can open shard K
+    without listing the corpus. Returns the shard MANIFEST
+    (shard_id, n_docs, shard_tokens, first_doc_id, last_doc_id) —
+    computed from the same packing frame that drove the write, so
+    manifest and layout cannot drift.
+
+    Deterministic end-to-end (doc_id order + integer tape
+    arithmetic): re-running produces byte-identical shard membership.
+    Scale shape: pack_sequences' two-level prefix sum plus ONE
+    partitioned write; the partition count is total_tokens/
+    shard_tokens — the knob that sizes output files for the trainer,
+    the same dynamic-partition write path as the gold zones
+    (sources/io.py)."""
+    packed = pack_sequences(
+        documents, ctx_tokens=shard_tokens, range_size=range_size
+    ).withColumnRenamed("bin_id", "shard_id")
+    sharded = documents.join(packed, "doc_id").select(
+        "shard_id", "doc_id", "text", "n_tokens", "start_offset"
+    )
+    sharded.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("shard_id")
+    )

@@ -1009,3 +1009,69 @@ def test_extend_ivf_index_matches_rebuild_assignment(spark):
     got = ivf_topk(None, embs.filter(F.col("vec_id") % 100 == 0), k=5, index=ext)
     assert got.count() > 0
     ext.release()
+
+
+def test_gram_builders_match_naive_formulation(spark):
+    """The zip_with n-gram composition (PERF.md lesson 3) must emit
+    exactly the grams of the naive transform(sequence, slice) form it
+    replaced, for every doc in the corpus and for n = 2, 3, 4."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        _norm_text,
+        grams_from,
+    )
+
+    docs = _docs(spark)
+    for n in (2, 3, 4):
+        words = F.split(_norm_text(), r"\s+")
+        naive = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        diff = docs.select(
+            F.col("doc_id"),
+            grams_from(_norm_text(), n).alias("a"),
+            naive.alias("b"),
+        ).filter(F.col("a") != F.col("b"))
+        assert diff.count() == 0, f"gram mismatch at n={n}"
+
+
+def test_write_training_shards_contract(spark, tmp_path):
+    """Shard export: (a) every doc lands in exactly one shard and
+    reads back intact; (b) spill contract — each shard minus its last
+    doc is under budget; (c) doc_id ranges of consecutive shards
+    never interleave (tape order); (d) manifest matches the written
+    layout and a re-run is byte-identical."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        write_training_shards,
+    )
+
+    docs = _docs(spark)
+    out = str(tmp_path / "shards")
+    budget = 2000
+    manifest = write_training_shards(docs, out, shard_tokens=budget).collect()
+    back = spark.read.parquet(out)
+    n = docs.count()
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n
+
+    rows = back.select("shard_id", "doc_id", "n_tokens").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append((r.doc_id, r.n_tokens))
+    for sid, members in by_shard.items():
+        members.sort()
+        total = sum(t for _, t in members)
+        assert total - members[-1][1] < budget  # spill contract
+    sids = sorted(by_shard)
+    for a, b in zip(sids, sids[1:]):
+        assert max(d for d, _ in by_shard[a]) < min(d for d, _ in by_shard[b])
+
+    m = {r.shard_id: (r.n_docs, r.shard_tokens) for r in manifest}
+    assert m == {
+        sid: (len(v), sum(t for _, t in v)) for sid, v in by_shard.items()
+    }
+    manifest2 = write_training_shards(docs, out, shard_tokens=budget).collect()
+    assert sorted(map(tuple, manifest2)) == sorted(map(tuple, manifest))
