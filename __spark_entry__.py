@@ -52,6 +52,7 @@ from stock_market_data_pipeline_v2_spark.operators.curation import (
 from stock_market_data_pipeline_v2_spark.operators.text import (
     doc_fingerprint,
     gopher_quality_filter,
+    boilerplate_prefix_stats,
     lang_id,
     lm_perplexity,
     pii_scrub,
@@ -87,6 +88,7 @@ from stock_market_data_pipeline_v2_spark.operators.realtime import (
     session_window_aggregate,
     stage_realtime,
     tick_events,
+    winsorize_ticks,
     window_aggregate_15m,
     windowed_analytics,
 )
@@ -253,6 +255,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
+
+
+def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_prefix_stats(_docs(spark, sf_dir), k=5, threshold=0.2)
+
+
+def q_winsorize_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorize_ticks(_ticks(spark, sf_dir))
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,6 +674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         # CCNet-style LM quality scoring (add-one bigram, self-scored)
         "lm_perplexity": q_lm_perplexity,
+        # cross-document boilerplate prefix shares; tick winsorization
+        "boilerplate_prefixes": q_boilerplate_prefixes,
+        "winsorize_ticks": q_winsorize_ticks,
         "pii_scrub": q_pii_scrub,
         "gopher_filter": q_gopher_filter,
         "repetition_filter": q_repetition_filter,
@@ -766,6 +779,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.LANG_ID_SQL,
         "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
         "lm_perplexity": oracles.LM_PERPLEXITY_SQL,
+        "boilerplate_prefixes": oracles.BOILERPLATE_PREFIX_SQL,
+        "winsorize_ticks": oracles.WINSORIZE_TICKS_SQL,
         "pii_scrub": oracles.PII_SCRUB_SQL,
         "gopher_filter": oracles.GOPHER_FILTER_SQL,
         "repetition_filter": oracles.REPETITION_FILTER_SQL,

@@ -289,3 +289,47 @@ def realtime_signals(enriched: DataFrame) -> DataFrame:
             F.date_format("window_start_at", "yyyy-MM-dd HH:mm"),
         ).alias("signal_summary"),
     )
+
+
+def winsorize_ticks(
+    ticks: DataFrame,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Outlier winsorization for the tick cleaning path: per-symbol
+    EXACT continuous percentiles (SQL percentile_cont semantics —
+    Spark ``percentile``; sorted-data interpolation, deterministic)
+    bound the price distribution, and each tick is clamped into
+    [q_lo, q_hi] with an outlier flag — the standard
+    fat-finger/bad-print guard between raw ingest and bar building.
+
+    The percentile pair is a per-symbol AGGREGATE (symbol-cardinality
+    rows — model-sized) broadcast back onto the tick scan, so the
+    fact side never shuffles; bounds are rounded to 6 dp BEFORE the
+    comparison so Spark and DuckDB clamp on the identical double
+    (the two engines' interpolation expressions can differ at the
+    ulp; rounding first removes the hazard — PERF.md lesson 1
+    family). Unpriced ticks pass through unflagged."""
+    from ..functions.core import round_away
+
+    q = ticks.filter(F.col("price").isNotNull()).groupBy("symbol").agg(
+        round_away(F.percentile("price", F.lit(lower)), 6).alias("q_lo"),
+        round_away(F.percentile("price", F.lit(upper)), 6).alias("q_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("price"), F.col("q_lo")), F.col("q_hi"))
+    return (
+        ticks.join(F.broadcast(q), "symbol", "left")
+        .select(
+            "symbol",
+            "event_time",
+            "price",
+            "q_lo",
+            "q_hi",
+            F.when(F.col("price").isNotNull(), clipped).alias("clipped_price"),
+            F.coalesce(
+                (F.col("price") < F.col("q_lo"))
+                | (F.col("price") > F.col("q_hi")),
+                F.lit(False),
+            ).alias("is_outlier"),
+        )
+    )

@@ -433,3 +433,50 @@ def lm_perplexity(
             round_away(F.exp(nll), 4).alias("perplexity"),
         )
     )
+
+
+def boilerplate_prefix_stats(
+    documents: DataFrame,
+    k: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-source boilerplate detection by shared document PREFIX:
+    the first ``k`` tokens of each document, the fraction of its
+    source sharing that exact prefix, and a flag at ``threshold`` —
+    the header/template signal scraped corpora carry (every page of a
+    site opening with the same banner). Complements the per-document
+    repetition rules (:func:`repetition_filter`) with a CROSS-document
+    statistic.
+
+    Shape: one scan projects (source, prefix); a (source, prefix)
+    count and a source count — both map-side combined over tiny key
+    domains — broadcast back; no corpus-sized shuffle beyond the two
+    aggregates. Docs with fewer than ``k`` tokens use their full
+    token list as the prefix (short boilerplate still groups)."""
+    from ..functions.core import null_if_zero_divide, round_away
+
+    toks = F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+    base = documents.select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice(toks, 1, k), " ").alias("prefix"),
+    )
+    by_prefix = base.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).alias("n_prefix")
+    )
+    by_source = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    share = null_if_zero_divide(
+        F.col("n_prefix").cast("double"), F.col("n_source").cast("double")
+    )
+    return (
+        base.join(F.broadcast(by_prefix), ["source", "prefix"])
+        .join(F.broadcast(by_source), "source")
+        .select(
+            "doc_id",
+            "source",
+            "prefix",
+            F.col("n_prefix").alias("prefix_count"),
+            round_away(share, 4).alias("prefix_share"),
+            (share >= threshold).alias("is_boilerplate"),
+        )
+    )

@@ -1501,3 +1501,49 @@ SELECT doc_id, n_bigrams,
        round(exp(-sum_logp / n_bigrams), 4) AS perplexity
 FROM s
 """
+
+
+# operators/realtime.py:winsorize_ticks — per-symbol exact continuous
+# percentiles (quantile_cont == Spark percentile), bounds rounded to
+# 6 dp BEFORE the clamp so both engines compare the identical double.
+WINSORIZE_TICKS_SQL = with_ctes(
+    EVENTS_TICKS,
+    """
+q AS (
+    SELECT symbol,
+        round(quantile_cont(price, 0.01), 6) AS q_lo,
+        round(quantile_cont(price, 0.99), 6) AS q_hi
+    FROM ticks WHERE price IS NOT NULL GROUP BY symbol
+)
+""",
+    select="""
+SELECT t.symbol, t.ts AS event_time, t.price, q.q_lo, q.q_hi,
+       CASE WHEN t.price IS NOT NULL
+            THEN least(greatest(t.price, q.q_lo), q.q_hi) END AS clipped_price,
+       coalesce(t.price < q.q_lo OR t.price > q.q_hi, FALSE) AS is_outlier
+FROM ticks t LEFT JOIN q USING (symbol)
+""",
+)
+
+# operators/text.py:boilerplate_prefix_stats — cross-document shared
+# k-token prefix shares per source.
+BOILERPLATE_PREFIX_SQL = """
+WITH base AS (
+    SELECT doc_id, source,
+        array_to_string(
+            regexp_extract_all(lower(trim(text)),
+                '[a-z]+|[0-9]+|[^a-z0-9 ]')[1:5], ' ') AS prefix
+    FROM documents
+),
+bp AS (
+    SELECT source, prefix, CAST(count(*) AS BIGINT) AS prefix_count
+    FROM base GROUP BY 1, 2
+),
+bs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source FROM base GROUP BY 1)
+SELECT b.doc_id, b.source, b.prefix, bp.prefix_count,
+       round(CAST(bp.prefix_count AS DOUBLE)
+             / nullif(CAST(bs.n_source AS DOUBLE), 0), 4) AS prefix_share,
+       (CAST(bp.prefix_count AS DOUBLE)
+        / nullif(CAST(bs.n_source AS DOUBLE), 0) >= 0.2) AS is_boilerplate
+FROM base b JOIN bp USING (source, prefix) JOIN bs USING (source)
+"""
