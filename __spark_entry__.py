@@ -53,6 +53,7 @@ from stock_market_data_pipeline_v2_spark.operators.text import (
     doc_fingerprint,
     gopher_quality_filter,
     boilerplate_prefix_stats,
+    hash_embed_documents,
     lang_id,
     lm_perplexity,
     pii_scrub,
@@ -255,6 +256,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
+
+
+def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_embed_documents(_docs(spark, sf_dir), dim=64)
 
 
 def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,6 +681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         # cross-document boilerplate prefix shares; tick winsorization
         "boilerplate_prefixes": q_boilerplate_prefixes,
+        # feature-hash embeddings: corpora without model vectors run
+        # the dense dedup/ANN stack on these
+        "hash_embeddings": q_hash_embeddings,
         "winsorize_ticks": q_winsorize_ticks,
         "pii_scrub": q_pii_scrub,
         "gopher_filter": q_gopher_filter,
@@ -780,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles.DOC_FINGERPRINT_SQL,
         "lm_perplexity": oracles.LM_PERPLEXITY_SQL,
         "boilerplate_prefixes": oracles.BOILERPLATE_PREFIX_SQL,
+        "hash_embeddings": oracles.HASH_EMBED_SQL,
         "winsorize_ticks": oracles.WINSORIZE_TICKS_SQL,
         "pii_scrub": oracles.PII_SCRUB_SQL,
         "gopher_filter": oracles.GOPHER_FILTER_SQL,

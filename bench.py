@@ -67,6 +67,7 @@ HEADLINE = [
     "pii_scrub",         # added round 2
     "lm_perplexity",     # added round 3: CCNet-style LM quality scoring
     "boilerplate_prefixes",  # added round 3: cross-doc prefix shares
+    "hash_embeddings",       # added round 3: feature-hash featurization
     "winsorize_ticks",       # added round 3: percentile outlier clamp
     "gopher_filter",     # added round 2
     "chunk_documents",   # added round 2

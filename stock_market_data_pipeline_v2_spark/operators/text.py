@@ -480,3 +480,74 @@ def boilerplate_prefix_stats(
             (share >= threshold).alias("is_boilerplate"),
         )
     )
+
+
+def hash_embed_documents(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Deterministic FEATURE-HASH embeddings (the hashing trick —
+    Weinberger et al. 2009): each token hashes to a bucket with a
+    ±1 sign drawn from a second hash slice, per-bucket signed counts
+    form a ``dim``-vector, L2-normalized. Corpora WITHOUT model
+    embeddings get vectors this way and can then run the entire
+    dense stack — embedding dedup, ANN tiers, IVF/PQ indexes,
+    prototypicality pruning — end to end (sign-hashing keeps the
+    estimator of ⟨x, y⟩ unbiased, which is what makes hash kernels
+    usable for similarity).
+
+    Exactness: bucket sums are integers (exact in any accumulation
+    order), the norm is the sqrt of an exact integer, and each
+    element divides once and rounds at 6 dp — bit-identical across
+    engines (md5-prefix parsing parity as simhash). Token-free docs
+    emit the zero vector. Shape: one explode collapsed by map-side
+    combine into ≤ dim rows per doc, re-collapsed to a map, the
+    vector laid out by a bounded in-row transform — shuffle volume
+    is O(docs·dim) narrow rows, never the token stream."""
+    from ..functions.core import round_away
+
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("token"),
+    ).withColumn("__h", F.md5(F.col("token")))
+    feats = (
+        toks.select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring("__h", 1, 8), 16, 10).cast("long"), F.lit(dim)
+            ).alias("bucket"),
+            (
+                1
+                - 2
+                * F.pmod(
+                    F.conv(F.substring("__h", 9, 8), 16, 10).cast("long"),
+                    F.lit(2),
+                )
+            ).alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("val"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("val")))
+            ).alias("mp")
+        )
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(
+            F.element_at(F.col("mp"), d.cast("long")), F.lit(0)
+        ).cast("double"),
+    )
+    nrm = F.sqrt(F.aggregate(F.col("raw"), F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(
+        F.col("nrm") > 0,
+        F.transform(F.col("raw"), lambda x: round_away(x / F.col("nrm"), 6)),
+    ).otherwise(F.col("raw"))
+    return (
+        documents.select("doc_id")
+        .join(feats, "doc_id", "left")
+        .withColumn("raw", raw)
+        .withColumn("nrm", nrm)
+        .select("doc_id", unit.alias("embedding"))
+    )

@@ -1547,3 +1547,47 @@ SELECT b.doc_id, b.source, b.prefix, bp.prefix_count,
         / nullif(CAST(bs.n_source AS DOUBLE), 0) >= 0.2) AS is_boilerplate
 FROM base b JOIN bp USING (source, prefix) JOIN bs USING (source)
 """
+
+
+# operators/text.py:hash_embed_documents — feature-hash embeddings;
+# md5-prefix parsing parity with Spark conv() verified (simhash
+# precedent). mp[x] yields a 1-element list in DuckDB — [1] unwraps.
+HASH_EMBED_SQL = """
+WITH tk AS (
+    SELECT doc_id,
+        unnest(regexp_extract_all(lower(trim(text)),
+               '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+        CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket,
+        1 - 2 * (CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) % 2) AS sign
+    FROM tk
+),
+b AS (
+    SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS val
+    FROM f GROUP BY 1, 2
+),
+m AS (
+    SELECT doc_id, map_from_entries(list({'k': bucket, 'v': val})) AS mp
+    FROM b GROUP BY doc_id
+),
+v AS (
+    SELECT d.doc_id,
+        list_transform(generate_series(0, 63),
+                       x -> CAST(coalesce(mp[x][1], 0) AS DOUBLE)) AS raw
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN m USING (doc_id)
+),
+n AS (
+    SELECT doc_id, raw,
+        sqrt(list_reduce(list_transform(raw, x -> x * x),
+                         (a, b) -> a + b)) AS nrm
+    FROM v
+)
+SELECT doc_id,
+       CASE WHEN nrm > 0
+            THEN list_transform(raw, x -> round(x / nrm, 6))
+            ELSE raw END AS embedding
+FROM n
+"""

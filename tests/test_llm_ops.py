@@ -1075,3 +1075,50 @@ def test_write_training_shards_contract(spark, tmp_path):
     }
     manifest2 = write_training_shards(docs, out, shard_tokens=budget).collect()
     assert sorted(map(tuple, manifest2)) == sorted(map(tuple, manifest))
+
+
+def test_hash_embeddings_drive_dense_stack(spark):
+    """Feature-hash embeddings plug into the dense stack: exact
+    duplicate texts embed IDENTICALLY, planted near-dup pairs (the
+    jaccard ≥ 0.5 set) score high cosine on hashed vectors, and the
+    brute ANN tier runs end-to-end on them (the point of the op —
+    corpora without model embeddings still get the whole stack)."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.text import (
+        hash_embed_documents,
+    )
+
+    docs = _docs(spark)
+    emb = hash_embed_documents(docs).withColumnRenamed("doc_id", "vec_id")
+    vecs = {r.vec_id: tuple(r.embedding) for r in emb.collect()}
+
+    planted = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=3, text="zeta eta theta iota kappa"),
+        ]
+    )
+    pv = {r.doc_id: tuple(r.embedding) for r in hash_embed_documents(planted).collect()}
+    assert pv[1] == pv[2] and pv[1] != pv[3]  # exact dup → identical vector
+
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    near = shingle_jaccard_pairs(docs, threshold=0.5).collect()
+    assert near
+    scores = [cos(vecs[r.doc_a], vecs[r.doc_b]) for r in near]
+    assert sum(s >= 0.5 for s in scores) / len(scores) >= 0.9
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    assert cosine_topk(emb, queries, k=3).count() > 0
