@@ -45,6 +45,8 @@ def replicate_docs(docs: DataFrame, mult: int) -> DataFrame:
             F.regexp_replace(F.col("text"), r"(\S+)", r"$1" + f"_{i}").alias(
                 "text"
             ),
+            "lang",
+            "source",
         )
         copies.append(c)
     out = copies[0]
@@ -127,7 +129,19 @@ def main() -> None:
     # linear once n_cells hits the 4096 cap at n ≈ 16.8M.
     idx = build_ivf_index(embs, n_assign=3, persist=True)
     pq_idx = build_pq_index(embs, persist=True)
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        quality_decile_bins,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.text import (
+        lm_perplexity,
+    )
+
     probes = {
+        # (curation_pipeline is NOT probed: the token namespacing of
+        # the replicas breaks its stopword gates — a replication
+        # artifact; its stages are covered by their own rows)
+        "lm_perplexity": lambda: lm_perplexity(docs),
+        "quality_decile_bins": lambda: quality_decile_bins(docs),
         "passage_overlap": lambda: passage_overlap_pairs(docs, threshold=0.3),
         "pq_build": lambda: build_pq_index(embs).codes,
         "ann_pq_topk": lambda: pq_adc_topk(embs, qs, k=5, index=pq_idx),
