@@ -199,3 +199,30 @@ def test_jdbc_warehouse_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="quartet"):
         read_jdbc(spark, url, "ticks", driver=drv, partition_column="id")
+
+
+def test_registry_integrity():
+    """Driver-contract meta-gate: every oracle_sql key names a
+    registered query, and every oracle string is valid DuckDB SQL
+    against the registered views (EXPLAIN only — catches column/
+    syntax drift without executing 64 queries)."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    qs, os_ = m.queries(), m.oracle_sql()
+    assert set(os_) <= set(qs), sorted(set(os_) - set(qs))
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    for name, sql in os_.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(f"oracle {name} fails DuckDB EXPLAIN: {e}")
