@@ -18,6 +18,7 @@ from stock_market_data_pipeline_v2_spark.operators.bars import (
     bars_from_events,
     daily_vwap,
     filter_clean_bars,
+    multi_grain_bars,
     forward_fill_bars,
 )
 from stock_market_data_pipeline_v2_spark.operators.returns import daily_returns
@@ -611,6 +612,11 @@ def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tick_events(load_table(spark, sf_dir, "events"))
 
 
+def q_multi_grain_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return multi_grain_bars(load_table(spark, sf_dir, "events"))
+
+
 def q_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_vwap(_ticks(spark, sf_dir))
 
@@ -651,6 +657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_bars": q_daily_bars,
         # volume-weighted average price + calendar gap-fill panel
         "daily_vwap": q_daily_vwap,
+        # 15m/hour/day OHLCV in ONE grouping-sets pass
+        "multi_grain_bars": q_multi_grain_bars,
         "forward_fill_bars": q_forward_fill_bars,
         "daily_returns": q_daily_returns,
         "rolling_indicators": q_rolling_indicators,
@@ -763,6 +771,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "daily_bars": oracles.DAILY_BARS_SQL,
         "daily_vwap": oracles.DAILY_VWAP_SQL,
+        "multi_grain_bars": oracles.MULTI_GRAIN_BARS_SQL,
         "forward_fill_bars": oracles.FORWARD_FILL_BARS_SQL,
         "daily_returns": oracles.DAILY_RETURNS_SQL,
         "rolling_indicators": oracles.ROLLING_INDICATORS_SQL,

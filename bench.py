@@ -29,6 +29,7 @@ HEADLINE = [
     "macd",
     "asof_tick_bar",
     "daily_vwap",          # added round 3
+    "multi_grain_bars",    # added round 3: grouping-sets single pass
     "forward_fill_bars",   # added round 3
     "session_windows",
     "regional_supplier_revenue",

@@ -202,3 +202,76 @@ def forward_fill_bars(bars: DataFrame) -> DataFrame:
         )
         .select("symbol", "trade_date", "close_price", "filled_close", "is_filled")
     )
+
+
+def multi_grain_bars(
+    events: DataFrame,
+    entity_col: str = "event_type",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+    qty_json_col: str = "props",
+    qty_json_path: str = "$.k",
+) -> DataFrame:
+    """OHLCV bars at THREE granularities (15-minute, hour, day) from
+    ONE scan and ONE aggregate via GROUPING SETS — the multi-grain
+    rollup a charting/analytics backend asks for, without scanning
+    the tick stream once per grain (a UNION of three groupBys reads
+    the data three times; grouping sets replicate rows inside the
+    Expand operator instead, so the scan and the shuffle happen
+    once). Output: (symbol, grain ∈ {'15m','hour','day'},
+    bucket_start, OHLCV, n_trades) with the same deterministic
+    (ts, id) open/close tiebreak as :func:`bars_from_events`.
+
+    The oracle expresses the identical result as a 3-grain UNION of
+    the daily-bar formulation — semantics gate, plan freedom (the
+    single-pass execution is the Spark side's job)."""
+    order_key = F.struct(F.col(ts_col), F.col(id_col))
+    qty = F.get_json_object(F.col(qty_json_col), qty_json_path).try_cast("long")
+    ts = F.col(ts_col)
+    g = events.select(
+        F.upper(F.trim(F.col(entity_col))).alias("symbol"),
+        ts.alias("__ts"),
+        F.col(price_col).try_cast("double").alias("price"),
+        order_key.alias("order_key"),
+        qty.alias("qty"),
+        F.date_trunc("DAY", ts).alias("day_b"),
+        F.date_trunc("HOUR", ts).alias("hour_b"),
+        F.timestamp_seconds(
+            F.expr(f"unix_timestamp(`{ts_col}`) div 900 * 900")
+        ).alias("q15_b"),
+    )
+    grain = (
+        F.when(F.grouping("day_b") == 0, F.lit("day"))
+        .when(F.grouping("hour_b") == 0, F.lit("hour"))
+        .otherwise(F.lit("15m"))
+    )
+    return (
+        g.groupingSets(
+            [["symbol", "day_b"], ["symbol", "hour_b"], ["symbol", "q15_b"]],
+            "symbol",
+            "day_b",
+            "hour_b",
+            "q15_b",
+        )
+        .agg(
+            grain.alias("grain"),
+            F.min_by("price", "order_key").alias("open_price"),
+            F.max("price").alias("high_price"),
+            F.min("price").alias("low_price"),
+            F.max_by("price", "order_key").alias("close_price"),
+            F.sum("qty").alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            "symbol",
+            "grain",
+            F.coalesce("day_b", "hour_b", "q15_b").alias("bucket_start"),
+            "open_price",
+            "high_price",
+            "low_price",
+            "close_price",
+            "volume",
+            "n_trades",
+        )
+    )

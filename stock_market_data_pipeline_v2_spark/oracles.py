@@ -1591,3 +1591,48 @@ SELECT doc_id,
             ELSE raw END AS embedding
 FROM n
 """
+
+
+# operators/bars.py:multi_grain_bars — the Spark side runs ONE
+# grouping-sets pass; the oracle states the same semantics as a
+# 3-grain UNION of the daily-bar row_number formulation.
+MULTI_GRAIN_BARS_SQL = with_ctes(
+    EVENTS_TICKS,
+    """
+g AS (
+    SELECT symbol, ts, event_id, price, qty,
+        date_trunc('day', ts)  AS day_b,
+        date_trunc('hour', ts) AS hour_b,
+        make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)
+                       * 1000000) AS q15_b
+    FROM ticks
+),
+u AS (
+    SELECT symbol, ts, event_id, price, qty, 'day' AS grain,
+           day_b AS bucket_start FROM g
+    UNION ALL
+    SELECT symbol, ts, event_id, price, qty, 'hour', hour_b FROM g
+    UNION ALL
+    SELECT symbol, ts, event_id, price, qty, '15m', q15_b FROM g
+),
+r AS (
+    SELECT *,
+        row_number() OVER (PARTITION BY symbol, grain, bucket_start
+                           ORDER BY ts, event_id)             AS rn_f,
+        row_number() OVER (PARTITION BY symbol, grain, bucket_start
+                           ORDER BY ts DESC, event_id DESC)   AS rn_l
+    FROM u
+)
+""",
+    select="""
+SELECT symbol, grain, bucket_start,
+       max(CASE WHEN rn_f = 1 THEN price END) AS open_price,
+       max(price)                             AS high_price,
+       min(price)                             AS low_price,
+       max(CASE WHEN rn_l = 1 THEN price END) AS close_price,
+       CAST(sum(qty) AS BIGINT)               AS volume,
+       count(*)                               AS n_trades
+FROM r
+GROUP BY 1, 2, 3
+""",
+)
