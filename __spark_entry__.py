@@ -37,11 +37,17 @@ from stock_market_data_pipeline_v2_spark.operators.dims import (
     regional_supplier_revenue,
     top_revenue_orders,
 )
-from stock_market_data_pipeline_v2_spark.operators.upsert import merge_upsert
+from stock_market_data_pipeline_v2_spark.operators.upsert import (
+    merge_upsert,
+    scd2_history,
+)
 from stock_market_data_pipeline_v2_spark.operators.curation import (
     chunk_documents,
     corpus_stats_by_source,
     curation_pipeline,
+    importance_resample,
+    importance_weights,
+    leakage_safe_split,
     mix_corpus,
     ngram_containment,
     pack_sequences,
@@ -310,6 +316,43 @@ def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(_docs(spark, sf_dir), quotas={"en": 50, "de": 30})
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return leakage_safe_split(
+        docs,
+        shingle_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_shingle_freq=_SHINGLE_DF_CAP
+        ),
+        val_fraction=0.1,
+    )
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # target distribution = the English slice (stand-in for a small
+    # high-quality corpus); weights select raw docs that "look en".
+    return importance_weights(docs, docs.filter("lang = 'en'")).select(
+        "doc_id", "n_tokens", "importance_weight"
+    )
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return importance_resample(docs, docs.filter("lang = 'en'"), n_keep=100)
+
+
+def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    configure_runtime(spark)
+    events = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        events.select(
+            "user_id", "ts", F.col("event_type").alias("status"), "event_id"
+        )
+    )
 
 
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "merge_upsert": q_merge_upsert,
+        # SCD type-2 dimension history (the dbt-snapshot contract).
+        "scd2_user_status": q_scd2_user_status,
         "regional_supplier_revenue": q_regional_supplier_revenue,
         "order_priority_rollup": q_order_priority_rollup,
         # Q14/Q17 shapes: conditional agg over a broadcast dim join;
@@ -701,6 +746,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequency": q_token_frequency,
         "stratified_sample": q_stratified_sample,
         "ngram_containment": q_ngram_containment,
+        # group-aware train/val split: near-dup clusters never
+        # straddle the boundary (decontamination of one's own eval).
+        "leakage_safe_split": q_leakage_safe_split,
+        # DSIR (hashed-unigram importance weights + Gumbel-top-k
+        # resampling) — deterministic, both fully oracle-gated.
+        "importance_weights": q_importance_weights,
+        "importance_resample": q_importance_resample,
         "pack_sequences": q_pack_sequences,
         # exact global quality ranking via distributed two-level rank
         "quality_decile_bins": q_quality_decile_bins,
@@ -787,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "top_revenue_orders": oracles.TOP_REVENUE_ORDERS_SQL,
         "merge_upsert": oracles.MERGE_UPSERT_SQL,
+        "scd2_user_status": oracles.SCD2_USER_STATUS_SQL,
         "regional_supplier_revenue": oracles.REGIONAL_SUPPLIER_REVENUE_SQL,
         "order_priority_rollup": oracles.ORDER_PRIORITY_ROLLUP_SQL,
         "promo_revenue_monthly": oracles.PROMO_REVENUE_MONTHLY_SQL,
@@ -807,6 +860,9 @@ def oracle_sql() -> dict[str, str]:
         "token_frequency": oracles.TOKEN_FREQUENCY_SQL,
         "stratified_sample": oracles.STRATIFIED_SAMPLE_SQL,
         "ngram_containment": oracles.NGRAM_CONTAINMENT_SQL,
+        "leakage_safe_split": oracles.LEAKAGE_SAFE_SPLIT_SQL,
+        "importance_weights": oracles.IMPORTANCE_WEIGHTS_SQL,
+        "importance_resample": oracles.IMPORTANCE_RESAMPLE_SQL,
         "pack_sequences": oracles.PACK_SEQUENCES_SQL,
         "quality_decile_bins": oracles.QUALITY_DECILE_BINS_SQL,
         "curation_pipeline": oracles.CURATION_PIPELINE_SQL,

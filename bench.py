@@ -49,6 +49,7 @@ HEADLINE = [
     "top_revenue_orders",
     "regional_customer_summary",
     "merge_upsert",
+    "scd2_user_status",       # added round 3: SCD2 dimension history
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -75,6 +76,8 @@ HEADLINE = [
     "token_frequency",   # added round 2
     "stratified_sample", # added round 2
     "ngram_containment", # added round 2
+    "leakage_safe_split",     # added round 3: group-aware split
+    "importance_resample",    # added round 3: DSIR selection
     "pack_sequences",    # added round 2
     "prototypicality_prune",  # added round 3: D4-style pruning off the IVF index
     "quality_decile_bins",    # added round 3: exact global quality ranking

@@ -583,3 +583,200 @@ def write_training_shards(
         )
         .orderBy("shard_id")
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    val_fraction: float = 0.1,
+    salt: str = "v1",
+) -> DataFrame:
+    """GROUP-AWARE train/validation split: near-duplicate documents
+    never straddle the boundary. Splitting uniformly at the document
+    level leaks — a validation doc with a near-copy in train is a
+    memorization freebie that inflates eval (the decontamination
+    problem, applied to one's own corpus). The unit of assignment must
+    be the near-dup CLUSTER, not the document.
+
+    ``pairs`` is any near-dup edge list (doc_a, doc_b) — shingle
+    Jaccard, winnowing, SemDeDup; every doc inherits its connected
+    component's min-label representative (:func:`~.dedup.
+    dedup_clusters_star`, the diameter-independent CC), singletons
+    represent themselves. The side is drawn from
+    ``md5(salt:group_rep)``: the first 4 hex chars compare against
+    ``round(val_fraction·65536)`` in hex — a pure function of the
+    GROUP, so (a) both engines and any partitioning agree, (b) the
+    whole cluster moves together by construction, and (c) adding new
+    docs later never flips an existing group's side (incremental
+    stability — eval sets stay frozen as the corpus grows). Changing
+    ``salt`` redraws the fold (cross-validation).
+
+    Scale shape: the CC runs on the EDGE LIST (dup pairs ≪ corpus);
+    the labels frame joins back by doc_id key — narrow rows, one
+    shuffle — and the hash draw is scan-shaped. 0 < val_fraction < 1.
+    """
+    from .dedup import dedup_clusters_star
+
+    if not 0.0 < val_fraction < 1.0:
+        raise ValueError(f"val_fraction must be in (0, 1), got {val_fraction}")
+    thresh_hex = format(int(round(val_fraction * 65536)), "04x")
+    labels = dedup_clusters_star(pairs).withColumnRenamed("cluster_id", "__cid")
+    rep = F.coalesce(F.col("__cid"), F.col("doc_id"))
+    key4 = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), rep.cast("string"))), 1, 4
+    )
+    return (
+        documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.alias("group_rep"),
+            F.when(key4 < F.lit(thresh_hex), F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
+def importance_weights(
+    documents: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-unigram bag is under
+    the TARGET distribution (a small high-quality corpus — here any
+    DataFrame of documents) than under the RAW distribution (the
+    corpus itself). weight(doc) = Σ_tokens log p̂_tgt(bucket(tok)) −
+    log p̂_raw(bucket(tok)), with add-one smoothing over ``n_buckets``
+    hashed buckets — the hashed n-gram generative model of the paper,
+    unigram variant.
+
+    Exactness: bucket ids parse the md5 prefix (engine-portable, as
+    hash_embed); counts are integers; each per-token log-ratio is one
+    ``ln`` of an integer-ratio double, and the per-doc sum folds over
+    the position-sorted contribution list (PERF.md lesson 2 — the
+    oracle mirrors with ``list_reduce(list(... ORDER BY pos))``).
+
+    Scale shape: both count tables are ≤ ``n_buckets`` rows (hashing
+    collapses the vocabulary — the POINT of DSIR at web scale: model
+    size is fixed regardless of corpus size), so the per-token join
+    is a broadcast; the only corpus-sized shuffle is the
+    position-sorted per-doc fold. Docs with no tokens weigh 0.
+    """
+    from ..functions.core import round_away
+
+    spark_par = documents.sparkSession.sparkContext.defaultParallelism
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("long")
+
+    def tok_buckets(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "doc_id",
+                F.posexplode(
+                    F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+                ).alias("pos", "token"),
+            )
+            .withColumn("bucket", bucket)
+        )
+
+    raw_tok = tok_buckets(documents.repartition(spark_par, "doc_id"))
+    raw_cnt = raw_tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_cnt = (
+        tok_buckets(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    raw_tot = raw_cnt.agg(F.sum("c_raw").alias("t_raw"))
+    tgt_tot = tgt_cnt.agg(F.sum("c_tgt").alias("t_tgt"))
+    lam = F.log(
+        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
+        / (F.col("t_tgt") + n_buckets).cast("double")
+    ) - F.log(
+        (F.coalesce(F.col("c_raw"), F.lit(0)) + 1).cast("double")
+        / (F.col("t_raw") + n_buckets).cast("double")
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("pos"), F.col("lam")))),
+            lambda s: s["lam"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        raw_tok.join(F.broadcast(raw_cnt), "bucket", "left")
+        .join(F.broadcast(tgt_cnt), "bucket", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .withColumn("lam", lam)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), fold.alias("w"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("w"), F.lit(0.0)).alias("raw_weight"),
+            round_away(F.coalesce(F.col("w"), F.lit(0.0)), 6).alias(
+                "importance_weight"
+            ),
+        )
+    )
+
+
+def importance_resample(
+    documents: DataFrame,
+    target: DataFrame,
+    n_keep: int = 100,
+    n_buckets: int = 256,
+    salt: str = "v1",
+) -> DataFrame:
+    """Importance RESAMPLING over :func:`importance_weights` — the
+    selection half of DSIR: draw ``n_keep`` docs without replacement
+    with probability ∝ exp(weight) via the Gumbel-top-k trick
+    (Kool et al. 2019): score = weight + Gumbel(0,1), keep the top
+    ``n_keep``. The Gumbel draw is DETERMINISTIC — u parses 13 hex
+    chars of ``md5(salt:doc_id)`` into a 52-bit uniform (u =
+    (v + 0.5)/2^52 ∈ (0,1), never 0 or 1 → both logs finite), g =
+    −ln(−ln u) — so the sample is reproducible across engines,
+    re-runs and partitionings, and ``salt`` re-draws it (ablations).
+
+    Ranking uses the UNROUNDED score with a doc_id tiebreak; the
+    emitted score rounds once at the end. Scale shape: the weight
+    pass (broadcast count tables) plus ONE top-k — rank via a single
+    window only over candidate rows; at 100 TB swap the global window
+    for the two-level rank of :func:`quality_decile_bins` (same
+    contract) or a ``TakeOrderedAndProject`` collect of n_keep ids.
+    """
+    from ..functions.core import round_away
+
+    w = importance_weights(documents, target, n_buckets=n_buckets)
+    v52 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v52 + F.lit(0.5)) / F.lit(4503599627370496.0)
+    score = F.col("raw_weight") + (-F.log(-F.log(u)))
+    rank_w = Window.orderBy(F.desc("score_raw"), F.asc("doc_id"))
+    return (
+        w.withColumn("score_raw", score)
+        .withColumn("sample_rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("sample_rank") <= n_keep)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "importance_weight",
+            round_away(F.col("score_raw"), 6).alias("gumbel_score"),
+            "sample_rank",
+        )
+    )

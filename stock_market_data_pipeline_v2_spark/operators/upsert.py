@@ -67,3 +67,46 @@ def latest_by_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def scd2_history(
+    updates: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "status",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 from a change stream — the
+    dbt ``snapshot`` contract (timestamp strategy) the reference's dbt
+    project would use for dimension history, as one declarative plan:
+    per key, each ATTRIBUTE CHANGE opens a version row with
+    ``valid_from`` = its timestamp, ``valid_to`` = the next change's
+    timestamp (null while current), a 1-based ``version`` and an
+    ``is_current`` flag. Consecutive updates with the SAME attribute
+    value collapse into one version (SCD2 versions on change, not on
+    touch).
+
+    Determinism: update order is (ts, tiebreak) — pass a unique id so
+    same-timestamp updates order identically everywhere; the change
+    filter compares against the PREVIOUS update in that total order.
+    Scale shape: ONE hash repartition by key feeds both windows (same
+    partition/order spec → one exchange+sort, the stock_performance
+    lesson); state per key is a lag/lead cursor, never a buffer. At
+    warehouse scale the output lands via merge_upsert keyed on
+    (key, valid_from) — closing a version rewrites only its row.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    changed = (
+        updates.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    return changed.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

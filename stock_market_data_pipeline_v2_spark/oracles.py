@@ -1636,3 +1636,188 @@ FROM r
 GROUP BY 1, 2, 3
 """,
 )
+
+
+# operators/curation.py:leakage_safe_split — the cluster closure is
+# DEDUP_CLUSTERS_SQL's recursive reach (same pairs: 3-shingle Jaccard
+# >= 0.5 under the df cap); the side is a pure function of the group
+# representative's md5, so both engines agree row-for-row.
+LEAKAGE_SAFE_SPLIT_SQL = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks
+),
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+shj AS (
+    SELECT doc_id, shingle FROM sh
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+    WHERE CAST(i AS DOUBLE) / (x.c + y.c - i) >= 0.5
+),
+edges AS (
+    SELECT doc_a, doc_b FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+    SELECT DISTINCT doc_a AS doc_id, doc_a AS r FROM edges
+    UNION
+    SELECT e.doc_a AS doc_id, rc.r
+    FROM edges e JOIN reach rc ON e.doc_b = rc.doc_id
+),
+lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT d.doc_id,
+    CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS group_rep,
+    CASE WHEN substr(md5('v1:' ||
+             CAST(CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS VARCHAR)),
+             1, 4) < '199a'
+         THEN 'val' ELSE 'train' END AS split
+FROM documents d LEFT JOIN lab l USING (doc_id)
+"""
+
+# operators/upsert.py:scd2_history — SCD type-2 over the events
+# change stream (user_id's event_type as the tracked attribute).
+# Update order is (ts, event_id) in BOTH windows; versions open only
+# on value change.
+SCD2_USER_STATUS_SQL = """
+WITH u AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           event_type AS status, event_id
+    FROM events
+),
+c AS (
+    SELECT *, lag(status) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM u
+),
+f AS (
+    SELECT user_id, ts, status, event_id
+    FROM c WHERE prev IS NULL OR status <> prev
+)
+SELECT user_id, status, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)  AS valid_to,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                                                                AS version,
+    (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+                                                                AS is_current
+FROM f
+"""
+
+# operators/curation.py:importance_weights — DSIR hashed-unigram
+# log-likelihood ratios; target = the English slice. Exactness: md5
+# bucket parse (as hash_embed), integer counts, ln of integer-ratio
+# doubles, per-doc fold ORDER BY pos (as lm_perplexity).
+IMPORTANCE_WEIGHTS_SQL = """
+WITH tk AS (
+    SELECT doc_id,
+        regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ta
+    FROM documents
+),
+tkl AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, ta[i] AS token
+    FROM tk, unnest(generate_series(1, len(ta))) AS u(i)
+),
+tb AS (
+    SELECT doc_id, pos,
+        CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256 AS bucket
+    FROM tkl
+),
+rawc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_raw FROM tb GROUP BY 1),
+tgtc AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS c_tgt
+    FROM tb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1
+),
+rt AS (SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw FROM rawc),
+tt AS (SELECT CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM tgtc),
+sc AS (
+    SELECT tb.doc_id, tb.pos,
+        ln(CAST(coalesce(g.c_tgt, 0) + 1 AS DOUBLE) / CAST(t_tgt + 256 AS DOUBLE))
+      - ln(CAST(coalesce(r.c_raw, 0) + 1 AS DOUBLE) / CAST(t_raw + 256 AS DOUBLE))
+            AS lam
+    FROM tb LEFT JOIN rawc r USING (bucket) LEFT JOIN tgtc g USING (bucket), rt, tt
+),
+s AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        list_reduce(list(lam ORDER BY pos), (x, y) -> x + y) AS w
+    FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id,
+    CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+    round(coalesce(s.w, 0.0), 6)            AS importance_weight
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+# operators/curation.py:importance_resample — Gumbel-top-k over the
+# UNROUNDED weight; u parses 13 md5 hex chars into a 52-bit uniform,
+# rank ties break by doc_id, the emitted score rounds once.
+IMPORTANCE_RESAMPLE_SQL = """
+WITH tk AS (
+    SELECT doc_id,
+        regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ta
+    FROM documents
+),
+tkl AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, ta[i] AS token
+    FROM tk, unnest(generate_series(1, len(ta))) AS u(i)
+),
+tb AS (
+    SELECT doc_id, pos,
+        CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256 AS bucket
+    FROM tkl
+),
+rawc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_raw FROM tb GROUP BY 1),
+tgtc AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS c_tgt
+    FROM tb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1
+),
+rt AS (SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw FROM rawc),
+tt AS (SELECT CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM tgtc),
+sc AS (
+    SELECT tb.doc_id, tb.pos,
+        ln(CAST(coalesce(g.c_tgt, 0) + 1 AS DOUBLE) / CAST(t_tgt + 256 AS DOUBLE))
+      - ln(CAST(coalesce(r.c_raw, 0) + 1 AS DOUBLE) / CAST(t_raw + 256 AS DOUBLE))
+            AS lam
+    FROM tb LEFT JOIN rawc r USING (bucket) LEFT JOIN tgtc g USING (bucket), rt, tt
+),
+s AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        list_reduce(list(lam ORDER BY pos), (x, y) -> x + y) AS w
+    FROM sc GROUP BY doc_id
+),
+wt AS (
+    SELECT d.doc_id,
+        CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        coalesce(s.w, 0.0)                      AS rw
+    FROM documents d LEFT JOIN s USING (doc_id)
+),
+g AS (
+    SELECT doc_id, n_tokens, rw,
+        rw + (-ln(-ln(
+            (CAST(CAST(('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                       AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)))
+            AS score_raw
+    FROM wt
+),
+r AS (
+    SELECT doc_id, n_tokens, rw, score_raw,
+        CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id) AS BIGINT)
+            AS sample_rank
+    FROM g
+)
+SELECT doc_id, n_tokens,
+    round(rw, 6)        AS importance_weight,
+    round(score_raw, 6) AS gumbel_score,
+    sample_rank
+FROM r WHERE sample_rank <= 100
+"""

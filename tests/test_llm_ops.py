@@ -1122,3 +1122,92 @@ def test_hash_embeddings_drive_dense_stack(spark):
 
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     assert cosine_topk(emb, queries, k=3).count() > 0
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """Every near-dup pair lands on ONE side; singletons split by
+    their own hash; the assignment is invariant to partitioning."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+
+    docs = _docs(spark)
+    pairs = shingle_jaccard_pairs(docs, threshold=0.5)
+    split = leakage_safe_split(docs, pairs, val_fraction=0.25).cache()
+    side = {r.doc_id: r.split for r in split.collect()}
+    pr = pairs.select("doc_a", "doc_b").collect()
+    assert pr, "testdata should contain planted near-dups"
+    for r in pr:
+        assert side[r.doc_a] == side[r.doc_b], (r.doc_a, r.doc_b)
+    # full coverage, both sides populated at 25%
+    assert len(side) == docs.count()
+    n_val = sum(1 for s in side.values() if s == "val")
+    assert 0 < n_val < len(side)
+    # partition-invariance: same assignment from a different layout
+    again = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            docs.repartition(7), pairs.repartition(3), val_fraction=0.25
+        ).collect()
+    }
+    assert again == side
+    split.unpersist()
+
+
+def test_scd2_history_versions_on_change(spark):
+    """Hand-built change stream: same-value touches collapse, ts ties
+    order by the tiebreak id, validity chains end-to-end."""
+    from datetime import datetime
+
+    from stock_market_data_pipeline_v2_spark.operators.upsert import scd2_history
+
+    T = datetime
+    rows = [
+        # user 1: A, touch A (collapses), B, back to A
+        Row(user_id=1, ts=T(2024, 1, 1, 9), status="A", event_id=1),
+        Row(user_id=1, ts=T(2024, 1, 2, 9), status="A", event_id=2),
+        Row(user_id=1, ts=T(2024, 1, 3, 9), status="B", event_id=3),
+        Row(user_id=1, ts=T(2024, 1, 4, 9), status="A", event_id=4),
+        # user 2: ts tie resolved by event_id → X then Y
+        Row(user_id=2, ts=T(2024, 1, 1, 9), status="X", event_id=10),
+        Row(user_id=2, ts=T(2024, 1, 1, 9), status="Y", event_id=11),
+    ]
+    out = scd2_history(spark.createDataFrame(rows)).collect()
+    h = {(r.user_id, r.version): r for r in out}
+    assert len(h) == 5
+    u1 = [h[(1, v)] for v in (1, 2, 3)]
+    assert [r.status for r in u1] == ["A", "B", "A"]
+    assert u1[0].valid_from == T(2024, 1, 1, 9)
+    # the collapsed touch does NOT open a version; A stays valid to the B change
+    assert u1[0].valid_to == T(2024, 1, 3, 9)
+    assert u1[1].valid_to == T(2024, 1, 4, 9)
+    assert u1[2].valid_to is None and u1[2].is_current
+    assert not u1[0].is_current and not u1[1].is_current
+    u2 = [h[(2, v)] for v in (1, 2)]
+    assert [r.status for r in u2] == ["X", "Y"]
+    assert u2[0].valid_to == u2[1].valid_from  # zero-duration tie interval
+
+
+def test_importance_resample_favors_target(spark):
+    """Docs from the target slice should carry higher mean importance
+    weight than the rest; the Gumbel draw is deterministic."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        importance_resample,
+        importance_weights,
+    )
+
+    docs = _docs(spark)
+    target = docs.filter("lang = 'en'")
+    w = importance_weights(docs, target)
+    rows = w.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    en = [r.importance_weight for r in rows if r.lang == "en"]
+    rest = [r.importance_weight for r in rows if r.lang != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    s1 = importance_resample(docs, target, n_keep=50).collect()
+    assert len(s1) == 50 and all(r.sample_rank <= 50 for r in s1)
+    s2 = importance_resample(docs.repartition(13), target, n_keep=50).collect()
+    assert sorted(r.doc_id for r in s1) == sorted(r.doc_id for r in s2)
