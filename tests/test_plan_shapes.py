@@ -197,3 +197,25 @@ def test_quality_bins_no_corpus_window(spark):
     # corpus-side row_number windows must carry a partition spec
     for mwin in re.finditer(r"Window \[row_number\(\).*?\]", phys):
         assert "__pid" in mwin.group(0)
+
+
+def test_scd2_single_exchange_and_sort(spark):
+    """Both SCD2 windows share one (key) partitioning and one
+    (ts, tiebreak) sort — the stock_performance lineage lesson."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["scd2_user_status"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [") <= 1 or plan.count("+- Sort") <= 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert j not in plan
+
+
+def test_importance_weights_count_tables_broadcast(spark):
+    """The DSIR model is two <= n_buckets-row count tables: both must
+    reach the token stream as broadcasts, never a SortMergeJoin."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["importance_weights"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
