@@ -165,3 +165,60 @@ def write_clustered(
     )
     sorted_df = repartitioned.sortWithinPartitions(*cols)
     write_parquet(sorted_df, path, mode=mode, partition_cols=partition_cols)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-Lines scan — the lingua franca of LLM corpus interchange
+    (web dumps, instruction sets, eval suites all ship as .jsonl).
+    Schema is REQUIRED: inference costs a full extra pass at 100 TB
+    and silently unions drifting shapes. PERMISSIVE mode + an
+    explicit corrupt-record column turns malformed lines into
+    auditable rows instead of job failures (the try_cast stance of
+    the cleaning paths, applied to the parse itself): select
+    ``corrupt_col IS NOT NULL`` into a quarantine zone, assert a
+    rate bound in plans/checks, and keep going. (Spark refuses a
+    query that references ONLY the corrupt column on a raw scan —
+    cache the frame, or land it to parquet first, before filtering
+    the quarantine.)
+
+    Scale: newline-delimited JSON splits by line across executors
+    (unlike multiline JSON, which is one task per file); compressed
+    inputs split only if the codec does (prefer zstd/bzip2 or many
+    files over one giant gzip).
+    """
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if not any(f.name == corrupt_col for f in schema.fields):
+        from pyspark.sql.types import StringType, StructField
+
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+        )
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    ).json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: Sequence[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """JSON-Lines sink (one JSON object per line; trainer-loader
+    ready). ``compression='gzip'|'zstd'`` trades scan splittability
+    for size — prefer partitioned output over one big file."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.json(path)

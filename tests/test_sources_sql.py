@@ -226,3 +226,40 @@ def test_registry_integrity():
             con.execute(f"EXPLAIN {sql}")
         except Exception as e:  # noqa: BLE001
             raise AssertionError(f"oracle {name} fails DuckDB EXPLAIN: {e}")
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL sink → scan roundtrip; malformed lines land in the
+    corrupt-record column instead of failing the job."""
+    from stock_market_data_pipeline_v2_spark.sources.io import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = tmp_path / "corpus"
+    write_jsonl(docs.select("doc_id", "text", "lang", "source"), str(out))
+    back = read_jsonl(
+        spark,
+        str(out),
+        "doc_id long, text string, lang string, source string",
+    ).cache()
+    assert back.filter("_corrupt_record IS NOT NULL").count() == 0
+    a = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+    b = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
+    assert a == b
+    # plant a malformed line next to the good ones (unpersist first:
+    # the cached identical plan would otherwise mask the new file)
+    back.unpersist()
+    (out / "zz_bad.json").write_text('{"doc_id": 1, "text": "ok"}\n{not json\n')
+    # Spark disallows filtering ONLY the corrupt column on a raw scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — quarantine passes cache first.
+    mixed = read_jsonl(
+        spark,
+        str(out),
+        "doc_id long, text string, lang string, source string",
+    ).cache()
+    bad = mixed.filter("_corrupt_record IS NOT NULL")
+    assert bad.count() == 1
+    assert "{not json" in bad.collect()[0]._corrupt_record
+    assert mixed.count() == docs.count() + 2
