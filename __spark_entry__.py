@@ -26,8 +26,11 @@ from stock_market_data_pipeline_v2_spark.operators.indicators import rolling_ind
 from stock_market_data_pipeline_v2_spark.operators.performance import stock_performance
 from stock_market_data_pipeline_v2_spark.operators.summary import daily_summary
 from stock_market_data_pipeline_v2_spark.operators.dims import (
+    dormant_customers,
     event_type_pivot,
+    large_volume_customers,
     promo_revenue_monthly,
+    returned_orders_by_priority,
     small_qty_part_revenue,
     load_ticker_dim,
     sector_activity_sketch,
@@ -185,6 +188,29 @@ def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return large_volume_customers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def q_returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return returned_orders_by_priority(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return dormant_customers(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
 
 
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,6 +750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # correlated aggregate re-planned as a broadcast agg join.
         "promo_revenue_monthly": q_promo_revenue_monthly,
         "small_qty_part_revenue": q_small_qty_part_revenue,
+        "large_volume_customers": q_large_volume_customers,
+        "returned_orders_by_priority": q_returned_orders_by_priority,
+        "dormant_customers": q_dormant_customers,
         "event_type_pivot": q_event_type_pivot,
         # sketch tier: approximate by contract → rows-only gate
         "sector_activity_sketch": q_sector_activity_sketch,
@@ -844,6 +873,9 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_rollup": oracles.ORDER_PRIORITY_ROLLUP_SQL,
         "promo_revenue_monthly": oracles.PROMO_REVENUE_MONTHLY_SQL,
         "small_qty_part_revenue": oracles.SMALL_QTY_PART_REVENUE_SQL,
+        "large_volume_customers": oracles.LARGE_VOLUME_CUSTOMERS_SQL,
+        "returned_orders_by_priority": oracles.RETURNED_ORDERS_BY_PRIORITY_SQL,
+        "dormant_customers": oracles.DORMANT_CUSTOMERS_SQL,
         "event_type_pivot": oracles.EVENT_TYPE_PIVOT_SQL,
         "text_quality": oracles.TEXT_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,

@@ -290,3 +290,126 @@ def small_qty_part_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def large_volume_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: int = 300,
+) -> DataFrame:
+    """TPC-H Q18-shaped: customers whose single orders exceed a
+    quantity threshold (the HAVING-subquery → semi-join pattern).
+
+    Spark-first plan: the fact table collapses FIRST — one hash
+    aggregate to (orderkey, total_qty), the HAVING filter prunes it
+    to a key set orders of magnitude smaller than the fact — and only
+    that surviving set joins outward: broadcast into ``orders``
+    (threshold keys ≪ orders), then the customer dim broadcasts for
+    the name. Nothing order-sized or lineitem-sized ever shuffles for
+    a join; the one fact shuffle is the initial per-order aggregate,
+    which partial-aggregates map-side.
+
+    Exactness: l_quantity is integral-valued so the per-order sum is
+    exact in any accumulation order; the strict ``>`` threshold and
+    every output column are engine-portable without rounding.
+    Deterministic order: (o_totalprice desc, o_orderkey asc).
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+def returned_orders_by_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q4-shaped: order counts per priority, restricted to
+    orders with at least one RETURNED line — the EXISTS-correlated-
+    subquery pattern, re-planned as a LEFT SEMI join (semi stops at
+    the first match per key: no fan-out, no distinct needed, and the
+    probe side streams).
+
+    Scale shape: the date filter pushes to the orders parquet scan
+    (year-window partition pruning at production layout); the
+    returned-key side projects to the bare 8-byte orderkey before the
+    semi join, so the shuffle carries keys, not lineitem payloads.
+    Counts are integers — exact everywhere; priority domain is tiny.
+    """
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(returned, orders.o_orderkey == returned.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def dormant_customers(
+    orders: DataFrame,
+    customer: DataFrame,
+    cutoff: str = "2000-01-01",
+) -> DataFrame:
+    """Churn mart: customers with purchase history strictly BEFORE
+    the cutoff and zero orders after — the NOT-EXISTS pattern as a
+    LEFT ANTI join.
+
+    Spark-first plan: the pre-cutoff slice aggregates to one row per
+    customer (n_orders, last_order_date, lifetime_value) — a single
+    map-side-combined hash aggregate on the orders scan — and the
+    post-cutoff ACTIVE key set anti-joins it away. The anti side
+    projects to bare custkeys; the customer dim broadcasts in last
+    for the name. Both date filters push to the parquet scan, so at
+    a date-partitioned production layout the anti probe reads only
+    post-cutoff partitions.
+
+    Exactness: lifetime_value sums doubles → rounded 2 dp
+    (absorbs accumulation-order ulp noise, PERF.md); counts and
+    max(date) are exact. Ordered by c_custkey.
+    """
+    cutoff_ts = F.lit(cutoff).cast("timestamp")
+    history = (
+        orders.filter(F.col("o_orderdate") < cutoff_ts)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.max("o_orderdate").alias("last_order_date"),
+            round_away(F.sum("o_totalprice"), 2).alias("lifetime_value"),
+        )
+    )
+    active = orders.filter(F.col("o_orderdate") >= cutoff_ts).select("o_custkey")
+    return (
+        history.join(active, "o_custkey", "leftanti")
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            history.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey", "c_name", "n_orders", "last_order_date", "lifetime_value"
+        )
+        .orderBy("c_custkey")
+    )

@@ -655,6 +655,54 @@ FROM s JOIN part ON s.l_partkey = p_partkey
 GROUP BY p_brand
 """
 
+# operators/dims.py:large_volume_customers — the HAVING subquery is a
+# CTE; DuckDB's planner keeps the aggregate-then-join shape.
+LARGE_VOLUME_CUSTOMERS_SQL = """
+WITH big AS (
+    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN big      ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+"""
+
+# operators/dims.py:returned_orders_by_priority — EXISTS form; the
+# Spark side is the equivalent LEFT SEMI join.
+RETURNED_ORDERS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# operators/dims.py:dormant_customers — NOT EXISTS form; the Spark
+# side is the equivalent LEFT ANTI join over the post-cutoff key set.
+DORMANT_CUSTOMERS_SQL = """
+WITH history AS (
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT)  AS n_orders,
+           max(o_orderdate)          AS last_order_date,
+           round(sum(o_totalprice), 2) AS lifetime_value
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_orders, last_order_date, lifetime_value
+FROM history
+JOIN customer ON o_custkey = c_custkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = history.o_custkey
+                    AND o2.o_orderdate >= TIMESTAMP '2000-01-01')
+ORDER BY c_custkey
+"""
+
 QUALITY_DECILE_BINS_SQL = None  # set below: composes TEXT_STATS_SQL
 
 # operators/winnow.py oracles ----------------------------------------------

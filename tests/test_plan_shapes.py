@@ -219,3 +219,32 @@ def test_importance_weights_count_tables_broadcast(spark):
     plan = _plan(m.queries()["importance_weights"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_large_volume_customers_aggregate_then_broadcast(spark):
+    """Q18 shape: the fact collapses to (orderkey, qty) BEFORE any
+    join, and the surviving key set + customer dim broadcast — no
+    sort-merge join anywhere (the fact never shuffles for a join)."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["large_volume_customers"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_returned_orders_semi_and_dormant_anti(spark):
+    """EXISTS compiles to LeftSemi, NOT EXISTS to LeftAnti — the
+    probe sides carry bare keys, never lineitem/order payloads."""
+    import __spark_entry__ as m
+
+    semi = _plan(m.queries()["returned_orders_by_priority"](spark, SF))
+    assert "LeftSemi" in semi
+    # date filter pushed to the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in semi
+
+    anti = _plan(m.queries()["dormant_customers"](spark, SF))
+    assert "LeftAnti" in anti
+    assert "SortMergeJoin" not in anti or "LeftAnti" in anti  # anti may SMJ; keys only
+    # the anti probe projects to the bare custkey before joining
+    scan_lines = [l for l in anti.splitlines() if "FileScan parquet" in l]
+    assert any("o_custkey" in l and "o_totalprice" not in l for l in scan_lines)
