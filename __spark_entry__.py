@@ -56,6 +56,7 @@ from stock_market_data_pipeline_v2_spark.operators.curation import (
     pack_sequences,
     prototypicality_prune,
     quality_decile_bins,
+    shuffle_corpus,
     stratified_sample,
     token_frequency,
 )
@@ -75,6 +76,7 @@ from stock_market_data_pipeline_v2_spark.operators.dedup import (
     dedup_clusters_star,
     dedup_exact,
     embedding_neardup_pairs,
+    incremental_dedup_decisions,
     minhash_lsh_pairs,
     shingle_jaccard_pairs,
     simhash_pairs,
@@ -120,6 +122,7 @@ from stock_market_data_pipeline_v2_spark.operators.winnow import (
 from stock_market_data_pipeline_v2_spark.operators.joins import as_of_join
 from stock_market_data_pipeline_v2_spark.operators.stats import (
     return_correlations,
+    walk_forward_splits,
     symbols_active_in_both_halves,
     top_volume_days,
     users_only_before,
@@ -411,6 +414,27 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shuffle_corpus(_docs(spark, sf_dir))
+
+
+def q_walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return walk_forward_splits(_clean_bars(spark, sf_dir))
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "tonight's crawl": every 10th doc is the new batch, the rest is
+    # the established corpus it must be admitted against.
+    docs = _docs(spark, sf_dir)
+    return incremental_dedup_decisions(
+        docs.filter("doc_id % 10 != 0"),
+        docs.filter("doc_id % 10 = 0"),
+        n=3,
+        threshold=0.5,
+        max_shingle_freq=_SHINGLE_DF_CAP,
+    )
 
 
 def q_passage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "token_frequency": q_token_frequency,
         "stratified_sample": q_stratified_sample,
+        "shuffle_corpus": q_shuffle_corpus,
         "ngram_containment": q_ngram_containment,
         # group-aware train/val split: near-dup clusters never
         # straddle the boundary (decontamination of one's own eval).
@@ -790,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "corpus_stats_by_source": q_corpus_stats_by_source,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         # MOSS winnowing: local fingerprints with a deterministic
         # detection guarantee (every shared run ≥ w+k−1 tokens) at
         # ~2/(w+1) of the shingle-index cost; both oracle-gated.
@@ -832,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbols_both_halves": q_symbols_both_halves,
         "users_only_before": q_users_only_before,
         "top_volume_days": q_top_volume_days,
+        "walk_forward_splits": q_walk_forward_splits,
         "return_correlations": q_return_correlations,
         "bollinger_bands": q_bollinger,
         "stochastic_k": q_stochastic_k,
@@ -891,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": oracles.CHUNK_DOCUMENTS_SQL,
         "token_frequency": oracles.TOKEN_FREQUENCY_SQL,
         "stratified_sample": oracles.STRATIFIED_SAMPLE_SQL,
+        "shuffle_corpus": oracles.SHUFFLE_CORPUS_SQL,
         "ngram_containment": oracles.NGRAM_CONTAINMENT_SQL,
         "leakage_safe_split": oracles.LEAKAGE_SAFE_SPLIT_SQL,
         "importance_weights": oracles.IMPORTANCE_WEIGHTS_SQL,
@@ -900,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": oracles.CURATION_PIPELINE_SQL,
         "corpus_stats_by_source": oracles.CORPUS_STATS_BY_SOURCE_SQL,
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
+        "dedup_incremental": oracles.INCREMENTAL_DEDUP_SQL,
         "winnow_fingerprints": oracles.WINNOW_FINGERPRINTS_SQL,
         "passage_overlap": oracles.PASSAGE_OVERLAP_SQL,
         "passage_clusters": oracles.PASSAGE_CLUSTERS_SQL,
@@ -925,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "symbols_both_halves": oracles.SYMBOLS_BOTH_HALVES_SQL,
         "users_only_before": oracles.USERS_ONLY_BEFORE_SQL,
         "top_volume_days": oracles.TOP_VOLUME_DAYS_SQL,
+        "walk_forward_splits": oracles.WALK_FORWARD_SPLITS_SQL,
         "return_correlations": oracles.RETURN_CORRELATIONS_SQL,
         "bollinger_bands": oracles.BOLLINGER_SQL,
         "stochastic_k": oracles.STOCHASTIC_SQL,

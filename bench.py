@@ -50,7 +50,9 @@ HEADLINE = [
     "regional_customer_summary",
     "merge_upsert",
     "scd2_user_status",       # added round 3: SCD2 dimension history
+    "large_volume_customers",  # added round 3: Q18 aggregate-then-broadcast shape
     "dedup_exact",
+    "dedup_incremental",  # added round 3: batch-vs-corpus admission
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -75,6 +77,7 @@ HEADLINE = [
     "chunk_documents",   # added round 2
     "token_frequency",   # added round 2
     "stratified_sample", # added round 2
+    "shuffle_corpus",    # added round 3: deterministic global permutation
     "ngram_containment", # added round 2
     "leakage_safe_split",     # added round 3: group-aware split
     "importance_resample",    # added round 3: DSIR selection

@@ -780,3 +780,56 @@ def importance_resample(
             "sample_rank",
         )
     )
+
+
+def shuffle_corpus(documents: DataFrame, salt: str = "v1") -> DataFrame:
+    """Deterministic GLOBAL permutation — the training serving order.
+    Trainers need the corpus globally shuffled (adjacent documents
+    from one source/crawl correlate, and correlated batches hurt), and
+    they need the order REPRODUCIBLE: restarting a run, or re-sharding
+    for a different world size, must replay the identical sequence.
+    ``rand()``-based shuffles fail both (seed × partitioning
+    dependent); this draws each doc's sort key as ``md5(salt:doc_id)``
+    — a pure function of identity, so any engine, partitioning, or
+    retry agrees — and assigns ``position`` = exact global rank of
+    (key, doc_id). Changing ``salt`` is a fresh epoch permutation.
+
+    Scale shape: the naive form is a corpus-wide ``row_number()`` —
+    the single-partition window trap. Computed instead as the same
+    distributed two-level rank as :func:`quality_decile_bins`:
+    ``repartitionByRange`` on the key (distributed sort), parallel
+    per-partition row_numbers, plus one offsets window over
+    ≤ parallelism rows; boundary-placement-independent, so the result
+    bit-matches the oracle's naive global-window form. Feed the
+    output straight to :func:`write_training_shards` partitioned on
+    ``position div docs_per_shard`` for sequential-read serving.
+    """
+    keyed = documents.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    ranged = keyed.repartitionByRange(
+        par, F.asc("shuffle_key"), F.asc("doc_id")
+    ).withColumn("__pid", F.spark_partition_id())
+    w_loc = Window.partitionBy("__pid").orderBy(
+        F.asc("shuffle_key"), F.asc("doc_id")
+    )
+    local = ranged.withColumn("__lrn", F.row_number().over(w_loc).cast("long"))
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("__off") + F.col("__lrn")).cast("long").alias("position"),
+        )
+        .orderBy("position")
+    )

@@ -83,3 +83,48 @@ def return_correlations(returns: DataFrame) -> DataFrame:
         )
         .orderBy("symbol_a", "symbol_b")
     )
+
+
+def walk_forward_splits(
+    clean_bars: DataFrame,
+    origin: str = "2024-01-01",
+    step_days: int = 5,
+    horizon_days: int = 5,
+    n_folds: int = 4,
+) -> DataFrame:
+    """Walk-forward cross-validation folds for time-series models —
+    the temporal twin of the corpus-side leakage-safe split: a model
+    evaluated on dates it trained past is leaking, so every fold's
+    test window sits strictly AFTER its expanding train window.
+
+    Fold i (1..n_folds): train = [origin, origin + i·step) and
+    test = [train_end, train_end + horizon). Output one (fold,
+    symbol, trade_date, role) row per bar per fold that covers it.
+
+    Scale shape: the fold spine is ``n_folds`` literal rows —
+    broadcast nested-loop against the bar scan (model-sized × fact,
+    the cheap direction), then a scan-shaped CASE; no shuffle at all
+    beyond the bar build itself. Fan-out is ≤ n_folds×, the price of
+    materializing fold membership; at 100 TB emit fold IDs instead
+    via the same CASE without the explode (this form is the
+    audit/export shape).
+    """
+    spark = clean_bars.sparkSession
+    folds = spark.range(1, n_folds + 1).select(F.col("id").alias("fold"))
+    origin_d = F.lit(origin).cast("date")
+    train_end = F.date_add(origin_d, (F.col("fold") * step_days).cast("int"))
+    test_end = F.date_add(train_end, horizon_days)
+    return (
+        clean_bars.select("symbol", "trade_date")
+        .crossJoin(F.broadcast(folds))
+        .filter(F.col("trade_date") < test_end)
+        .select(
+            "fold",
+            "symbol",
+            "trade_date",
+            F.when(F.col("trade_date") < train_end, F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("role"),
+        )
+        .orderBy("fold", "symbol", "trade_date")
+    )

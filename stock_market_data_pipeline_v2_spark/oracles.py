@@ -705,6 +705,18 @@ ORDER BY c_custkey
 
 QUALITY_DECILE_BINS_SQL = None  # set below: composes TEXT_STATS_SQL
 
+# operators/curation.py:shuffle_corpus — the oracle uses the naive
+# global-window form the distributed two-level rank must bit-match.
+SHUFFLE_CORPUS_SQL = """
+SELECT doc_id,
+       md5('v1:' || CAST(doc_id AS VARCHAR))  AS shuffle_key,
+       CAST(row_number() OVER (
+           ORDER BY md5('v1:' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS BIGINT)    AS position
+FROM documents
+ORDER BY position
+"""
+
 # operators/winnow.py oracles ----------------------------------------------
 # Winnowing (Schleimer et al. 2003): k=4 word grams, window w=5.
 # Both engines order struct<h,pos> lexicographically (hash first,
@@ -841,6 +853,65 @@ SELECT doc_a, doc_b,
        round(CAST(i AS DOUBLE) / (x.c + y.c - i), 4) AS jaccard
 FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
 WHERE CAST(i AS DOUBLE) / (x.c + y.c - i) >= 0.5
+"""
+
+# operators/dedup.py:incremental_dedup_decisions — batch (doc_id % 10
+# = 0) admitted against corpus (the rest); df stop list on the CORPUS
+# shingles mirrors max_shingle_freq=1000; sizes unpruned.
+INCREMENTAL_DEDUP_SQL = """
+WITH batch  AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+exact AS (
+    SELECT md5(lower(trim(text))) AS h, min(doc_id) AS exact_match
+    FROM corpus GROUP BY 1
+),
+bt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM batch),
+ct AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus),
+bsh AS (
+    SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM bt
+),
+csh AS (
+    SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM ct
+),
+bsz AS (SELECT doc_id, count(*) AS c FROM bsh GROUP BY doc_id),
+csz AS (SELECT doc_id, count(*) AS c FROM csh GROUP BY doc_id),
+cshj AS (
+    SELECT doc_id, shingle FROM csh
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+),
+p AS (
+    SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc, count(*) AS i
+    FROM bsh b JOIN cshj c USING (shingle)
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT batch_doc, corpus_doc,
+           CAST(i AS DOUBLE) / (bs.c + cs.c - i) AS jac
+    FROM p
+    JOIN bsz bs ON p.batch_doc  = bs.doc_id
+    JOIN csz cs ON p.corpus_doc = cs.doc_id
+    WHERE CAST(i AS DOUBLE) / (bs.c + cs.c - i) >= 0.5
+    QUALIFY row_number() OVER (PARTITION BY batch_doc
+                               ORDER BY jac DESC, corpus_doc ASC) = 1
+),
+bh AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM batch)
+SELECT bh.doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'drop_exact'
+            WHEN b.corpus_doc  IS NOT NULL THEN 'drop_neardup'
+            ELSE 'keep' END                         AS verdict,
+       coalesce(e.exact_match, b.corpus_doc)        AS match_doc_id,
+       CASE WHEN e.exact_match IS NULL
+            THEN round(b.jac, 4) END                AS jaccard
+FROM bh
+LEFT JOIN exact e USING (h)
+LEFT JOIN best  b ON bh.doc_id = b.batch_doc
+ORDER BY bh.doc_id
 """
 
 EMBEDDING_NEARDUP_SQL = """
@@ -1141,6 +1212,24 @@ EXCEPT
 SELECT user_id FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
 ORDER BY user_id
 """
+
+# operators/stats.py:walk_forward_splits — fold spine via
+# generate_series; DuckDB DATE + INTERVAL coerces to TIMESTAMP, the
+# comparison coerces trade_date the same way.
+WALK_FORWARD_SPLITS_SQL = with_ctes(
+    EVENTS_TICKS,
+    DAILY_BARS,
+    CLEAN_BARS,
+    "folds AS (SELECT unnest(generate_series(1, 4)) AS fold)",
+    select="""
+SELECT CAST(fold AS BIGINT) AS fold, symbol, trade_date,
+       CASE WHEN trade_date < DATE '2024-01-01' + INTERVAL (fold * 5) DAY
+            THEN 'train' ELSE 'test' END AS role
+FROM clean_bars CROSS JOIN folds
+WHERE trade_date < DATE '2024-01-01' + INTERVAL (fold * 5 + 5) DAY
+ORDER BY fold, symbol, trade_date
+""",
+)
 
 TOP_VOLUME_DAYS_SQL = with_ctes(
     EVENTS_TICKS,

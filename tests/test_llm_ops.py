@@ -1211,3 +1211,32 @@ def test_importance_resample_favors_target(spark):
     assert len(s1) == 50 and all(r.sample_rank <= 50 for r in s1)
     s2 = importance_resample(docs.repartition(13), target, n_keep=50).collect()
     assert sorted(r.doc_id for r in s1) == sorted(r.doc_id for r in s2)
+
+
+def test_incremental_dedup_planted_verdicts(spark):
+    """All three verdict branches on planted docs: an exact copy of a
+    corpus doc, a near-copy (one word changed), and a fresh doc."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        incremental_dedup_decisions,
+        release_cached_inputs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="totally different words here")]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="  " + base.upper() + " "),  # normalizes equal
+            Row(doc_id=101, text=base.replace("kappa", "lambda")),  # near-dup
+            Row(doc_id=102, text="unrelated fresh content nothing shared at all"),
+        ]
+    )
+    out = incremental_dedup_decisions(corpus, batch, threshold=0.5)
+    rows = {r.doc_id: r for r in out.collect()}
+    release_cached_inputs(out)
+    assert rows[100].verdict == "drop_exact" and rows[100].match_doc_id == 1
+    assert rows[100].jaccard is None
+    assert rows[101].verdict == "drop_neardup" and rows[101].match_doc_id == 1
+    assert rows[101].jaccard and rows[101].jaccard >= 0.5
+    assert rows[102].verdict == "keep" and rows[102].match_doc_id is None

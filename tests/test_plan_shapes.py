@@ -248,3 +248,30 @@ def test_returned_orders_semi_and_dormant_anti(spark):
     # the anti probe projects to the bare custkey before joining
     scan_lines = [l for l in anti.splitlines() if "FileScan parquet" in l]
     assert any("o_custkey" in l and "o_totalprice" not in l for l in scan_lines)
+
+
+def test_shuffle_corpus_no_corpus_window(spark):
+    """The global permutation must not plan a single-partition
+    row_number over the corpus — same two-level-rank contract as
+    quality_decile_bins."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        shuffle_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    phys = shuffle_corpus(docs)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for mwin in re.finditer(r"Window \[row_number\(\).*?\]", phys):
+        assert "__pid" in mwin.group(0)
+
+
+def test_incremental_dedup_no_corpus_self_join(spark):
+    """Incremental admission joins BATCH×CORPUS only: no cartesian
+    product, and the shingle equi-join's candidate side is the batch
+    (the corpus never self-joins)."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["dedup_incremental"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
