@@ -92,6 +92,7 @@ def main() -> None:
     from stock_market_data_pipeline_v2_spark.operators.dedup import (
         embedding_neardup_pairs_blas,
         embedding_neardup_pairs_ivf,
+        incremental_dedup_decisions,
         minhash_lsh_pairs,
         shingle_jaccard_pairs,
         simhash_pairs,
@@ -155,6 +156,15 @@ def main() -> None:
             docs, threshold=0.5, max_shingle_freq=1000
         ),
         "dedup_simhash": lambda: simhash_pairs(docs, max_hamming=3),
+        # batch-vs-corpus admission: batch is the fixed 10% slice, so
+        # this row probes how admission cost scales with CORPUS size
+        # (the corpus-side index branches; the production fixed cost)
+        "dedup_incremental": lambda: incremental_dedup_decisions(
+            docs.filter("doc_id % 10 != 0"),
+            docs.filter("doc_id % 10 = 0"),
+            threshold=0.5,
+            max_shingle_freq=1000,
+        ),
         "ann_lsh_topk": lambda: hyperplane_lsh_topk(embs, qs, k=5),
         "dedup_embedding_blas": lambda: embedding_neardup_pairs_blas(
             embs, threshold=0.4
