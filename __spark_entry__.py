@@ -416,6 +416,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir))
 
 
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_market_data_pipeline_v2_spark.functions.zorder import with_zvalue
+    from stock_market_data_pipeline_v2_spark.oracles import ZORDER_SPECS
+
+    configure_runtime(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        with_zvalue(ev, ZORDER_SPECS)
+        .select("event_id", "zval")
+        .orderBy("zval", "event_id")
+    )
+
+
 def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_corpus(_docs(spark, sf_dir))
 
@@ -799,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequency": q_token_frequency,
         "stratified_sample": q_stratified_sample,
         "shuffle_corpus": q_shuffle_corpus,
+        "zorder_events": q_zorder_events,
         "ngram_containment": q_ngram_containment,
         # group-aware train/val split: near-dup clusters never
         # straddle the boundary (decontamination of one's own eval).
@@ -919,6 +933,7 @@ def oracle_sql() -> dict[str, str]:
         "token_frequency": oracles.TOKEN_FREQUENCY_SQL,
         "stratified_sample": oracles.STRATIFIED_SAMPLE_SQL,
         "shuffle_corpus": oracles.SHUFFLE_CORPUS_SQL,
+        "zorder_events": oracles.ZORDER_EVENTS_SQL,
         "ngram_containment": oracles.NGRAM_CONTAINMENT_SQL,
         "leakage_safe_split": oracles.LEAKAGE_SAFE_SPLIT_SQL,
         "importance_weights": oracles.IMPORTANCE_WEIGHTS_SQL,

@@ -705,6 +705,18 @@ ORDER BY c_custkey
 
 QUALITY_DECILE_BINS_SQL = None  # set below: composes TEXT_STATS_SQL
 
+# functions/zorder.py — BOTH sides of this oracle are generated from
+# the same spec by zvalue_oracle_sql/with_zvalue: parity by
+# construction (the dialects differ only in the integer-div token).
+from .functions.zorder import zvalue_oracle_sql as _zvalue_oracle_sql
+
+ZORDER_SPECS = [
+    ("user_id", 0, 4095),
+    ("cast(floor(value * 100) as bigint)", 0, 65535),
+]
+
+ZORDER_EVENTS_SQL = _zvalue_oracle_sql("events", "event_id", ZORDER_SPECS)
+
 # operators/curation.py:shuffle_corpus — the oracle uses the naive
 # global-window form the distributed two-level rank must bit-match.
 SHUFFLE_CORPUS_SQL = """

@@ -1,0 +1,111 @@
+"""Z-order layout: the data-skipping claim, proven from real parquet
+footers — not from plan strings. A 2-D box predicate must intersect
+far fewer file envelopes under the z-ordered layout than under a
+single-column sort, and the layout must not change query results."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+SPECS = [
+    ("user_id", 0, 4095),
+    ("cast(floor(value * 100) as bigint)", 0, 65535),
+]
+
+# box: half the user range (sf0.001 has users 0..14), a thin value
+# slice — the shape a single-column sort can only prune on ONE side of
+U_LO, U_HI = 0, 7
+V_LO, V_HI = 100.0, 125.0
+
+
+def _file_envelopes(path):
+    """(min, max) of user_id and value per parquet data file, straight
+    from the column-chunk statistics every engine prunes on."""
+    out = []
+    import glob
+
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        ustats, vstats = [], []
+        for rg in range(md.num_row_groups):
+            ustats.append(md.row_group(rg).column(cols["user_id"]).statistics)
+            vstats.append(md.row_group(rg).column(cols["value"]).statistics)
+        out.append(
+            (
+                min(s.min for s in ustats),
+                max(s.max for s in ustats),
+                min(s.min for s in vstats),
+                max(s.max for s in vstats),
+            )
+        )
+    return out
+
+
+def _hits(envelopes):
+    return sum(
+        1
+        for (ulo, uhi, vlo, vhi) in envelopes
+        if not (uhi < U_LO or ulo > U_HI or vhi < V_LO or vlo > V_HI)
+    )
+
+
+def test_zorder_layout_skips_files_and_preserves_results(spark, tmp_path):
+    from stock_market_data_pipeline_v2_spark.functions.zorder import (
+        with_zvalue,
+        write_zordered,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    zdir = str(tmp_path / "zorder")
+    sdir = str(tmp_path / "usersort")
+    n_files = 16
+
+    write_zordered(ev, zdir, SPECS, n_files=n_files)
+    # the single-column-sort strawman: same file count, sorted on
+    # user_id only — tight user envelopes, value spans everything
+    (
+        ev.repartitionByRange(n_files, F.col("user_id"), F.col("event_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    z_env = _file_envelopes(zdir)
+    s_env = _file_envelopes(sdir)
+    assert len(z_env) == n_files and len(s_env) == n_files
+
+    # the skipping claim: the 2-D box intersects strictly fewer
+    # z-ordered envelopes than single-sorted ones, and only a
+    # minority of the z-ordered files
+    assert _hits(z_env) < _hits(s_env)
+    assert _hits(z_env) <= n_files // 4
+
+    # layout must not change semantics: same rows back through the box
+    pred = (
+        (F.col("user_id") >= U_LO)
+        & (F.col("user_id") <= U_HI)
+        & (F.col("value") >= V_LO)
+        & (F.col("value") <= V_HI)
+    )
+    expect = sorted(r.event_id for r in ev.filter(pred).select("event_id").collect())
+    got = sorted(
+        r.event_id
+        for r in spark.read.parquet(zdir).filter(pred).select("event_id").collect()
+    )
+    assert got == expect and expect  # non-trivial box
+
+    # and the z-value expression itself is scan-shaped: no exchange
+    plan = (
+        with_zvalue(ev, SPECS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
