@@ -43,6 +43,7 @@ from stock_market_data_pipeline_v2_spark.operators.dims import (
 from stock_market_data_pipeline_v2_spark.operators.upsert import (
     merge_upsert,
     scd2_history,
+    snapshot_diff,
 )
 from stock_market_data_pipeline_v2_spark.operators.curation import (
     chunk_documents,
@@ -416,6 +417,30 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir))
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic second snapshot: delete key%11, double totalprice on
+    # key%7, insert key%13 copies under shifted keys (mirrors oracle)
+    from pyspark.sql import functions as F
+
+    configure_runtime(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    mod = orders.filter("o_orderkey % 11 != 0").withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    ins = orders.filter("o_orderkey % 13 = 0").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    return snapshot_diff(
+        orders,
+        mod.select(*orders.columns).unionByName(ins.select(*orders.columns)),
+        keys=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_market_data_pipeline_v2_spark.functions.zorder import with_zvalue
     from stock_market_data_pipeline_v2_spark.oracles import ZORDER_SPECS
@@ -779,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "merge_upsert": q_merge_upsert,
+        "snapshot_diff": q_snapshot_diff,
         # SCD type-2 dimension history (the dbt-snapshot contract).
         "scd2_user_status": q_scd2_user_status,
         "regional_supplier_revenue": q_regional_supplier_revenue,
@@ -909,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "top_revenue_orders": oracles.TOP_REVENUE_ORDERS_SQL,
         "merge_upsert": oracles.MERGE_UPSERT_SQL,
+        "snapshot_diff": oracles.SNAPSHOT_DIFF_SQL,
         "scd2_user_status": oracles.SCD2_USER_STATUS_SQL,
         "regional_supplier_revenue": oracles.REGIONAL_SUPPLIER_REVENUE_SQL,
         "order_priority_rollup": oracles.ORDER_PRIORITY_ROLLUP_SQL,

@@ -110,3 +110,53 @@ def scd2_history(
         F.row_number().over(w2).cast("long").alias("version"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC between two table snapshots: one (key, change_type) row per
+    key that changed — ``insert`` (key only in new), ``delete`` (only
+    in old), ``update`` (present in both, any compared column
+    differs). Unchanged keys are omitted. This is how change feeds
+    are bootstrapped when the upstream system only hands you full
+    snapshots (the reference's warehouse loads are full-table MERGEs
+    — snapshot_diff is the inverse: recover the delta so downstream
+    consumers process O(changes), not O(table)).
+
+    Spark-first plan: ONE full-outer shuffle join on the key (both
+    sides hash-partition once; at a bucketed production layout even
+    that exchange disappears). Change detection is column-by-column
+    null-safe equality (``<=>``) — never a concat-and-hash, whose
+    cross-engine number formatting would make parity accidental.
+    """
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *compare_cols)
+    for c in (*keys, *compare_cols):
+        o = o.withColumnRenamed(c, f"__o_{c}")
+        n = n.withColumnRenamed(c, f"__n_{c}")
+    cond = None
+    for k in keys:
+        eq = F.col(f"__o_{k}") == F.col(f"__n_{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    old_present = F.col(f"__o_{keys[0]}").isNotNull()
+    new_present = F.col(f"__n_{keys[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    out = joined.select(
+        *[
+            F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k)
+            for k in keys
+        ],
+        F.when(~old_present, F.lit("insert"))
+        .when(~new_present, F.lit("delete"))
+        .when(~same, F.lit("update"))
+        .alias("change_type"),
+    ).filter(F.col("change_type").isNotNull())
+    return out.orderBy(*keys)

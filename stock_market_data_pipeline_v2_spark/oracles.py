@@ -705,6 +705,38 @@ ORDER BY c_custkey
 
 QUALITY_DECILE_BINS_SQL = None  # set below: composes TEXT_STATS_SQL
 
+# operators/upsert.py:snapshot_diff — the synthetic "new" snapshot
+# deletes key%11 rows, doubles totalprice on key%7, inserts key%13
+# copies under shifted keys; change detection via IS NOT DISTINCT
+# FROM (never concat-and-hash — cross-engine number formatting).
+SNAPSHOT_DIFF_SQL = """
+WITH newsnap AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 13 = 0
+),
+j AS (
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           o.o_orderkey IS NOT NULL AS op,
+           n.o_orderkey IS NOT NULL AS np,
+           (o.o_totalprice  IS NOT DISTINCT FROM n.o_totalprice)
+       AND (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) AS same
+    FROM orders o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT op THEN 'insert'
+            WHEN NOT np THEN 'delete'
+            WHEN NOT same THEN 'update' END AS change_type
+FROM j
+WHERE (NOT op) OR (NOT np) OR (NOT same)
+ORDER BY o_orderkey
+"""
+
 # functions/zorder.py — BOTH sides of this oracle are generated from
 # the same spec by zvalue_oracle_sql/with_zvalue: parity by
 # construction (the dialects differ only in the integer-div token).
