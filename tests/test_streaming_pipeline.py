@@ -430,3 +430,58 @@ def test_stream_stream_join_matches_batch_and_appends_once(spark, tmp_path):
     assert sorted(final) == sorted(
         [("AAPL", "09:05", 1), ("AAPL", "09:08", 1), ("AAPL", "09:30", 2)]
     )
+
+
+def test_streaming_admission_verdicts_and_exactly_once(spark, tmp_path):
+    """Streaming admission: per-micro-batch verdicts match the batch
+    operator's contract, each dropped file is processed exactly once
+    across restarts, and the sink is verdict-partitioned."""
+    import json
+
+    from pyspark.sql import Row
+    from stock_market_data_pipeline_v2_spark.streaming.admission import (
+        start_admission_stream,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="other corpus doc words")]
+    )
+    src = tmp_path / "drop"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    drop(
+        "b1.json",
+        [
+            {"doc_id": 100, "text": base.upper()},
+            {"doc_id": 101, "text": base.replace("kappa", "lambda")},
+            {"doc_id": 102, "text": "fresh unrelated content nothing shared here"},
+        ],
+    )
+    q = start_admission_stream(spark, str(src), corpus, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(out).select("doc_id", "verdict").collect()
+    }
+    assert got == {100: "drop_exact", 101: "drop_neardup", 102: "keep"}
+
+    # restart with a second file: file 1 must NOT be reprocessed
+    drop("b2.json", [{"doc_id": 103, "text": base}])
+    q2 = start_admission_stream(spark, str(src), corpus, out, ckpt)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).select("doc_id", "verdict").collect()
+    assert len(rows) == 4  # no duplicates of batch 1
+    assert {r.doc_id: r.verdict for r in rows}[103] == "drop_exact"
+
+    # verdict-partitioned layout: downstream tails verdict=keep
+    import os
+
+    parts = {d for d in os.listdir(out) if d.startswith("verdict=")}
+    assert parts == {"verdict=drop_exact", "verdict=drop_neardup", "verdict=keep"}
