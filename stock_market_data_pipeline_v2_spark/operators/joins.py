@@ -152,3 +152,48 @@ def broadcast_dim_join(
     the shuffle entirely — the dim rides to every executor.
     """
     return fact.join(F.broadcast(dim), list(keys), how)
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join for when BOTH automatic remedies run
+    out: the dim side is too large to broadcast and AQE's skew split
+    can't apply (it only rebalances sort-merge partitions of a
+    completed map stage — not streaming joins, not the join feeding a
+    same-key aggregation, not an engine without AQE). A hot key
+    (AAPL, the empty-string user, the null-ish default) would
+    otherwise pin its entire fact volume on one task.
+
+    Mechanics: each fact row draws a salt in [0, n_salts) — cheap
+    per-row hash of a physical-plan row id; ANY distribution is
+    correct, uniform is ideal — while the dim side replicates each of
+    its rows once per salt via a bounded ``explode``. Joining on
+    (keys…, salt) splits every hot key across ``n_salts`` tasks. Cost
+    is explicit and bounded: the dim shuffle grows n_salts×, the fact
+    shuffle is unchanged — the right trade exactly when fact-per-key
+    ≫ dim-per-key, which is what key skew means. Result equality with
+    the plain join is regression-locked in tests/test_plan_shapes.py.
+
+    ``how`` covers inner/left (the fact-preserving forms); for
+    right/full semantics flip the call — the salted side must be the
+    skewed probe side.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_skew_join supports inner/left, got {how!r}")
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_fact.join(
+        salted_dim, [*keys, "__salt"], how
+    ).drop("__salt")

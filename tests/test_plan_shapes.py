@@ -275,3 +275,27 @@ def test_incremental_dedup_no_corpus_self_join(spark):
     plan = _plan(m.queries()["dedup_incremental"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_skew_join_equivalence_and_shape(spark):
+    """Salted join must return exactly the plain join's bag of rows
+    (inner and left), and the salted plan must join on (key, salt)."""
+    from stock_market_data_pipeline_v2_spark.operators.joins import (
+        salted_skew_join,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet(f"{SF}/part.parquet").select("p_partkey", "p_brand")
+    dim = part.withColumnRenamed("p_partkey", "l_partkey")
+
+    for how in ("inner", "left"):
+        plain = li.join(dim, ["l_partkey"], how)
+        salted = salted_skew_join(li, dim, ["l_partkey"], n_salts=4, how=how)
+        # bag equality both directions
+        assert salted.exceptAll(plain).isEmpty()
+        assert plain.exceptAll(salted).isEmpty()
+
+    plan = _plan(salted_skew_join(li, dim, ["l_partkey"], n_salts=4))
+    assert "__salt" in plan
