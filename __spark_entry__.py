@@ -58,6 +58,7 @@ from stock_market_data_pipeline_v2_spark.operators.curation import (
     prototypicality_prune,
     quality_decile_bins,
     shuffle_corpus,
+    source_drift_kl,
     stratified_sample,
     token_frequency,
 )
@@ -458,6 +459,10 @@ def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_corpus(_docs(spark, sf_dir))
 
 
+def q_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_drift_kl(_docs(spark, sf_dir))
+
+
 def q_walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_forward_splits(_clean_bars(spark, sf_dir))
 
@@ -838,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequency": q_token_frequency,
         "stratified_sample": q_stratified_sample,
         "shuffle_corpus": q_shuffle_corpus,
+        "source_drift_kl": q_source_drift_kl,
         "zorder_events": q_zorder_events,
         "ngram_containment": q_ngram_containment,
         # group-aware train/val split: near-dup clusters never
@@ -960,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "token_frequency": oracles.TOKEN_FREQUENCY_SQL,
         "stratified_sample": oracles.STRATIFIED_SAMPLE_SQL,
         "shuffle_corpus": oracles.SHUFFLE_CORPUS_SQL,
+        "source_drift_kl": oracles.SOURCE_DRIFT_KL_SQL,
         "zorder_events": oracles.ZORDER_EVENTS_SQL,
         "ngram_containment": oracles.NGRAM_CONTAINMENT_SQL,
         "leakage_safe_split": oracles.LEAKAGE_SAFE_SPLIT_SQL,

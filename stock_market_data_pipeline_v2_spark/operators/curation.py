@@ -833,3 +833,93 @@ def shuffle_corpus(documents: DataFrame, salt: str = "v1") -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+def source_drift_kl(documents: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """Per-source distribution drift: KL(p_source ‖ p_corpus) over the
+    hashed-unigram model — the monitoring twin of :func:`importance_
+    weights` (same fixed-size bucket model, aggregated per source
+    instead of per document). A crawl source whose token distribution
+    drifts from the corpus (spam injection, template change, language
+    shift) shows up as a KL jump BEFORE it pollutes training — this is
+    the number a continuously-fed corpus alerts on.
+
+    KL = Σ_b p_s(b)·ln(p_s(b)/p_c(b)) with add-one smoothing over all
+    ``n_buckets`` buckets (zero-count buckets carry smoothed mass, so
+    every bucket contributes and the sum is over a FIXED domain).
+
+    Exactness: counts are integers; each term is pure double
+    arithmetic of integer ratios; the per-source sum folds in bucket
+    order over the n_buckets-row spine (oracle mirrors with
+    ``list_reduce(list(... ORDER BY bucket))``). Scale shape: the
+    model is ≤ sources × n_buckets rows no matter the corpus size
+    (the DSIR property); the only corpus-sized work is the token
+    count, which partial-aggregates map-side on (source, bucket); the
+    spine cross join and every subsequent stage are model-sized.
+    """
+    from ..functions.core import round_away
+    from .text import TOKEN_PATTERN, _norm
+
+    spark = documents.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("long")
+
+    tok = (
+        documents.repartition(par, "doc_id")
+        .select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+            ).alias("token"),
+        )
+        .withColumn("bucket", bucket)
+    )
+    src_cnt = tok.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+    cor_cnt = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_c"))
+    src_tot = src_cnt.groupBy("source").agg(F.sum("c_s").alias("t_s"))
+    cor_tot = cor_cnt.agg(F.sum("c_c").alias("t_c"))
+
+    spine = (
+        documents.select("source")
+        .distinct()
+        .crossJoin(
+            spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
+        )
+    )
+    p_s = (F.coalesce(F.col("c_s"), F.lit(0)) + 1).cast("double") / (
+        F.col("t_s") + n_buckets
+    ).cast("double")
+    p_c = (F.coalesce(F.col("c_c"), F.lit(0)) + 1).cast("double") / (
+        F.col("t_c") + n_buckets
+    ).cast("double")
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("bucket"), F.col("term")))),
+            lambda s: s["term"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        spine.join(F.broadcast(src_cnt), ["source", "bucket"], "left")
+        .join(F.broadcast(cor_cnt), "bucket", "left")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(cor_tot))
+        .withColumn("term", p_s * (F.log(p_s) - F.log(p_c)))
+        .groupBy("source")
+        .agg(
+            F.max("t_s").cast("long").alias("n_tokens"),
+            fold.alias("__kl"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            round_away(F.col("__kl"), 6).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )

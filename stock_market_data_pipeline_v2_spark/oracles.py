@@ -1899,6 +1899,46 @@ FROM f
 # log-likelihood ratios; target = the English slice. Exactness: md5
 # bucket parse (as hash_embed), integer counts, ln of integer-ratio
 # doubles, per-doc fold ORDER BY pos (as lm_perplexity).
+# operators/curation.py:source_drift_kl — fixed-spine KL fold in
+# bucket order (list_reduce), same hashed-unigram model as DSIR.
+SOURCE_DRIFT_KL_SQL = """
+WITH tk AS (
+    SELECT source,
+        regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ta
+    FROM documents
+),
+tb AS (
+    SELECT source,
+        CAST(('0x' || substr(md5(ta[i]), 1, 8)) AS BIGINT) % 256 AS bucket
+    FROM tk, unnest(generate_series(1, len(ta))) AS u(i)
+),
+sc AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c_s FROM tb GROUP BY 1, 2),
+cc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_c FROM tb GROUP BY 1),
+st AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS t_s FROM sc GROUP BY 1),
+ct AS (SELECT CAST(sum(c_c) AS BIGINT) AS t_c FROM cc),
+spine AS (
+    SELECT s.source, CAST(b AS BIGINT) AS bucket
+    FROM (SELECT DISTINCT source FROM documents) s,
+         unnest(generate_series(0, 255)) AS g(b)
+),
+terms AS (
+    SELECT spine.source, spine.bucket, st.t_s,
+        (CAST(coalesce(sc.c_s, 0) + 1 AS DOUBLE) / CAST(st.t_s + 256 AS DOUBLE))
+        * (ln(CAST(coalesce(sc.c_s, 0) + 1 AS DOUBLE) / CAST(st.t_s + 256 AS DOUBLE))
+         - ln(CAST(coalesce(cc.c_c, 0) + 1 AS DOUBLE) / CAST(ct.t_c + 256 AS DOUBLE)))
+            AS term
+    FROM spine
+    LEFT JOIN sc ON spine.source = sc.source AND spine.bucket = sc.bucket
+    LEFT JOIN cc ON spine.bucket = cc.bucket
+    JOIN st ON spine.source = st.source, ct
+)
+SELECT source,
+       CAST(max(t_s) AS BIGINT) AS n_tokens,
+       round(list_reduce(list(term ORDER BY bucket), (x, y) -> x + y), 6)
+           AS kl_divergence
+FROM terms GROUP BY source ORDER BY source
+"""
+
 IMPORTANCE_WEIGHTS_SQL = """
 WITH tk AS (
     SELECT doc_id,
