@@ -49,6 +49,7 @@ HEADLINE = [
     "top_revenue_orders",
     "regional_customer_summary",
     "merge_upsert",
+    "snapshot_diff",          # added round 3: CDC from full snapshots
     "scd2_user_status",       # added round 3: SCD2 dimension history
     "large_volume_customers",  # added round 3: Q18 aggregate-then-broadcast shape
     "dedup_exact",
@@ -86,6 +87,8 @@ HEADLINE = [
     "quality_decile_bins",    # added round 3: exact global quality ranking
     "curation_pipeline",      # added round 3: integrated cleaning pass
     "corpus_stats_by_source", # added round 3: per-source corpus profile
+    "source_drift_kl",        # added round 3: per-source KL drift monitor
+    "zorder_events",          # added round 3: scan-shaped Morton z-values
     "multimodal_decode",
 ]
 
