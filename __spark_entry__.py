@@ -123,6 +123,7 @@ from stock_market_data_pipeline_v2_spark.operators.winnow import (
 )
 from stock_market_data_pipeline_v2_spark.operators.joins import as_of_join
 from stock_market_data_pipeline_v2_spark.operators.stats import (
+    market_beta,
     return_correlations,
     walk_forward_splits,
     symbols_active_in_both_halves,
@@ -465,6 +466,10 @@ def q_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_forward_splits(_clean_bars(spark, sf_dir))
+
+
+def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return market_beta(daily_returns(_clean_bars(spark, sf_dir)))
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_only_before": q_users_only_before,
         "top_volume_days": q_top_volume_days,
         "walk_forward_splits": q_walk_forward_splits,
+        "market_beta": q_market_beta,
         "return_correlations": q_return_correlations,
         "bollinger_bands": q_bollinger,
         "stochastic_k": q_stochastic_k,
@@ -1004,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "users_only_before": oracles.USERS_ONLY_BEFORE_SQL,
         "top_volume_days": oracles.TOP_VOLUME_DAYS_SQL,
         "walk_forward_splits": oracles.WALK_FORWARD_SPLITS_SQL,
+        "market_beta": oracles.MARKET_BETA_SQL,
         "return_correlations": oracles.RETURN_CORRELATIONS_SQL,
         "bollinger_bands": oracles.BOLLINGER_SQL,
         "stochastic_k": oracles.STOCHASTIC_SQL,

@@ -128,3 +128,46 @@ def walk_forward_splits(
         )
         .orderBy("fold", "symbol", "trade_date")
     )
+
+
+def market_beta(returns: DataFrame) -> DataFrame:
+    """CAPM beta/alpha per symbol against the equal-weight market
+    return: beta = cov(r_s, r_m)/var(r_m), alpha = E[r_s] − β·E[r_m]
+    — the factor-regression building block every risk mart needs, as
+    two shuffles: one per-date aggregate builds the market return, a
+    broadcast join puts it beside each symbol's return, one per-symbol
+    aggregate produces the moments. The explicit both-non-null filter
+    pins numerator and denominator to the SAME sample (each symbol's
+    first day has a NULL lag-based return; letting covar silently skip
+    pairs while var keeps the row would use mismatched samples).
+
+    Exactness: same contract as :func:`return_correlations` —
+    covar/var/corr are order-sensitive in the last ulps, so emitted
+    moments round at 6 dp (PERF.md). Scale: the market frame is one
+    row per date (broadcast); both aggregates partial-aggregate
+    map-side; nothing corpus-sized joins anything corpus-sized.
+    """
+    market = returns.groupBy("trade_date").agg(
+        F.avg("daily_return_pct").alias("mret")
+    )
+    joined = (
+        returns.join(F.broadcast(market), "trade_date")
+        .filter(
+            F.col("daily_return_pct").isNotNull() & F.col("mret").isNotNull()
+        )
+    )
+    beta = F.covar_samp("daily_return_pct", "mret") / F.var_samp("mret")
+    return (
+        joined.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            round_away(beta, 6).alias("beta"),
+            round_away(
+                F.avg("daily_return_pct") - beta * F.avg("mret"), 6
+            ).alias("alpha"),
+            round_away(F.corr("daily_return_pct", "mret"), 6).alias(
+                "market_corr"
+            ),
+        )
+        .orderBy("symbol")
+    )

@@ -1307,6 +1307,30 @@ ORDER BY symbol_a, symbol_b
 """,
 )
 
+# operators/stats.py:market_beta — equal-weight market return per
+# date, then per-symbol CAPM moments over the both-non-null sample.
+MARKET_BETA_SQL = with_ctes(
+    EVENTS_TICKS,
+    DAILY_BARS,
+    CLEAN_BARS,
+    DAILY_RETURNS,
+    "market AS (SELECT trade_date, avg(daily_return_pct) AS mret"
+    "           FROM daily_returns GROUP BY trade_date)",
+    select="""
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(covar_samp(daily_return_pct, mret) / var_samp(mret), 6) AS beta,
+       round(avg(daily_return_pct)
+             - (covar_samp(daily_return_pct, mret) / var_samp(mret))
+               * avg(mret), 6)                                       AS alpha,
+       round(corr(daily_return_pct, mret), 6)                        AS market_corr
+FROM daily_returns JOIN market USING (trade_date)
+WHERE daily_return_pct IS NOT NULL AND mret IS NOT NULL
+GROUP BY symbol
+ORDER BY symbol
+""",
+)
+
 # dedup_clusters oracle: transitive closure of the jaccard>=0.5 pair
 # graph via recursive CTE; cluster = min reachable doc.
 DEDUP_CLUSTERS_SQL = """
