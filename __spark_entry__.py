@@ -123,6 +123,7 @@ from stock_market_data_pipeline_v2_spark.operators.winnow import (
 )
 from stock_market_data_pipeline_v2_spark.operators.joins import as_of_join
 from stock_market_data_pipeline_v2_spark.operators.stats import (
+    event_value_quantiles,
     market_beta,
     return_correlations,
     walk_forward_splits,
@@ -470,6 +471,11 @@ def q_walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return market_beta(daily_returns(_clean_bars(spark, sf_dir)))
+
+
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return event_value_quantiles(load_table(spark, sf_dir, "events"))
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_volume_days": q_top_volume_days,
         "walk_forward_splits": q_walk_forward_splits,
         "market_beta": q_market_beta,
+        "event_value_quantiles": q_event_value_quantiles,
         "return_correlations": q_return_correlations,
         "bollinger_bands": q_bollinger,
         "stochastic_k": q_stochastic_k,
@@ -1011,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         "top_volume_days": oracles.TOP_VOLUME_DAYS_SQL,
         "walk_forward_splits": oracles.WALK_FORWARD_SPLITS_SQL,
         "market_beta": oracles.MARKET_BETA_SQL,
+        "event_value_quantiles": oracles.EVENT_VALUE_QUANTILES_SQL,
         "return_correlations": oracles.RETURN_CORRELATIONS_SQL,
         "bollinger_bands": oracles.BOLLINGER_SQL,
         "stochastic_k": oracles.STOCHASTIC_SQL,

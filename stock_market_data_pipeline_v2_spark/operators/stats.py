@@ -171,3 +171,42 @@ def market_beta(returns: DataFrame) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def event_value_quantiles(events: DataFrame) -> DataFrame:
+    """EXACT per-type value quantiles via the ordered-set aggregate
+    ``percentile_disc`` (WITHIN GROUP): each emitted quantile is an
+    actual data element — the smallest value whose cumulative rank
+    reaches p — so cross-engine parity is exact by construction, with
+    no interpolation arithmetic to drift in the last ulp (both engines
+    pick the SAME element; verified convention-identical vs DuckDB's
+    quantile_disc).
+
+    Scale note: exact rank quantiles buffer each group's values (the
+    same cost class as daily_summary's exact median — fine for
+    bounded-cardinality groups like event types). For corpus-sized
+    groups at 100 TB use the approx_percentile sketch tier
+    (sector_activity_sketch) — rows-only by design there, exact here.
+    """
+    qs = {
+        "p25": 0.25,
+        "p50": 0.50,
+        "p75": 0.75,
+        "p95": 0.95,
+    }
+    aggs = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY value)"
+        ).alias(name)
+        for name, p in qs.items()
+    ]
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("value").cast("long").alias("n"),
+            F.min("value").alias("v_min"),
+            *aggs,
+            F.max("value").alias("v_max"),
+        )
+        .orderBy("event_type")
+    )

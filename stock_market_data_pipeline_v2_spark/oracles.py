@@ -1307,6 +1307,22 @@ ORDER BY symbol_a, symbol_b
 """,
 )
 
+# operators/stats.py:event_value_quantiles — quantile_disc picks the
+# same element as Spark's percentile_disc (convention verified), so
+# parity is exact with no rounding. Spark emits doubles for the
+# quantile columns; value is already DOUBLE so dtypes agree.
+EVENT_VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n,
+       min(value)                   AS v_min,
+       quantile_disc(value, 0.25)   AS p25,
+       quantile_disc(value, 0.50)   AS p50,
+       quantile_disc(value, 0.75)   AS p75,
+       quantile_disc(value, 0.95)   AS p95,
+       max(value)                   AS v_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 # operators/stats.py:market_beta — equal-weight market return per
 # date, then per-symbol CAPM moments over the both-non-null sample.
 MARKET_BETA_SQL = with_ctes(
