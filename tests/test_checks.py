@@ -69,3 +69,38 @@ def test_unique_and_freshness(spark):
     fresh = by_name["freshness:ts<25 HOURS"]
     assert fresh["violations"] == 1 and fresh["severity"] == "warn"  # 2020 data is stale
     assert rep.ok is False  # unique is error-severity
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    """Corpus medallion: zones land, counts reconcile, the quality
+    gate passes, shards are hive-partitioned, val stays frozen on
+    re-run (idempotent overwrite + group-stable split)."""
+    import os
+
+    from stock_market_data_pipeline_v2_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    out = str(tmp_path / "corpus")
+    res = run_corpus_pipeline(spark, "/root/testdata/sf0.001", out)
+
+    assert res.checks.ok
+    assert res.silver_rows <= res.raw_rows  # gates + dedup only remove
+    assert res.train_rows + res.val_rows == res.silver_rows
+    assert 0 < res.val_rows < res.silver_rows
+    assert res.n_shards >= 1
+
+    shard_dirs = {
+        d for d in os.listdir(f"{out}/gold/shards") if d.startswith("shard_id=")
+    }
+    assert len(shard_dirs) == res.n_shards
+
+    # frozen eval: identical val membership on re-run
+    val1 = sorted(
+        r.doc_id for r in spark.read.parquet(f"{out}/gold/validation").collect()
+    )
+    res2 = run_corpus_pipeline(spark, "/root/testdata/sf0.001", out)
+    val2 = sorted(
+        r.doc_id for r in spark.read.parquet(f"{out}/gold/validation").collect()
+    )
+    assert val1 == val2 and res2.val_rows == res.val_rows
