@@ -52,6 +52,7 @@ from stock_market_data_pipeline_v2_spark.operators.curation import (
     importance_resample,
     importance_weights,
     leakage_safe_split,
+    length_bucket_batches,
     mix_corpus,
     ngram_containment,
     pack_sequences,
@@ -489,6 +490,10 @@ def q_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_drift_kl(_docs(spark, sf_dir))
 
 
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_bucket_batches(_docs(spark, sf_dir), batch_size=32)
+
+
 def q_walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_forward_splits(_clean_bars(spark, sf_dir))
 
@@ -879,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "shuffle_corpus": q_shuffle_corpus,
         "source_drift_kl": q_source_drift_kl,
+        "length_bucket_batches": q_length_bucket_batches,
         "zorder_events": q_zorder_events,
         "ngram_containment": q_ngram_containment,
         # group-aware train/val split: near-dup clusters never
@@ -1004,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": oracles.STRATIFIED_SAMPLE_SQL,
         "shuffle_corpus": oracles.SHUFFLE_CORPUS_SQL,
         "source_drift_kl": oracles.SOURCE_DRIFT_KL_SQL,
+        "length_bucket_batches": oracles.LENGTH_BUCKET_BATCHES_SQL,
         "zorder_events": oracles.ZORDER_EVENTS_SQL,
         "ngram_containment": oracles.NGRAM_CONTAINMENT_SQL,
         "leakage_safe_split": oracles.LEAKAGE_SAFE_SPLIT_SQL,

@@ -923,3 +923,62 @@ def source_drift_kl(documents: DataFrame, n_buckets: int = 256) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def length_bucket_batches(
+    documents: DataFrame, batch_size: int = 32
+) -> DataFrame:
+    """Length-grouped batch assembly — the padding killer: a batch's
+    compute cost is batch_size × max_len, so batching random-length
+    documents together wastes (max−mean)/max of every step. Sorting
+    the corpus by token length and cutting consecutive runs of
+    ``batch_size`` puts near-equal lengths in each batch, which is
+    the standard dynamic-batching trade (slightly correlated batches,
+    bought back by the serving-order shuffle upstream).
+
+    batch_id = (length_rank − 1) div batch_size over the exact global
+    (n_tokens, doc_id) rank — computed with the same distributed
+    two-level rank as :func:`shuffle_corpus` (range repartition +
+    per-partition row_number + ≤-parallelism offsets window; no
+    corpus-wide window), bit-matching the oracle's naive global form.
+    Also emits each batch's padding waste: 1 − len/max_len_in_batch
+    would need a second window, so the per-row output carries
+    (doc_id, n_tokens, length_rank, batch_id) and the oracle-shared
+    aggregate view is left to the consumer. Token counts use the
+    shared TOKEN_PATTERN lexer (the pack_sequences contract).
+    """
+    from .text import TOKEN_PATTERN, _norm
+
+    counted = documents.select(
+        "doc_id",
+        F.regexp_count(_norm(), F.lit(TOKEN_PATTERN)).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    ranged = counted.repartitionByRange(
+        par, F.asc("n_tokens"), F.asc("doc_id")
+    ).withColumn("__pid", F.spark_partition_id())
+    w_loc = Window.partitionBy("__pid").orderBy(
+        F.asc("n_tokens"), F.asc("doc_id")
+    )
+    local = ranged.withColumn("__lrn", F.row_number().over(w_loc).cast("long"))
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn("length_rank", (F.col("__off") + F.col("__lrn")).cast("long"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "length_rank",
+            (
+                F.expr(f"(length_rank - 1) div {int(batch_size)}")
+            ).cast("long").alias("batch_id"),
+        )
+        .orderBy("length_rank")
+    )

@@ -761,6 +761,27 @@ FROM documents
 ORDER BY position
 """
 
+# operators/curation.py:length_bucket_batches — naive global-window
+# form the two-level rank must bit-match; token counts share the
+# TOKEN_PATTERN lexer.
+LENGTH_BUCKET_BATCHES_SQL = """
+WITH c AS (
+    SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(trim(text)),
+                 '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+r AS (
+    SELECT doc_id, n_tokens,
+        CAST(row_number() OVER (ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT)
+            AS length_rank
+    FROM c
+)
+SELECT doc_id, n_tokens, length_rank,
+       CAST((length_rank - 1) // 32 AS BIGINT) AS batch_id
+FROM r ORDER BY length_rank
+"""
+
 # operators/winnow.py oracles ----------------------------------------------
 # Winnowing (Schleimer et al. 2003): k=4 word grams, window w=5.
 # Both engines order struct<h,pos> lexicographically (hash first,
