@@ -132,6 +132,7 @@ def main() -> None:
     pq_idx = build_pq_index(embs, persist=True)
     from stock_market_data_pipeline_v2_spark.operators.curation import (
         quality_decile_bins,
+        source_drift_kl,
     )
     from stock_market_data_pipeline_v2_spark.operators.text import (
         lm_perplexity,
@@ -142,6 +143,7 @@ def main() -> None:
         # the replicas breaks its stopword gates — a replication
         # artifact; its stages are covered by their own rows)
         "lm_perplexity": lambda: lm_perplexity(docs),
+        "source_drift_kl": lambda: source_drift_kl(docs),
         "quality_decile_bins": lambda: quality_decile_bins(docs),
         "passage_overlap": lambda: passage_overlap_pairs(docs, threshold=0.3),
         "pq_build": lambda: build_pq_index(embs).codes,
