@@ -94,7 +94,9 @@ from stock_market_data_pipeline_v2_spark.operators.similarity import (
 )
 from stock_market_data_pipeline_v2_spark.operators.multimodal import (
     attach_binary,
+    attach_wav_audio,
     decode_features,
+    decode_wav_features,
     resize_media,
     sample_frames,
 )
@@ -772,6 +774,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_binary(_docs(spark, sf_dir)))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL codec tier (stdlib RIFF/WAVE + PCM16): rows-only — a WAV
+    # parse is not SQL-expressible; the analytic round-trip gate lives
+    # in tests/test_llm_ops.py::test_wav_codec_real_roundtrip.
+    return decode_wav_features(attach_wav_audio(_docs(spark, sf_dir)))
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary output column dropped for the gate: the harness hashes
     # values and DuckDB cannot reproduce the stub resize; byte-level
@@ -938,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "audio_features": q_audio_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "asof_tick_bar": q_asof_tick_bar,

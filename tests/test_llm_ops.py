@@ -1240,3 +1240,43 @@ def test_incremental_dedup_planted_verdicts(spark):
     assert rows[101].verdict == "drop_neardup" and rows[101].match_doc_id == 1
     assert rows[101].jaccard and rows[101].jaccard >= 0.5
     assert rows[102].verdict == "keep" and rows[102].match_doc_id is None
+
+
+def test_wav_codec_real_roundtrip(spark):
+    """The REAL codec tier: synthesized WAV containers parse back with
+    the exact header fields, and signal features match the analytic
+    expectation for the known tone (zero crossings of a f-Hz sine over
+    d seconds ≈ 2·f·d)."""
+    from stock_market_data_pipeline_v2_spark.operators.multimodal import (
+        _WAV_RATE,
+        _WAV_SECONDS,
+        attach_wav_audio,
+        decode_wav_features,
+    )
+
+    docs = _docs(spark).limit(32)
+    media = attach_wav_audio(docs)
+    feats = {r.doc_id: r for r in decode_wav_features(media).collect()}
+    assert len(feats) == 32
+    n_expected = int(_WAV_RATE * _WAV_SECONDS)
+    for doc_id, r in feats.items():
+        assert r.sample_rate == _WAV_RATE
+        assert r.n_channels == 1 and r.sample_width == 2
+        assert r.n_frames == n_expected
+        assert r.duration_ms == 50
+        freq = 220.0 + 55.0 * (doc_id % 16)
+        expected_zc = 2.0 * freq * _WAV_SECONDS
+        assert abs(r.zero_crossings - expected_zc) <= 2  # boundary samples
+        # PCM16 sine at amplitude 20000: rms ≈ 20000/√2, peak ≤ 20000
+        assert abs(r.rms - 20000 / 2**0.5) < 300
+        assert 19000 <= r.peak <= 20000
+
+    # determinism: payload bytes identical across invocations (golden
+    # stability for the container writer)
+    p1 = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    p2 = {
+        r.doc_id: bytes(r.payload)
+        for r in attach_wav_audio(_docs(spark).limit(32)).collect()
+    }
+    assert p1 == p2
+    assert all(v[:4] == b"RIFF" and v[8:12] == b"WAVE" for v in p1.values())
