@@ -94,8 +94,10 @@ from stock_market_data_pipeline_v2_spark.operators.similarity import (
 )
 from stock_market_data_pipeline_v2_spark.operators.multimodal import (
     attach_binary,
+    attach_png_images,
     attach_wav_audio,
     decode_features,
+    decode_png_features,
     decode_wav_features,
     resize_media,
     sample_frames,
@@ -774,6 +776,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_binary(_docs(spark, sf_dir)))
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL codec tier (zlib/struct PNG, full filter set): rows-only —
+    # the filter/round-trip gate is
+    # tests/test_llm_ops.py::test_png_codec_real_roundtrip_and_filters.
+    return decode_png_features(attach_png_images(_docs(spark, sf_dir)))
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL codec tier (stdlib RIFF/WAVE + PCM16): rows-only — a WAV
     # parse is not SQL-expressible; the analytic round-trip gate lives
@@ -948,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "audio_features": q_audio_features,
+        "image_features": q_image_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "asof_tick_bar": q_asof_tick_bar,

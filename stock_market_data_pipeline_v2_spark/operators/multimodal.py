@@ -354,3 +354,189 @@ def decode_wav_features(media: DataFrame, partitions: int | None = None) -> Data
 
     src = media.repartition(partitions) if partitions else media
     return src.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# --- REAL codec tier: PNG via zlib + struct -------------------------------
+# PNG needs only DEFLATE (zlib), CRC32 (zlib) and chunk framing
+# (struct) — all standard library. Encoder emits 8-bit RGB
+# non-interlaced; decoder implements the full filter set (None/Sub/
+# Up/Average/Paeth), so it reads any baseline RGB8 PNG, not just its
+# own output. Video keeps the documented stub contract.
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("mean_r", LongType()),
+        StructField("mean_g", LongType()),
+        StructField("mean_b", LongType()),
+        StructField("pixel_checksum", LongType()),
+    ]
+)
+
+_PNG_SIDE = 16
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _synth_pixels(doc_id: int):
+    """Deterministic RGB8 test card keyed by doc_id (exact integer
+    formula — the decode test recomputes it independently)."""
+    import numpy as np
+
+    side = _PNG_SIDE
+    y, x = np.mgrid[0:side, 0:side]
+    r = (x * (doc_id + 1) + y) % 256
+    g = (x + y * (doc_id + 1)) % 256
+    b = (x * y + doc_id) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _synth_png_bytes(doc_id: int) -> bytes:
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = _synth_pixels(doc_id)
+    h, w, _ = px.shape
+    raw = b"".join(
+        b"\x00" + px[row].tobytes() for row in range(h)
+    )  # filter type 0 per scanline
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(payload: bytes):
+    """Baseline RGB8 PNG decoder: chunk walk, DEFLATE, and the five
+    scanline filters (spec §9: None, Sub, Up, Average, Paeth)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, idat, w = 8, [], None
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError("decoder supports baseline RGB8 only")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(b"".join(idat))
+    bpp, stride = 3, 3 * w
+    out = np.zeros((h, stride), dtype=np.int64)
+    for row in range(h):
+        line = raw[row * (stride + 1) : (row + 1) * (stride + 1)]
+        ftype, data = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        prev = out[row - 1] if row else np.zeros(stride, dtype=np.int64)
+        cur = np.zeros(stride, dtype=np.int64)
+        if ftype == 0:  # None
+            cur[:] = data
+        elif ftype == 2:  # Up
+            cur[:] = (data + prev) % 256
+        else:  # Sub / Average / Paeth need the left neighbor: scan
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    base = a
+                elif ftype == 3:
+                    base = (a + b) // 2
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    base = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad filter {ftype}")
+                cur[i] = (data[i] + base) % 256
+        out[row] = cur
+    return out.reshape(h, w, 3).astype(np.uint8)
+
+
+def attach_png_images(documents: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Image twin of :func:`attach_wav_audio` with REAL payloads:
+    each doc carries a genuine PNG container."""
+    import pandas as pd
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            payloads = pdf["doc_id"].map(lambda d: _synth_png_bytes(int(d)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_format": "png",
+                    "payload": payloads,
+                    "payload_len": payloads.map(len).astype("int64"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_format", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("payload_len", LongType()),
+        ]
+    )
+    src = documents.select("doc_id")
+    src = src.repartition(partitions) if partitions else src
+    return src.mapInPandas(gen, schema=schema)
+
+
+def decode_png_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Arrow-batched REAL image decode: parse + defilter each PNG,
+    emit dimensions and exact integer channel means (sum div count)."""
+    import pandas as pd
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = _png_decode(bytes(payload)).astype("int64")
+                h, w, c = px.shape
+                sums = px.reshape(-1, c).sum(axis=0)
+                n = h * w
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        c,
+                        int(sums[0] // n),
+                        int(sums[1] // n),
+                        int(sums[2] // n),
+                        int(px.sum() % 1_000_000_007),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA]
+            )
+
+    src = media.repartition(partitions) if partitions else media
+    return src.mapInPandas(gen, schema=IMAGE_FEATURES_SCHEMA)

@@ -1280,3 +1280,81 @@ def test_wav_codec_real_roundtrip(spark):
     }
     assert p1 == p2
     assert all(v[:4] == b"RIFF" and v[8:12] == b"WAVE" for v in p1.values())
+
+
+def test_png_codec_real_roundtrip_and_filters(spark):
+    """REAL image codec: decoded pixels equal the synth formula
+    exactly, and the decoder handles every PNG scanline filter, not
+    just the one its own encoder emits."""
+    import zlib
+
+    import numpy as np
+
+    from stock_market_data_pipeline_v2_spark.operators.multimodal import (
+        _PNG_SIDE,
+        _png_chunk,
+        _png_decode,
+        _synth_pixels,
+        _synth_png_bytes,
+        attach_png_images,
+        decode_png_features,
+    )
+
+    docs = _docs(spark).limit(16)
+    feats = {r.doc_id: r for r in decode_png_features(attach_png_images(docs)).collect()}
+    assert len(feats) == 16
+    for doc_id, r in feats.items():
+        px = _synth_pixels(doc_id).astype("int64")
+        assert (r.width, r.height, r.channels) == (_PNG_SIDE, _PNG_SIDE, 3)
+        n = _PNG_SIDE * _PNG_SIDE
+        assert r.mean_r == int(px[..., 0].sum() // n)
+        assert r.mean_g == int(px[..., 1].sum() // n)
+        assert r.mean_b == int(px[..., 2].sum() // n)
+        assert r.pixel_checksum == int(px.sum() % 1_000_000_007)
+
+    # pixel-exact: decode(encode(px)) == px
+    assert (_png_decode(_synth_png_bytes(7)) == _synth_pixels(7)).all()
+
+    # filter coverage: re-encode the same image with Sub(1), Up(2),
+    # Average(3) and Paeth(4) scanline filters; decode must recover
+    # identical pixels from every encoding
+    px = _synth_pixels(3)
+    h, w, _ = px.shape
+
+    def encode_with_filter(ft):
+        rows = []
+        prev = np.zeros(w * 3, dtype=np.int64)
+        for y in range(h):
+            cur = px[y].reshape(-1).astype(np.int64)
+            if ft == 1:
+                left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+                enc = (cur - left) % 256
+            elif ft == 2:
+                enc = (cur - prev) % 256
+            elif ft == 3:
+                left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+                enc = (cur - (left + prev) // 2) % 256
+            elif ft == 4:
+                enc = np.zeros(w * 3, dtype=np.int64)
+                for i in range(w * 3):
+                    a = int(cur[i - 3]) if i >= 3 else 0
+                    b = int(prev[i])
+                    c = int(prev[i - 3]) if i >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    base = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[i] = (cur[i] - base) % 256
+            rows.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+            prev = cur
+        import struct
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for ft in (1, 2, 3, 4):
+        assert (_png_decode(encode_with_filter(ft)) == px).all(), f"filter {ft}"
