@@ -1358,3 +1358,24 @@ def test_png_codec_real_roundtrip_and_filters(spark):
 
     for ft in (1, 2, 3, 4):
         assert (_png_decode(encode_with_filter(ft)) == px).all(), f"filter {ft}"
+
+
+def test_png_real_resize_kernel(spark):
+    """Real resize: decode(resize(encode(px))) == px[::2, ::2]."""
+    from stock_market_data_pipeline_v2_spark.operators.multimodal import (
+        _png_decode,
+        _synth_pixels,
+        attach_png_images,
+        resize_png_images,
+    )
+
+    docs = _docs(spark).limit(8)
+    out = {
+        r.doc_id: r
+        for r in resize_png_images(attach_png_images(docs), factor=2).collect()
+    }
+    assert len(out) == 8
+    for doc_id, r in out.items():
+        expect = _synth_pixels(doc_id)[::2, ::2]
+        assert (r.height, r.width) == expect.shape[:2]
+        assert (_png_decode(bytes(r.resized)) == expect).all()
