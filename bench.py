@@ -90,6 +90,8 @@ HEADLINE = [
     "source_drift_kl",        # added round 3: per-source KL drift monitor
     "zorder_events",          # added round 3: scan-shaped Morton z-values
     "multimodal_decode",
+    "audio_features",  # added round 3: REAL stdlib WAV/PCM codec tier
+    "image_features",  # added round 3: REAL zlib/struct PNG codec tier
 ]
 
 

@@ -485,3 +485,39 @@ def test_streaming_admission_verdicts_and_exactly_once(spark, tmp_path):
 
     parts = {d for d in os.listdir(out) if d.startswith("verdict=")}
     assert parts == {"verdict=drop_exact", "verdict=drop_neardup", "verdict=keep"}
+
+
+def test_streaming_image_decode_exactly_once(spark, tmp_path):
+    """The REAL PNG codec under readStream: feature rows match the
+    batch decoder exactly, and a restart does not re-decode."""
+    from stock_market_data_pipeline_v2_spark.operators.multimodal import (
+        attach_png_images,
+        decode_png_features,
+    )
+    from stock_market_data_pipeline_v2_spark.streaming.media import (
+        start_image_decode_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    media = attach_png_images(docs)
+    src = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    media.filter("doc_id < 10").write.mode("append").parquet(src)
+    q = start_image_decode_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    media.filter("doc_id >= 10").write.mode("append").parquet(src)
+    q2 = start_image_decode_stream(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b, r.pixel_checksum)
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        r.doc_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b, r.pixel_checksum)
+        for r in decode_png_features(media).collect()
+    }
+    assert got == expect  # exactly-once: no dup rows, all 20 present
