@@ -498,6 +498,15 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucket_batches(_docs(spark, sf_dir), batch_size=32)
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_market_data_pipeline_v2_spark.operators.bpe import (
+        FIXED_MERGES,
+        bpe_token_counts,
+    )
+
+    return bpe_token_counts(_docs(spark, sf_dir), FIXED_MERGES)
+
+
 def q_walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_forward_splits(_clean_bars(spark, sf_dir))
 
@@ -903,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_corpus": q_shuffle_corpus,
         "source_drift_kl": q_source_drift_kl,
         "length_bucket_batches": q_length_bucket_batches,
+        "bpe_token_counts": q_bpe_token_counts,
         "zorder_events": q_zorder_events,
         "ngram_containment": q_ngram_containment,
         # group-aware train/val split: near-dup clusters never
@@ -1031,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_corpus": oracles.SHUFFLE_CORPUS_SQL,
         "source_drift_kl": oracles.SOURCE_DRIFT_KL_SQL,
         "length_bucket_batches": oracles.LENGTH_BUCKET_BATCHES_SQL,
+        "bpe_token_counts": oracles.BPE_TOKEN_COUNTS_SQL,
         "zorder_events": oracles.ZORDER_EVENTS_SQL,
         "ngram_containment": oracles.NGRAM_CONTAINMENT_SQL,
         "leakage_safe_split": oracles.LEAKAGE_SAFE_SPLIT_SQL,

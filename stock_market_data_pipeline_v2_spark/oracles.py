@@ -749,6 +749,14 @@ ZORDER_SPECS = [
 
 ZORDER_EVENTS_SQL = _zvalue_oracle_sql("events", "event_id", ZORDER_SPECS)
 
+# operators/bpe.py:bpe_token_counts — the DuckDB twin is GENERATED
+# from the same FIXED_MERGES literal by bpe_oracle_sql (one CTE block
+# per merge pass of the identical window algebra).
+from .operators.bpe import FIXED_MERGES as _BPE_FIXED_MERGES
+from .operators.bpe import bpe_oracle_sql as _bpe_oracle_sql
+
+BPE_TOKEN_COUNTS_SQL = _bpe_oracle_sql(_BPE_FIXED_MERGES)
+
 # operators/curation.py:shuffle_corpus — the oracle uses the naive
 # global-window form the distributed two-level rank must bit-match.
 SHUFFLE_CORPUS_SQL = """

@@ -1379,3 +1379,55 @@ def test_png_real_resize_kernel(spark):
         expect = _synth_pixels(doc_id)[::2, ::2]
         assert (r.height, r.width) == expect.shape[:2]
         assert (_png_decode(bytes(r.resized)) == expect).all()
+
+
+def test_bpe_trainer_classic_corpus_and_greedy_runs(spark):
+    """BPE trainer on the Sennrich corpus learns the textbook merge
+    sequence; the window-algebra merge pass implements greedy
+    left-to-right semantics exactly (parity rule on a==b runs)."""
+    from stock_market_data_pipeline_v2_spark.operators.bpe import (
+        _init_symbols,
+        _merge_pass,
+        bpe_encode_vocab,
+        learn_bpe_merges,
+        word_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="low low low low low"),
+            Row(doc_id=1, text="lower lower"),
+            Row(doc_id=2, text="newest newest newest newest newest newest"),
+            Row(doc_id=3, text="widest widest widest"),
+        ]
+    )
+    merges = learn_bpe_merges(docs, n_merges=5)
+    # freqs: es 9, est 9, est</w> 9, lo 7, low 7 — the textbook run
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+    enc = {
+        r.word: list(r.subwords)
+        for r in bpe_encode_vocab(word_vocab(docs), merges).collect()
+    }
+    assert enc["low"] == ["low", "</w>"]
+    assert enc["newest"] == ["n", "e", "w", "est</w>"]
+
+    # greedy a==b runs: 'aaaa' under (a,a) → [aa, aa, </w>]; 'aaa' →
+    # [aa, a, </w>] (even offsets within the run merge, odd wait)
+    runs = spark.createDataFrame(
+        [Row(word="aaaa", freq=1), Row(word="aaa", freq=1)]
+    )
+    merged = _merge_pass(_init_symbols(runs), "a", "a")
+    out = {
+        r.word: [s.sym for s in sorted(r.syms, key=lambda s: s.pos)]
+        for r in merged.groupBy("word")
+        .agg(F.collect_list(F.struct("pos", "sym")).alias("syms"))
+        .collect()
+    }
+    assert out["aaaa"] == ["aa", "aa", "</w>"]
+    assert out["aaa"] == ["aa", "a", "</w>"]
