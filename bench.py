@@ -77,6 +77,7 @@ HEADLINE = [
     "gopher_filter",     # added round 2
     "chunk_documents",   # added round 2
     "token_frequency",   # added round 2
+    "bpe_token_counts",  # added round 3: window-algebra BPE encoder
     "stratified_sample", # added round 2
     "shuffle_corpus",    # added round 3: deterministic global permutation
     "ngram_containment", # added round 2

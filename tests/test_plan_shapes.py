@@ -299,3 +299,24 @@ def test_salted_skew_join_equivalence_and_shape(spark):
 
     plan = _plan(salted_skew_join(li, dim, ["l_partkey"], n_salts=4))
     assert "__salt" in plan
+
+
+def test_bpe_windows_all_partition_by_word(spark):
+    """Every window in a BPE merge pass partitions by word (vocab
+    grain) — no corpus-wide or single-partition window anywhere.
+    (The full encode chain localCheckpoints eagerly, truncating its
+    inspectable plan, so the lock targets the pass itself.)"""
+    import re
+
+    from stock_market_data_pipeline_v2_spark.operators.bpe import (
+        _init_symbols,
+        _merge_pass,
+        word_vocab,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = _merge_pass(_init_symbols(word_vocab(docs)), "t", "h")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", phys)
+    assert specs, "expected window nodes in the merge-pass plan"
+    assert all(s.strip().startswith("word#") for s in specs), specs
