@@ -1431,3 +1431,55 @@ def test_bpe_trainer_classic_corpus_and_greedy_runs(spark):
     }
     assert out["aaaa"] == ["aa", "aa", "</w>"]
     assert out["aaa"] == ["aa", "a", "</w>"]
+
+
+def test_bpe_pass_matches_python_reference_randomized(spark):
+    """Differential test: the window-algebra merge pass equals a
+    straightforward Python greedy scan on 60 random words from a tiny
+    alphabet (adversarial for run/parity logic: long equal-symbol
+    runs, overlapping candidates), across several merge pairs."""
+    import random
+
+    from stock_market_data_pipeline_v2_spark.operators.bpe import (
+        EOW,
+        _init_symbols,
+        _merge_pass,
+    )
+
+    rng = random.Random(42)
+    words = list(
+        {
+            "".join(rng.choice("aab") for _ in range(rng.randint(1, 12)))
+            for _ in range(60)
+        }
+    )
+    vocab = spark.createDataFrame([Row(word=w, freq=1) for w in words])
+
+    def py_greedy(syms, a, b):
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    for a, b in [("a", "a"), ("a", "b"), ("b", "a"), ("aa", "b")]:
+        sym = _init_symbols(vocab)
+        if (a, b) == ("aa", "b"):  # second-round pair: apply (a,a) first
+            sym = _merge_pass(sym, "a", "a")
+        got = {
+            r.word: [s.sym for s in sorted(r.syms, key=lambda s: s.pos)]
+            for r in _merge_pass(sym, a, b)
+            .groupBy("word")
+            .agg(F.collect_list(F.struct("pos", "sym")).alias("syms"))
+            .collect()
+        }
+        for w in words:
+            base = list(w) + [EOW]
+            if (a, b) == ("aa", "b"):
+                base = py_greedy(base, "a", "a")
+            assert got[w] == py_greedy(base, a, b), (w, a, b)
