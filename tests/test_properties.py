@@ -135,3 +135,41 @@ def test_as_of_join_semantics(spark):
     assert out[("A", 5)] == "r5"  # equality counts (right sorts first)
     assert out[("A", 9)] == "r7"  # latest at-or-before
     assert out[("B", 9)] is None  # per-key isolation
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e9,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_round_away_matches_duckdb_exactly(spark, values, scale):
+    """The exactness keystone, property-tested: functions/core.py:
+    round_away must agree bit-for-bit with DuckDB's round() on
+    arbitrary doubles and scales — every oracle-gated money/ratio
+    column rests on this."""
+    import duckdb
+
+    from stock_market_data_pipeline_v2_spark.functions.core import round_away
+
+    df = spark.createDataFrame([Row(i=i, x=float(v)) for i, v in enumerate(values)])
+    got = {
+        r.i: r.y
+        for r in df.select("i", round_away(F.col("x"), scale).alias("y")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, float(v)) for i, v in enumerate(values)])
+    expect = dict(con.execute(f"SELECT i, round(x, {scale}) FROM t").fetchall())
+    for i in got:
+        assert got[i] == expect[i] or (
+            got[i] != got[i] and expect[i] != expect[i]
+        ), (values[i], scale, got[i], expect[i])

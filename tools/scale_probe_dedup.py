@@ -130,6 +130,10 @@ def main() -> None:
     # linear once n_cells hits the 4096 cap at n ≈ 16.8M.
     idx = build_ivf_index(embs, n_assign=3, persist=True)
     pq_idx = build_pq_index(embs, persist=True)
+    from stock_market_data_pipeline_v2_spark.operators.bpe import (
+        FIXED_MERGES,
+        bpe_token_counts,
+    )
     from stock_market_data_pipeline_v2_spark.operators.curation import (
         quality_decile_bins,
         source_drift_kl,
@@ -144,6 +148,9 @@ def main() -> None:
         # artifact; its stages are covered by their own rows)
         "lm_perplexity": lambda: lm_perplexity(docs),
         "source_drift_kl": lambda: source_drift_kl(docs),
+        # vocab-level BPE: replica token namespacing grows the vocab
+        # ~10x, so this row probes the vocab-linear encode claim
+        "bpe_token_counts": lambda: bpe_token_counts(docs, FIXED_MERGES),
         "quality_decile_bins": lambda: quality_decile_bins(docs),
         "passage_overlap": lambda: passage_overlap_pairs(docs, threshold=0.3),
         "pq_build": lambda: build_pq_index(embs).codes,
