@@ -75,19 +75,24 @@ def _merge_pass(sym: DataFrame, a: str, b: str) -> DataFrame:
     Selection rule (see module docstring): candidates at even offsets
     within each run of consecutive candidate positions merge; their
     right neighbors drop; positions re-index."""
+    # EVERY window here shares the one (word, pos) spec — a single
+    # exchange + sort per pass (the first draft used three partition
+    # specs: per-word, per-(word, cand), per-(word, run) — two extra
+    # vocab shuffles per pass for the same answer).
     w = Window.partitionBy("word").orderBy("pos")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
     cand = (F.col("sym") == a) & (F.lead("sym").over(w) == F.lit(b))
     stepped = sym.withColumn("__cand", F.coalesce(cand, F.lit(False)))
-    # runs of consecutive candidates: pos - rank among candidates
-    w_cand = Window.partitionBy("word", "__cand").orderBy("pos")
-    run = F.when(
-        F.col("__cand"),
-        F.col("pos") - F.row_number().over(w_cand),
+    # run start = first candidate of a consecutive-candidate run; the
+    # running max of start positions gives each candidate its run's
+    # origin, and greedy selection is even offset from that origin
+    run_start = F.col("__cand") & ~F.coalesce(F.lag("__cand").over(w), F.lit(False))
+    stepped = stepped.withColumn(
+        "__rstart",
+        F.max(F.when(run_start, F.col("pos"))).over(w_run),
     )
-    stepped = stepped.withColumn("__run", run)
-    w_run = Window.partitionBy("word", "__run").orderBy("pos")
     sel = F.col("__cand") & (
-        (F.row_number().over(w_run) - 1) % 2 == 0
+        F.pmod(F.col("pos") - F.col("__rstart"), F.lit(2)) == 0
     )
     stepped = stepped.withColumn("__sel", sel).withColumn(
         "__drop", F.coalesce(F.lag("__sel").over(w), F.lit(False))
@@ -243,14 +248,19 @@ sym0 AS (
             (PARTITION BY word ORDER BY pos) = '{q(b)}', FALSE) AS cand
     FROM sym{k}
 ),
-run{k} AS (
-    SELECT *, CASE WHEN cand THEN pos - row_number() OVER
-        (PARTITION BY word, cand ORDER BY pos) END AS run
+rs{k} AS (
+    SELECT *, cand AND NOT coalesce(lag(cand) OVER
+        (PARTITION BY word ORDER BY pos), FALSE) AS run_start
     FROM step{k}
 ),
+run{k} AS (
+    SELECT *, max(CASE WHEN run_start THEN pos END) OVER
+        (PARTITION BY word ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rstart
+    FROM rs{k}
+),
 sel{k} AS (
-    SELECT *, cand AND ((row_number() OVER
-        (PARTITION BY word, run ORDER BY pos) - 1) % 2 = 0) AS sel
+    SELECT *, cand AND ((pos - rstart) % 2 = 0) AS sel
     FROM run{k}
 ),
 drop{k} AS (
