@@ -78,6 +78,7 @@ from stock_market_data_pipeline_v2_spark.operators.dedup import (
     dedup_clusters,
     dedup_clusters_star,
     dedup_exact,
+    dedup_keep_best,
     embedding_neardup_pairs,
     incremental_dedup_decisions,
     minhash_lsh_pairs,
@@ -520,6 +521,10 @@ def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_value_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_keep_best(_docs(spark, sf_dir), _pair_graph(spark, sf_dir))
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "tonight's crawl": every 10th doc is the new batch, the rest is
     # the established corpus it must be admitted against.
@@ -931,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_by_source": q_corpus_stats_by_source,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_keep_best": q_dedup_keep_best,
         # MOSS winnowing: local fingerprints with a deterministic
         # detection guarantee (every shared run ≥ w+k−1 tokens) at
         # ~2/(w+1) of the shingle-index cost; both oracle-gated.
@@ -1053,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats_by_source": oracles.CORPUS_STATS_BY_SOURCE_SQL,
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "dedup_incremental": oracles.INCREMENTAL_DEDUP_SQL,
+        "dedup_keep_best": oracles.DEDUP_KEEP_BEST_SQL,
         "winnow_fingerprints": oracles.WINNOW_FINGERPRINTS_SQL,
         "passage_overlap": oracles.PASSAGE_OVERLAP_SQL,
         "passage_clusters": oracles.PASSAGE_CLUSTERS_SQL,

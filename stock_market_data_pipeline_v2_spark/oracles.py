@@ -1419,6 +1419,34 @@ GROUP BY doc_id
 ORDER BY doc_id
 """
 
+# operators/dedup.py:dedup_keep_best — cluster closure (nested
+# recursive CTE, scoped to the cl body) + the oracle-pinned quality
+# expression + one per-cluster rank.
+DEDUP_KEEP_BEST_SQL = (
+    "WITH cl AS ("
+    + DEDUP_CLUSTERS_SQL.replace("ORDER BY doc_id", "")
+    + "),\nts AS ("
+    + TEXT_STATS_SQL
+    + """),
+allc AS (
+    SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+),
+j AS (
+    SELECT a.cluster_id, a.doc_id, ts.quality_score
+    FROM allc a JOIN ts ON a.doc_id = ts.doc_id
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY quality_score DESC, doc_id ASC) AS rn,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+    FROM j
+)
+SELECT cluster_id, doc_id AS kept_doc_id, quality_score AS kept_quality,
+       n_members
+FROM r WHERE rn = 1 ORDER BY cluster_id"""
+)
+
 # repetition_filter oracle: the per-doc n-gram mode via unnest +
 # group-by (DuckDB side) must equal Spark's in-row sorted-array run
 # fold — counts are integers, fractions share the identical IEEE
