@@ -81,6 +81,7 @@ from stock_market_data_pipeline_v2_spark.operators.dedup import (
     dedup_keep_best,
     embedding_neardup_pairs,
     incremental_dedup_decisions,
+    incremental_dedup_lsh,
     minhash_lsh_pairs,
     shingle_jaccard_pairs,
     simhash_pairs,
@@ -521,6 +522,18 @@ def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_value_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scale tier of dedup_incremental: rows-only (LSH bounds recall;
+    # subset-bit-identity + planted-recall gates in tests/test_llm_ops)
+    docs = _docs(spark, sf_dir)
+    return incremental_dedup_lsh(
+        docs.filter("doc_id % 10 != 0"),
+        docs.filter("doc_id % 10 = 0"),
+        threshold=0.5,
+        max_shingle_freq=_SHINGLE_DF_CAP,
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(_docs(spark, sf_dir), _pair_graph(spark, sf_dir))
 
@@ -937,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_incremental_lsh": q_dedup_incremental_lsh,
         # MOSS winnowing: local fingerprints with a deterministic
         # detection guarantee (every shared run ≥ w+k−1 tokens) at
         # ~2/(w+1) of the shingle-index cost; both oracle-gated.

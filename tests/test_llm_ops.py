@@ -1483,3 +1483,59 @@ def test_bpe_pass_matches_python_reference_randomized(spark):
             if (a, b) == ("aa", "b"):
                 base = py_greedy(base, "a", "a")
             assert got[w] == py_greedy(base, a, b), (w, a, b)
+
+
+def test_incremental_lsh_subset_of_exact_and_recall(spark):
+    """LSH admission tier: (a) every verdict it emits that DROPS a doc
+    appears in the exact tier's output with the identical match and
+    rounded jaccard (subset-bit-identity — LSH may only downgrade a
+    drop to keep, never invent or alter one); (b) planted near-dups
+    are caught."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        incremental_dedup_decisions,
+        incremental_dedup_lsh,
+        release_cached_inputs,
+    )
+
+    docs = _docs(spark)
+    corpus = docs.filter("doc_id % 10 != 0")
+    batch = docs.filter("doc_id % 10 = 0")
+    exact = incremental_dedup_decisions(corpus, batch, threshold=0.5)
+    exact_rows = {r.doc_id: r for r in exact.collect()}
+    release_cached_inputs(exact)
+    lsh = incremental_dedup_lsh(corpus, batch, threshold=0.5)
+    lsh_rows = {r.doc_id: r for r in lsh.collect()}
+    release_cached_inputs(lsh)
+
+    assert set(lsh_rows) == set(exact_rows)  # one verdict per batch doc
+    n_drops_exact = sum(1 for r in exact_rows.values() if r.verdict != "keep")
+    n_drops_lsh = 0
+    for doc_id, r in lsh_rows.items():
+        e = exact_rows[doc_id]
+        if r.verdict == "keep":
+            continue
+        n_drops_lsh += 1
+        # subset-bit-identity vs the exact tier
+        assert (r.verdict, r.match_doc_id, r.jaccard) == (
+            e.verdict,
+            e.match_doc_id,
+            e.jaccard,
+        ), (doc_id, r, e)
+    assert n_drops_exact > 0
+    # recall over the testdata's planted dups
+    assert n_drops_lsh >= 0.6 * n_drops_exact
+
+    # planted: an exact copy and a one-word-change near-dup must drop
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    c2 = spark.createDataFrame([Row(doc_id=1, text=base)])
+    b2 = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=base.upper()),
+            Row(doc_id=101, text=base.replace("kappa", "lambda")),
+        ]
+    )
+    out = incremental_dedup_lsh(c2, b2, threshold=0.5)
+    planted = {r.doc_id: r.verdict for r in out.collect()}
+    release_cached_inputs(out)
+    assert planted[100] == "drop_exact"
+    assert planted[101] == "drop_neardup"

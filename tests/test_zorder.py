@@ -109,3 +109,32 @@ def test_zorder_layout_skips_files_and_preserves_results(spark, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_zvalue_matches_python_reference_3d(spark):
+    """The interleave generalizes beyond 2-D: 3 columns × 8 bits vs a
+    straightforward Python bit-interleave on random rows."""
+    import random
+
+    from pyspark.sql import Row
+    from stock_market_data_pipeline_v2_spark.functions.zorder import with_zvalue
+
+    rng = random.Random(7)
+    rows = [
+        Row(i=i, a=rng.randint(0, 255), b=rng.randint(0, 255), c=rng.randint(0, 255))
+        for i in range(200)
+    ]
+    specs = [("a", 0, 255), ("b", 0, 255), ("c", 0, 255)]
+    df = spark.createDataFrame(rows)
+    got = {r.i: r.zval for r in with_zvalue(df, specs, bits=8).collect()}
+
+    def py_z(vals, bits=8):
+        z = 0
+        n = len(vals)
+        for j in range(bits):
+            for i, v in enumerate(vals):
+                z |= ((v >> j) & 1) << (j * n + i)
+        return z
+
+    for r in rows:
+        assert got[r.i] == py_z([r.a, r.b, r.c]), r
