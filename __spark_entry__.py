@@ -58,6 +58,7 @@ from stock_market_data_pipeline_v2_spark.operators.curation import (
     pack_sequences,
     prototypicality_prune,
     quality_decile_bins,
+    sft_render_spans,
     shuffle_corpus,
     source_drift_kl,
     stratified_sample,
@@ -500,6 +501,10 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucket_batches(_docs(spark, sf_dir), batch_size=32)
 
 
+def q_sft_render_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sft_render_spans(_docs(spark, sf_dir), turn_chars=256)
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_market_data_pipeline_v2_spark.operators.bpe import (
         FIXED_MERGES,
@@ -931,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift_kl": q_source_drift_kl,
         "length_bucket_batches": q_length_bucket_batches,
         "bpe_token_counts": q_bpe_token_counts,
+        "sft_render_spans": q_sft_render_spans,
         "zorder_events": q_zorder_events,
         "ngram_containment": q_ngram_containment,
         # group-aware train/val split: near-dup clusters never
@@ -1062,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "source_drift_kl": oracles.SOURCE_DRIFT_KL_SQL,
         "length_bucket_batches": oracles.LENGTH_BUCKET_BATCHES_SQL,
         "bpe_token_counts": oracles.BPE_TOKEN_COUNTS_SQL,
+        "sft_render_spans": oracles.SFT_RENDER_SPANS_SQL,
         "zorder_events": oracles.ZORDER_EVENTS_SQL,
         "ngram_containment": oracles.NGRAM_CONTAINMENT_SQL,
         "leakage_safe_split": oracles.LEAKAGE_SAFE_SPLIT_SQL,

@@ -982,3 +982,57 @@ def length_bucket_batches(
         )
         .orderBy("length_rank")
     )
+
+
+def sft_render_spans(
+    documents: DataFrame, turn_chars: int = 256
+) -> DataFrame:
+    """Instruction-tuning data prep: render documents as alternating
+    user/assistant turns under a chat template and emit the LOSS-MASK
+    SPANS — the [start, end) character offsets of each turn inside the
+    flattened training string. SFT loss applies only to assistant
+    tokens; computing spans at data-prep time (instead of re-parsing
+    templates in the trainer) is the standard contract, and off-by-one
+    span bugs silently train on user text — hence the oracle gate.
+
+    Turns come from fixed-width chunking (overlap 0 — turns must not
+    share text), role alternates user/assistant by turn parity, each
+    turn renders as ``<|role|>text<|end|>``. Offsets are a per-doc
+    prefix sum of rendered lengths — exact integer arithmetic, one
+    window over (doc, turn) rows; scan-shaped otherwise. Output one
+    row per turn: (doc_id, turn_idx, role, span_start, span_end,
+    trainable). The flattened string itself is ``string_agg`` of the
+    rendered turns in turn order — reconstructible, so it is not
+    materialized here (bytes stay in the scan)."""
+    turns = chunk_documents(documents, chunk_chars=turn_chars, overlap=0).select(
+        "doc_id",
+        F.col("chunk_idx").alias("turn_idx"),
+        F.when(F.col("chunk_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "chunk_text",
+    )
+    rendered_len = (
+        F.length("chunk_text") + F.length("role") + F.lit(4 + 7)
+    )  # <|role|> ... <|end|> framing: 2+2 around role, 7 for <|end|>
+    w = Window.partitionBy("doc_id").orderBy("turn_idx")
+    w_prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        turns.withColumn("__rlen", rendered_len.cast("long"))
+        .select(
+            "doc_id",
+            "turn_idx",
+            "role",
+            F.coalesce(F.sum("__rlen").over(w_prior), F.lit(0))
+            .cast("long")
+            .alias("span_start"),
+            (
+                F.coalesce(F.sum("__rlen").over(w_prior), F.lit(0))
+                + F.col("__rlen")
+            )
+            .cast("long")
+            .alias("span_end"),
+            (F.col("role") == "assistant").alias("trainable"),
+        )
+        .orderBy("doc_id", "turn_idx")
+    )

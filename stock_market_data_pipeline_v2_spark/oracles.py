@@ -757,6 +757,39 @@ from .operators.bpe import bpe_oracle_sql as _bpe_oracle_sql
 
 BPE_TOKEN_COUNTS_SQL = _bpe_oracle_sql(_BPE_FIXED_MERGES)
 
+# operators/curation.py:sft_render_spans — turn chunking (256/0) +
+# per-doc prefix sum of rendered lengths; <|role|>text<|end|> framing
+# adds len(role) + 11 chars per turn.
+SFT_RENDER_SPANS_SQL = """
+WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+n AS (
+    SELECT doc_id, t,
+        greatest(CAST(ceil(CAST(length(t) AS DOUBLE) / 256) AS INTEGER), 1) AS nc
+    FROM d
+),
+turns AS (
+    SELECT doc_id,
+        CAST(i AS BIGINT) AS turn_idx,
+        CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        substr(t, CAST(i AS INTEGER) * 256 + 1, 256) AS chunk_text
+    FROM n, unnest(generate_series(0, nc - 1)) AS u(i)
+),
+r AS (
+    SELECT doc_id, turn_idx, role,
+        CAST(length(chunk_text) + length(role) + 11 AS BIGINT) AS rlen
+    FROM turns
+)
+SELECT doc_id, turn_idx, role,
+       CAST(coalesce(sum(rlen) OVER (PARTITION BY doc_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS span_start,
+       CAST(coalesce(sum(rlen) OVER (PARTITION BY doc_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + rlen
+            AS BIGINT) AS span_end,
+       role = 'assistant' AS trainable
+FROM r ORDER BY doc_id, turn_idx
+"""
+
 # operators/curation.py:shuffle_corpus — the oracle uses the naive
 # global-window form the distributed two-level rank must bit-match.
 SHUFFLE_CORPUS_SQL = """

@@ -1539,3 +1539,31 @@ def test_incremental_lsh_subset_of_exact_and_recall(spark):
     release_cached_inputs(out)
     assert planted[100] == "drop_exact"
     assert planted[101] == "drop_neardup"
+
+
+def test_sft_spans_index_into_flat_string(spark):
+    """The span contract, end-to-end: reconstruct each doc's flattened
+    chat string from its turns and assert every span [start, end)
+    slices out exactly its rendered turn — the invariant that keeps
+    SFT loss off user text."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        chunk_documents,
+        sft_render_spans,
+    )
+
+    docs = _docs(spark).limit(25)
+    spans = sft_render_spans(docs, turn_chars=256).collect()
+    turns = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in chunk_documents(docs, chunk_chars=256, overlap=0).collect()
+    }
+    by_doc = {}
+    for r in sorted(spans, key=lambda r: (r.doc_id, r.turn_idx)):
+        rendered = f"<|{r.role}|>{turns[(r.doc_id, r.turn_idx)]}<|end|>"
+        by_doc.setdefault(r.doc_id, []).append((r, rendered))
+    assert by_doc
+    for doc_id, items in by_doc.items():
+        flat = "".join(rendered for _, rendered in items)
+        for r, rendered in items:
+            assert flat[r.span_start : r.span_end] == rendered, (doc_id, r)
+            assert r.trainable == (r.role == "assistant")
