@@ -303,3 +303,20 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN cnt c USING (doc_id)
 ORDER BY d.doc_id"""
     )
+
+
+def save_bpe_model(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge ranking (the tokenizer MODEL) as JSON — a few
+    KB regardless of corpus size; the build-once/apply-many artifact
+    the encoder consumes, like the IVF/PQ index tables."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump([[a, b] for a, b in merges], f)
+
+
+def load_bpe_model(path: str) -> list[tuple[str, str]]:
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        return [(a, b) for a, b in json.load(f)]

@@ -1567,3 +1567,25 @@ def test_sft_spans_index_into_flat_string(spark):
         for r, rendered in items:
             assert flat[r.span_start : r.span_end] == rendered, (doc_id, r)
             assert r.trainable == (r.role == "assistant")
+
+
+def test_bpe_model_roundtrip(spark, tmp_path):
+    from stock_market_data_pipeline_v2_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe_merges,
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    docs = _docs(spark).limit(40)
+    merges = learn_bpe_merges(docs, n_merges=6)
+    p = str(tmp_path / "bpe.json")
+    save_bpe_model(merges, p)
+    assert load_bpe_model(p) == merges
+    # counts under the reloaded model equal counts under the original
+    a = {r.doc_id: r.n_bpe_tokens for r in bpe_token_counts(docs, merges).collect()}
+    b = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_counts(docs, load_bpe_model(p)).collect()
+    }
+    assert a == b and a
