@@ -73,6 +73,8 @@ from stock_market_data_pipeline_v2_spark.operators.text import (
     lm_perplexity,
     pii_scrub,
     repetition_filter,
+    split_sentences,
+    strip_html,
     text_stats,
 )
 from stock_market_data_pipeline_v2_spark.operators.dedup import (
@@ -501,6 +503,36 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucket_batches(_docs(spark, sf_dir), batch_size=32)
 
 
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic HTML wrapper (script payload, entities, comment)
+    # exercises every stage of the ordered strip chain
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            '<html><head><title>t</title><style>p {color: red}</style>'
+            '<script>var x = "<p>LEAK</p>";</script></head><body><h1>Doc '
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            "</p><div>&amp; &lt;tail&gt;&nbsp;&#39;q&#39;</div>"
+            "<!-- c --></body></html>"
+        ),
+    )
+    return (
+        strip_html(docs.select("doc_id", html.alias("html")))
+        .select("doc_id", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_sentences(_docs(spark, sf_dir))
+
+
 def q_sft_render_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_render_spans(_docs(spark, sf_dir), turn_chars=256)
 
@@ -926,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embeddings": q_hash_embeddings,
         "winsorize_ticks": q_winsorize_ticks,
         "pii_scrub": q_pii_scrub,
+        "strip_html": q_strip_html,
+        "split_sentences": q_split_sentences,
         "gopher_filter": q_gopher_filter,
         "repetition_filter": q_repetition_filter,
         "mix_corpus": q_mix_corpus,
@@ -1058,6 +1092,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_embeddings": oracles.HASH_EMBED_SQL,
         "winsorize_ticks": oracles.WINSORIZE_TICKS_SQL,
         "pii_scrub": oracles.PII_SCRUB_SQL,
+        "strip_html": oracles.STRIP_HTML_SQL,
+        "split_sentences": oracles.SPLIT_SENTENCES_SQL,
         "gopher_filter": oracles.GOPHER_FILTER_SQL,
         "repetition_filter": oracles.REPETITION_FILTER_SQL,
         "mix_corpus": oracles.MIX_CORPUS_SQL,

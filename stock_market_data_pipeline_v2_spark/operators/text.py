@@ -551,3 +551,69 @@ def hash_embed_documents(documents: DataFrame, dim: int = 64) -> DataFrame:
         .withColumn("nrm", nrm)
         .select("doc_id", unit.alias("embedding"))
     )
+
+
+def strip_html(
+    documents: DataFrame, html_col: str = "html", out_col: str = "clean_text"
+) -> DataFrame:
+    """Boilerplate extraction for crawled pages: strip markup down to
+    text — script/style blocks dropped WITH their contents, block
+    tags become newlines (layout survives as line structure), other
+    tags drop, the common entities decode, whitespace collapses.
+    The regex pipeline is ORDERED (scripts before generic tags:
+    '<script>var x = \"<b>\"' must not leak its payload) and every
+    stage is a JVM regexp — scan-shaped, zero shuffles, the shape of
+    a WET-file extraction pass at crawl scale. (A full HTML5 parser
+    is a kernel job — this is the deterministic regex tier every
+    pipeline runs first; the mapInPandas slot mirrors the codec
+    pattern if tree-accurate extraction is ever needed.)"""
+    s = F.col(html_col)
+    # drop script/style including payloads (non-greedy, dotall)
+    for tag in ("script", "style"):
+        s = F.regexp_replace(s, f"(?is)<{tag}\\b[^>]*>.*?</{tag}>", "")
+    s = F.regexp_replace(s, r"(?is)<!--.*?-->", "")  # comments
+    # block-level tags → newline so paragraphs stay separable
+    s = F.regexp_replace(
+        s, r"(?i)</?(p|div|br|h[1-6]|li|tr|table|ul|ol)\b[^>]*>", "\n"
+    )
+    s = F.regexp_replace(s, r"(?s)<[^>]+>", "")  # all remaining tags
+    # &amp; decodes LAST: "&amp;lt;" is literal "&lt;", not "<"
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        s = F.regexp_replace(s, ent, rep)
+    s = F.regexp_replace(s, r"[ \t]+", " ")  # collapse runs of spaces
+    s = F.regexp_replace(s, r"\s*\n\s*", "\n")  # trim around newlines
+    # SQL trim() strips spaces only — edge newlines need the regex
+    s = F.regexp_replace(s, r"^\s+|\s+$", "")
+    return documents.withColumn(out_col, s)
+
+
+def split_sentences(documents: DataFrame) -> DataFrame:
+    """Sentence rows: (doc_id, sent_idx, sentence) — the grain
+    sentence-level dedup/decontamination and sliding-window packing
+    run at. Splitting is the deterministic regex tier (terminator
+    [.!?] runs followed by whitespace); abbreviation-aware splitting
+    is model territory and out of scope. Scan-shaped: one
+    split+posexplode inside the projection, empty sentences dropped.
+    """
+    # sentinel split instead of a lookbehind: RE2 engines (DuckDB's
+    # oracle side) lack lookbehind, and the sentinel form is identical
+    # algebra in both dialects
+    marked = F.regexp_replace(_norm(), r"([.!?])\s+", "$1\x01")
+    sents = F.filter(
+        F.split(marked, "\x01"),
+        lambda x: F.length(x) > 0,
+    )
+    return (
+        documents.select(
+            "doc_id", F.posexplode(sents).alias("sent_idx", "sentence")
+        )
+        .withColumn("sent_idx", F.col("sent_idx").cast("long"))
+        .orderBy("doc_id", "sent_idx")
+    )

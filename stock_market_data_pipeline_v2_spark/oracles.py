@@ -511,6 +511,54 @@ SELECT doc_id, n_words,
 FROM r
 """
 
+# operators/text.py:strip_html — same deterministic HTML wrapper and
+# the same ORDERED regex chain ('g' flag = Spark's replace-all;
+# inline (?is) flags work in both RE2 and Java regex).
+STRIP_HTML_SQL = r"""
+WITH w AS (
+    SELECT doc_id,
+        '<html><head><title>t</title><style>p {color: red}</style>'
+        || '<script>var x = "<p>LEAK</p>";</script></head><body><h1>Doc '
+        || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+        || '</p><div>&amp; &lt;tail&gt;&nbsp;&#39;q&#39;</div>'
+        || '<!-- c --></body></html>' AS html
+    FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS s FROM w),
+s2 AS (SELECT doc_id, regexp_replace(s, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS s FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(s, '(?is)<!--.*?-->', '', 'g') AS s FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(s, '(?i)</?(p|div|br|h[1-6]|li|tr|table|ul|ol)\b[^>]*>', chr(10), 'g') AS s FROM s3),
+s5 AS (SELECT doc_id, regexp_replace(s, '(?s)<[^>]+>', '', 'g') AS s FROM s4),
+e AS (
+    SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(s,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS s
+    FROM s5
+),
+c1 AS (SELECT doc_id, regexp_replace(s, '[ \t]+', ' ', 'g') AS s FROM e),
+c2 AS (SELECT doc_id, regexp_replace(s, '\s*\n\s*', chr(10), 'g') AS s FROM c1)
+SELECT doc_id, regexp_replace(s, '^\s+|\s+$', '', 'g') AS clean_text
+FROM c2 ORDER BY doc_id
+"""
+
+# operators/text.py:split_sentences — sentinel split (no lookbehind:
+# RE2 lacks it); indexes count the FILTERED (non-empty) list.
+SPLIT_SENTENCES_SQL = (
+    r"""
+WITH m AS (
+    SELECT doc_id,
+        list_filter(string_split(
+            regexp_replace(lower(trim(text)), '([.!?])\s+', '\1' || chr(1), 'g'),
+            chr(1)), x -> len(x) > 0) AS l
+    FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, l[i] AS sentence
+FROM m, unnest(generate_series(1, len(l))) AS u(i)
+ORDER BY doc_id, sent_idx
+"""
+)
+
 DOC_FINGERPRINT_SQL = """
 WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
 pos AS (

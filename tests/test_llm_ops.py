@@ -1589,3 +1589,40 @@ def test_bpe_model_roundtrip(spark, tmp_path):
         for r in bpe_token_counts(docs, load_bpe_model(p)).collect()
     }
     assert a == b and a
+
+
+def test_strip_html_and_split_sentences_planted(spark):
+    """Planted cases for the crawl-cleaning pair: script payloads must
+    not leak, entities decode once, block tags become line structure;
+    sentence split handles multi-terminator text (the corpus docs have
+    no punctuation, so the oracle row alone is degenerate for these
+    paths)."""
+    from stock_market_data_pipeline_v2_spark.operators.text import (
+        split_sentences,
+        strip_html,
+    )
+
+    html = (
+        '<html><head><script>var x = "<p>LEAK</p>";</script>'
+        "<style>b {}</style></head><body><h1>Title</h1>"
+        "<p>one &amp;lt; two</p><p>a&nbsp;b</p><!-- gone --></body></html>"
+    )
+    out = strip_html(
+        spark.createDataFrame([Row(doc_id=1, html=html)])
+    ).collect()[0]
+    assert "LEAK" not in out.clean_text and "gone" not in out.clean_text
+    # &amp;lt; decodes ONCE: literal "&lt;", never "<"
+    assert out.clean_text == "Title\none &lt; two\na b"
+
+    sents = split_sentences(
+        spark.createDataFrame(
+            [Row(doc_id=1, text="First one. Second!  Third? no-split.end")]
+        )
+    ).collect()
+    assert [r.sentence for r in sents] == [
+        "first one.",
+        "second!",
+        "third?",
+        "no-split.end",  # terminator without trailing space: no split
+    ]
+    assert [r.sent_idx for r in sents] == [0, 1, 2, 3]
