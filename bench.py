@@ -39,6 +39,9 @@ HEADLINE = [
     "event_type_pivot",
     "top_volume_days",
     "return_correlations",
+    "market_beta",            # added round 3 (late): CAPM factor mart
+    "event_value_quantiles",  # added round 3 (late): ordered-set aggregates
+    "walk_forward_splits",    # added round 3 (late): temporal CV folds
     "dedup_embedding_blas",
     "dedup_embedding_ivf",  # added round 3: sub-quadratic SemDeDup tier
     "window_agg_15m",
@@ -53,6 +56,9 @@ HEADLINE = [
     "scd2_user_status",       # added round 3: SCD2 dimension history
     "large_volume_customers",  # added round 3: Q18 aggregate-then-broadcast shape
     "dedup_exact",
+    "dedup_clusters_star",     # added round 3 (late): log-round CC family row
+    "dedup_keep_best",         # added round 3 (late): quality arbitration
+    "dedup_incremental_lsh",   # added round 3 (late): LSH admission tier
     "dedup_incremental",  # added round 3: batch-vs-corpus admission
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -70,6 +76,8 @@ HEADLINE = [
     "lang_id",
     "doc_fingerprint",
     "pii_scrub",         # added round 2
+    "strip_html",        # added round 3 (late): crawl HTML extraction
+    "split_sentences",   # added round 3 (late): sentence grain
     "lm_perplexity",     # added round 3: CCNet-style LM quality scoring
     "boilerplate_prefixes",  # added round 3: cross-doc prefix shares
     "hash_embeddings",       # added round 3: feature-hash featurization
@@ -84,6 +92,8 @@ HEADLINE = [
     "leakage_safe_split",     # added round 3: group-aware split
     "importance_resample",    # added round 3: DSIR selection
     "pack_sequences",    # added round 2
+    "sft_render_spans",       # added round 3 (late): SFT loss-mask spans
+    "length_bucket_batches",  # added round 3 (late): padding-efficient batching
     "prototypicality_prune",  # added round 3: D4-style pruning off the IVF index
     "quality_decile_bins",    # added round 3: exact global quality ranking
     "curation_pipeline",      # added round 3: integrated cleaning pass
