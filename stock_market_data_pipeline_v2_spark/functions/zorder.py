@@ -67,6 +67,11 @@ def with_zvalue(
     """Append the z-value column. The cell expressions are named
     intermediates (computed once each); the interleave runs over
     them — all Catalyst expressions, scan-shaped, zero shuffles."""
+    if bits * len(specs) > 63:
+        raise ValueError(
+            f"{len(specs)} cols x {bits} bits = {bits * len(specs)} bits "
+            "overflows the signed-long z-value (max 63); lower bits"
+        )
     out = df
     names = []
     for i, (col_sql, lo, hi) in enumerate(specs):

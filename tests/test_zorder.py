@@ -138,3 +138,15 @@ def test_zvalue_matches_python_reference_3d(spark):
 
     for r in rows:
         assert got[r.i] == py_z([r.a, r.b, r.c]), r
+
+
+def test_zvalue_rejects_sign_bit_overflow(spark):
+    import pytest
+
+    from stock_market_data_pipeline_v2_spark.functions.zorder import with_zvalue
+
+    df = spark.range(1)
+    specs4 = [("id", 0, 1)] * 4
+    with pytest.raises(ValueError, match="overflows"):
+        with_zvalue(df, specs4, bits=16)  # 64 bits hits the sign bit
+    with_zvalue(df, specs4, bits=15)  # 60 bits: fine
