@@ -28,6 +28,7 @@ from stock_market_data_pipeline_v2_spark.operators.summary import daily_summary
 from stock_market_data_pipeline_v2_spark.operators.dims import (
     dormant_customers,
     event_type_pivot,
+    exclusive_fault_suppliers,
     large_volume_customers,
     promo_revenue_monthly,
     returned_orders_by_priority,
@@ -220,6 +221,13 @@ def q_returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     configure_runtime(spark)
     return returned_orders_by_priority(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_exclusive_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return exclusive_fault_suppliers(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
     )
 
 
@@ -938,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": q_large_volume_customers,
         "returned_orders_by_priority": q_returned_orders_by_priority,
         "dormant_customers": q_dormant_customers,
+        "exclusive_fault_suppliers": q_exclusive_fault_suppliers,
         "event_type_pivot": q_event_type_pivot,
         # sketch tier: approximate by contract → rows-only gate
         "sector_activity_sketch": q_sector_activity_sketch,
@@ -1078,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "large_volume_customers": oracles.LARGE_VOLUME_CUSTOMERS_SQL,
         "returned_orders_by_priority": oracles.RETURNED_ORDERS_BY_PRIORITY_SQL,
         "dormant_customers": oracles.DORMANT_CUSTOMERS_SQL,
+        "exclusive_fault_suppliers": oracles.EXCLUSIVE_FAULT_SUPPLIERS_SQL,
         "event_type_pivot": oracles.EVENT_TYPE_PIVOT_SQL,
         "text_quality": oracles.TEXT_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,

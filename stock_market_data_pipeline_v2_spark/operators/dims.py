@@ -413,3 +413,49 @@ def dormant_customers(
         )
         .orderBy("c_custkey")
     )
+
+
+def exclusive_fault_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, limit: int = 20
+) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers SOLELY at fault on multi-supplier
+    orders — the hardest classic shape, a correlated EXISTS (another
+    supplier participated) AND NOT EXISTS (no OTHER supplier was also
+    at fault) against the same fact. Re-planned Spark-first as set
+    algebra instead of two correlated re-scans: collapse the fact to
+    DISTINCT (order, supplier) once and to its faulted subset once
+    (returnflag = 'R' stands in for receipt-after-commit, which this
+    schema lacks), aggregate both to per-order counts, and the
+    exclusive-fault condition is a pure filter ``n_supp > 1 AND
+    n_fault = 1`` on the faulted rows. The per-order count frames are
+    order-cardinality (narrow) and join back on the orderkey —
+    nothing scans lineitem more than twice, nothing correlates.
+
+    Exactness: all counts integral; deterministic top-k order
+    (n_orders desc, s_suppkey asc). Supplier dim broadcasts for the
+    name.
+    """
+    ls = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    fault = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n_supp = ls.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    n_fault = fault.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_fault")
+    )
+    return (
+        fault.join(n_supp, "l_orderkey")
+        .join(n_fault, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_fault") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_orders")
+        .orderBy(F.desc("n_orders"), F.asc("s_suppkey"))
+        .limit(limit)
+    )

@@ -703,6 +703,25 @@ FROM s JOIN part ON s.l_partkey = p_partkey
 GROUP BY p_brand
 """
 
+# operators/dims.py:exclusive_fault_suppliers — Q21 shape as set
+# algebra; LIMIT under a deterministic (n_orders desc, suppkey) order.
+EXCLUSIVE_FAULT_SUPPLIERS_SQL = """
+WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+fault AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+          WHERE l_returnflag = 'R'),
+n_supp  AS (SELECT l_orderkey, count(*) AS n_supp  FROM ls    GROUP BY 1),
+n_fault AS (SELECT l_orderkey, count(*) AS n_fault FROM fault GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_orders
+FROM fault
+JOIN n_supp  USING (l_orderkey)
+JOIN n_fault USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp > 1 AND n_fault = 1
+GROUP BY s_suppkey, s_name
+ORDER BY n_orders DESC, s_suppkey ASC
+LIMIT 20
+"""
+
 # operators/dims.py:large_volume_customers — the HAVING subquery is a
 # CTE; DuckDB's planner keeps the aggregate-then-join shape.
 LARGE_VOLUME_CUSTOMERS_SQL = """
