@@ -42,6 +42,20 @@ def cell_sql(col_sql: str, lo: int, hi: int, bits: int, intdiv: str) -> str:
     is ``div`` for Spark, ``//`` for DuckDB)."""
     span = hi - lo
     top = (1 << bits) - 1
+    if span <= 0:
+        raise ValueError(
+            f"z-order domain for {col_sql!r} is empty: lo={lo} hi={hi}"
+        )
+    # (x - lo) * top is evaluated before the integer divide; for wide
+    # static domains (e.g. a nanosecond-epoch column) the product can
+    # silently wrap the signed long. Refuse rather than misbin — the
+    # caller rescales the expression (e.g. epoch seconds, not nanos).
+    if span * top >= 1 << 63:
+        raise ValueError(
+            f"z-order domain for {col_sql!r} too wide: span {span} x "
+            f"(2^{bits}-1) overflows the signed long; rescale the "
+            "column expression or lower bits"
+        )
     return (
         f"(((least(greatest(({col_sql}), {lo}), {hi}) - {lo}) * {top}) "
         f"{intdiv} {span})"

@@ -185,6 +185,12 @@ def salted_skew_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_skew_join supports inner/left, got {how!r}")
+    if "__salt" in fact.columns or "__salt" in dim.columns:
+        raise ValueError(
+            "salted_skew_join: input already carries a __salt column; "
+            "rename it — the salt working column would collide and be "
+            "silently dropped from the result"
+        )
     salted_fact = fact.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast(

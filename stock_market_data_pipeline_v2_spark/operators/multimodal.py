@@ -95,15 +95,13 @@ def decode_features(media: DataFrame, partitions: int | None = None) -> DataFram
     return src.mapInPandas(gen, schema=DECODE_FEATURES_SCHEMA)
 
 
-def real_decode_placeholder(media: DataFrame) -> DataFrame:
-    """Where a real codec would mount. Raises by design — the
-    container ships no media libraries (environment constraint)."""
-    raise NotImplementedError(
-        "real image/audio decode requires codec libraries not present "
-        "in this environment; use decode_features (stub kernel) or "
-        "swap _decode_batch for a codec-backed kernel"
-    )
-
+# Video is the one modality still on the stub kernel: audio and image
+# have REAL stdlib codec tiers (decode_wav_features: RIFF/WAVE+PCM16;
+# decode_png_features: zlib/struct PNG incl. all five scanline
+# filters), but no pure-stdlib video container parse is worth the
+# maintenance — a production deployment swaps _decode_batch for a
+# codec-backed kernel with the identical mapInPandas plumbing
+# (disposition recorded in PARITY.md).
 
 RESIZE_SCHEMA = StructType(
     [
@@ -432,8 +430,9 @@ def _png_decode(payload: bytes):
 
     import numpy as np
 
-    assert payload[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
-    pos, idat, w = 8, [], None
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, idat, w, h = 8, [], None, None
     while pos < len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -447,6 +446,8 @@ def _png_decode(payload: bytes):
         elif tag == b"IEND":
             break
         pos += 12 + ln
+    if w is None or h is None:
+        raise ValueError("not a PNG: missing IHDR chunk")
     raw = zlib.decompress(b"".join(idat))
     bpp, stride = 3, 3 * w
     out = np.zeros((h, stride), dtype=np.int64)

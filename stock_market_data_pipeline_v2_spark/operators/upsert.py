@@ -138,13 +138,20 @@ def snapshot_diff(
     for c in (*keys, *compare_cols):
         o = o.withColumnRenamed(c, f"__o_{c}")
         n = n.withColumnRenamed(c, f"__n_{c}")
+    # Null-safe key equality (<=>): a null key must COMPARE across
+    # snapshots, not surface as a spurious insert+delete pair — this
+    # is a generic CDC API even though TPC-H keys are non-null. With
+    # <=> a matched null key exists on both sides, so presence is
+    # tracked by explicit marker columns, not key-nullness.
+    o = o.withColumn("__o_present", F.lit(True))
+    n = n.withColumn("__n_present", F.lit(True))
     cond = None
     for k in keys:
-        eq = F.col(f"__o_{k}") == F.col(f"__n_{k}")
+        eq = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
         cond = eq if cond is None else (cond & eq)
     joined = o.join(n, cond, "full_outer")
-    old_present = F.col(f"__o_{keys[0]}").isNotNull()
-    new_present = F.col(f"__n_{keys[0]}").isNotNull()
+    old_present = F.col("__o_present").isNotNull()
+    new_present = F.col("__n_present").isNotNull()
     same = None
     for c in compare_cols:
         eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
