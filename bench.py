@@ -36,6 +36,9 @@ HEADLINE = [
     "promo_revenue_monthly",    # added round 3: Q14 shape
     "small_qty_part_revenue",   # added round 3: Q17 shape
     "order_priority_rollup",
+    "balance_rich_dormant",   # added round 4: Q22 shape
+    "min_cost_supplier",      # added round 4: Q2 shape (window argmin)
+    "nation_revenue_share",   # added round 4: Q11 shape
     "event_type_pivot",
     "top_volume_days",
     "return_correlations",
@@ -71,6 +74,8 @@ HEADLINE = [
     "ann_pq_topk",   # added round 3: PQ/ADC compressed-scan tier
     "ann_ivfpq_topk",  # added round 3: IVF x PQ composition
     "bm25_topk",          # added round 3: lexical retrieval family
+    "tfidf_topk",         # added round 4: per-doc TF-IDF keyword extraction
+    "shingle_novelty",    # added round 4: novelty/contribution scoring
     "passage_overlap",    # added round 3: winnowing fingerprint join
     "text_quality",
     "lang_id",
@@ -149,17 +154,61 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time, noop-materialized, local[" + cpus + "]",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "headline-suite wall time, noop-materialized, local[" + cpus + "]",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Full-name record on disk: the driver's stdout tail capture is
+    # 2000 chars, which an 80+-query full-name line overflows (r3's
+    # BENCH artifact recorded parsed:null). BENCH.out carries the
+    # complete result plus the short-key map used on the final line.
+    short = _short_keys(list(timings))
+    Path(__file__).resolve().parent.joinpath("BENCH.out").write_text(
+        json.dumps({**full, "key_map": short}, indent=1) + "\n"
     )
+    # Human/log line first (may be cut from the tail; that's fine)...
+    print(json.dumps(full))
+    # ...then the parse target LAST: compact separators, short keys,
+    # 2-dp times — sized to sit entirely inside the 2000-char tail.
+    compact = json.dumps(
+        {
+            "metric": "headline sec local[" + cpus + "] (key map: BENCH.out)",
+            "value": total,
+            "unit": "sec",
+            "queries": {short[n]: round(t, 2) for n, t in timings.items()},
+            "sf": sf,
+            "n": len(timings),
+        },
+        separators=(",", ":"),
+    )
+    if len(compact) > 1900:  # last-resort: never emit an unparseable tail
+        compact = json.dumps(
+            {"metric": "headline sec (see BENCH.out)", "value": total,
+             "unit": "sec", "sf": sf, "n": len(timings)},
+            separators=(",", ":"),
+        )
+    print(compact)
+
+
+def _short_keys(names: list[str]) -> dict[str, str]:
+    """Deterministic per-query abbreviations (initials of underscore
+    tokens; numeric suffix on collision) — stable for a fixed HEADLINE
+    order, published in BENCH.out's key_map."""
+    out: dict[str, str] = {}
+    used: set[str] = set()
+    for n in names:
+        k = "".join(t[0] for t in n.split("_") if t)
+        if k in used:
+            i = 2
+            while f"{k}{i}" in used:
+                i += 1
+            k = f"{k}{i}"
+        used.add(k)
+        out[n] = k
+    return out
 
 
 if __name__ == "__main__":

@@ -905,11 +905,18 @@ def source_drift_kl(documents: DataFrame, n_buckets: int = 256) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # Totals join LEFT with coalesce-to-0: a source whose documents
+    # all tokenize to zero tokens has no src_tot row, and an inner
+    # join would silently drop it from the drift report — the most
+    # anomalous input (a source suddenly emitting empty text) must
+    # surface, as n_tokens=0 with KL over the pure-smoothed p_s.
     return (
         spine.join(F.broadcast(src_cnt), ["source", "bucket"], "left")
         .join(F.broadcast(cor_cnt), "bucket", "left")
-        .join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(src_tot), "source", "left")
         .crossJoin(F.broadcast(cor_tot))
+        .withColumn("t_s", F.coalesce(F.col("t_s"), F.lit(0).cast("long")))
+        .withColumn("t_c", F.coalesce(F.col("t_c"), F.lit(0).cast("long")))
         .withColumn("term", p_s * (F.log(p_s) - F.log(p_c)))
         .groupBy("source")
         .agg(
@@ -922,6 +929,64 @@ def source_drift_kl(documents: DataFrame, n_buckets: int = 256) -> DataFrame:
             round_away(F.col("__kl"), 6).alias("kl_divergence"),
         )
         .orderBy("source")
+    )
+
+
+def shingle_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document NOVELTY score: the share of a document's word
+    ``n``-gram shingles that no lower-doc_id document contains —
+    contribution scoring for dedup-aware curation. A crawl ordered by
+    ingest time reads this as "what fraction of this page is new
+    content": boilerplate-heavy or near-duplicate pages score near 0
+    and are prune candidates even when no single pair crosses a
+    Jaccard threshold; novelty is the aggregate complement of the
+    pairwise dedup family.
+
+    Output: (doc_id, n_shingles, n_novel, novelty_share 6 dp).
+    Documents with fewer than ``n`` words have no shingles —
+    n_shingles = 0 and a NULL share (kept in the output, not
+    dropped: the degenerate inputs are the ones to surface).
+
+    Exactness: counts are integers; the share is one integer-ratio
+    divide rounded 6 dp. Scale shape: one shingle-grain groupBy
+    (min doc_id per shingle — map-side combined, one narrow row per
+    DISTINCT shingle) and one shingle-grain join back, both
+    hash-partitioned on the shingle; per-doc reduction is a
+    map-side-combined count. Nothing is quadratic — unlike the pair
+    tiers there is no inverted-index self-join, so no df-cap is
+    needed: a boilerplate shingle contributes one index row and
+    min() is insensitive to its frequency.
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(documents, n)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    from ..functions.core import round_away
+
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            round_away(
+                F.col("n_novel").cast("double")
+                / F.nullif(F.col("n_shingles"), F.lit(0)).cast("double"),
+                6,
+            ).alias("novelty_share"),
+        )
+        .orderBy("doc_id")
     )
 
 

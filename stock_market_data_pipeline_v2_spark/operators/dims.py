@@ -16,7 +16,7 @@ so rounding is stable across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.core import round_away
@@ -458,4 +458,176 @@ def exclusive_fault_suppliers(
         .select("s_suppkey", "s_name", "n_orders")
         .orderBy(F.desc("n_orders"), F.asc("s_suppkey"))
         .limit(limit)
+    )
+
+
+def balance_rich_dormant_nations(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    cutoff: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22-shaped: per nation, the count and total balance of
+    customers who hold an ABOVE-AVERAGE positive account balance yet
+    placed no order since ``cutoff`` — capital sitting idle, the
+    classic "who should sales call" mart. (Q22 groups by phone
+    country code and tests never-ordered; this schema carries
+    nationality on the customer row, and at TPC-H order density
+    never-ordered is empty — the dormancy window keeps the shape AND
+    the signal.)
+
+    Spark-first plan: the scalar threshold (avg positive balance) is
+    a one-row aggregate cross-broadcast onto the customer scan — no
+    correlated re-scan; the "never ordered" NOT EXISTS is a LEFT ANTI
+    join whose probe side projects to bare custkeys before
+    shuffling; the nation dim broadcasts last. The only fact-scale
+    work is the orders key projection.
+
+    Exactness: the threshold compare is strict ``>`` on the identical
+    double in both engines (the Q17 precedent); the balance sum
+    rounds 2 dp at output. Ordered by nation name.
+    """
+    thresh = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(thresh)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        rich.join(recent, rich.c_custkey == F.col("o_custkey"), "leftanti")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            round_away(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+def min_cost_supplier_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    p_size: int = 15,
+) -> DataFrame:
+    """TPC-H Q2-shaped: for every part of a given size, the supplier
+    observed selling it CHEAPEST per unit — the correlated
+    ``ps_supplycost = min(...)`` pattern re-planned as a window
+    argmin. (This schema has no partsupp catalog; the observed unit
+    price sum(extendedprice)/sum(quantity) over lineitem is the
+    supply-cost stand-in.)
+
+    Spark-first plan: one fact aggregate to (part, supplier) grain —
+    map-side combined, keyed on the pair — then a row_number window
+    PARTITIONED by part (no global window) picks the argmin;
+    part/supplier dims broadcast in after the fact collapses.
+    Ranking runs on the UNROUNDED ratio with a s_suppkey tiebreak;
+    the output price rounds 4 dp (the bm25/tfidf precedent).
+
+    Exactness: quantities are integral so their sum is exact; the
+    price ratio is one double divide; strict rank-1 selection with
+    integer tiebreak is engine-portable.
+    """
+    pk = part.filter(F.col("p_size") == p_size).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    unit = (
+        lineitem.join(F.broadcast(pk), lineitem.l_partkey == pk.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_brand", "l_suppkey")
+        .agg(
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("__price"),
+            F.sum("l_quantity").cast("long").alias("qty_seen"),
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("__price"), F.asc("l_suppkey")
+    )
+    return (
+        unit.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            round_away(F.col("__price"), 4).alias("min_unit_price"),
+            "qty_seen",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def nation_revenue_share(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    min_share: float = 0.01,
+) -> DataFrame:
+    """TPC-H Q11-shaped: supplier nations whose revenue exceeds a
+    FRACTION of global revenue — the group-vs-global-scalar HAVING
+    pattern. (Q11 scans partsupp inventory value; this schema's fact
+    is lineitem revenue.)
+
+    Spark-first plan: ONE fact aggregate at (nation) grain after a
+    broadcast supplier→nation enrichment — the global total is then a
+    one-row re-aggregate of the tiny per-nation frame, cross-joined
+    back (never a second fact scan, never a correlated subquery).
+
+    Exactness: per-nation revenue sums once and is REUSED for the
+    global total (sum of per-nation sums), so the share's numerator
+    and denominator derive from the same doubles in both engines; the
+    oracle mirrors that exact two-level shape. Share rounds 6 dp,
+    revenue 2 dp; strict ``>`` threshold on the unrounded share.
+    """
+    sn = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation_name"))
+    per_nation = (
+        lineitem.join(F.broadcast(sn), lineitem.l_suppkey == sn.s_suppkey)
+        .groupBy("nation_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "__rev"
+            )
+        )
+    )
+    # global total = ordered fold of the per-nation sums (nation-name
+    # order), bit-reproducible in both engines — a groupBy-less sum
+    # would re-accumulate the fact in partition order instead.
+    total = per_nation.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("nation_name"), F.col("__rev")))
+                ),
+                lambda s: s["__rev"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("__total")
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("__rev") > F.lit(min_share) * F.col("__total"))
+        .select(
+            "nation_name",
+            round_away(F.col("__rev"), 2).alias("revenue"),
+            round_away(F.col("__rev") / F.col("__total"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy(F.desc("revenue_share"), F.asc("nation_name"))
     )

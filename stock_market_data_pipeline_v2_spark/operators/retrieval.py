@@ -105,6 +105,60 @@ def bm25_topk(
     )
 
 
+def tfidf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top ``k`` terms of
+    every document by ``tf · idf`` — the classic corpus-grounded
+    summarization/tagging primitive (what a curation pipeline uses
+    for topic tagging, near-dup triage, and retrieval-index keyword
+    fields). idf is the smoothed sklearn form
+    ``ln((1 + N)/(1 + df)) + 1`` (never zero, so tf always breaks
+    frequency ties before the lexicographic one).
+
+    Exactness: tf and df are integer aggregates; idf is one ln of an
+    integer ratio; the score is a single double multiply rounded 6 dp
+    at the output only — ranking happens on the UNROUNDED score with
+    a token tiebreak, so the emitted rank is deterministic and
+    engine-independent. Token-free documents emit no rows (no
+    keywords to extract).
+
+    Scale shape: the token explode collapses through two map-side
+    combined aggregates (tf, then df); the df and N frames are
+    model-sized broadcasts; the top-k window is PARTITIONED by
+    doc_id — no global window, no corpus-wide sort.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        F.log(
+            (F.lit(1.0) + F.col("n_docs"))
+            / (F.lit(1.0) + F.col("df"))
+        )
+        + F.lit(1.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__raw"), F.asc("token"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__raw", F.col("tf").cast("double") * idf)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            round_away(F.col("__raw"), 6).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

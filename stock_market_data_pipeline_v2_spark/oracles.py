@@ -992,6 +992,136 @@ ORDER BY doc_id
 """
 )
 
+# operators/dims.py:balance_rich_dormant_nations — Q22 shape: scalar
+# avg threshold + NOT EXISTS, grouped by nation.
+BALANCE_RICH_DORMANT_SQL = """
+WITH thresh AS (
+    SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+),
+rich AS (
+    SELECT c.* FROM customer c, thresh WHERE c.c_acctbal > thresh.avg_bal
+),
+no_ord AS (
+    SELECT r.* FROM rich r
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+)
+SELECT n.n_name AS nation_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM no_ord JOIN nation n ON no_ord.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+# operators/dims.py:min_cost_supplier_parts — Q2 shape: window argmin
+# per part on the UNROUNDED unit-price ratio, suppkey tiebreak.
+MIN_COST_SUPPLIER_SQL = """
+WITH pk AS (SELECT p_partkey, p_name, p_brand FROM part WHERE p_size = 15),
+unit AS (
+    SELECT l.l_partkey AS p_partkey, pk.p_name, pk.p_brand, l.l_suppkey,
+           sum(l.l_extendedprice) / sum(l.l_quantity) AS price,
+           CAST(sum(l.l_quantity) AS BIGINT) AS qty_seen
+    FROM lineitem l JOIN pk ON l.l_partkey = pk.p_partkey
+    GROUP BY 1, 2, 3, 4
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                 ORDER BY price, l_suppkey) AS rk
+    FROM unit
+)
+SELECT r.p_partkey, r.p_name, r.p_brand, s.s_suppkey, s.s_name,
+       round(price, 4) AS min_unit_price, qty_seen
+FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE rk = 1 ORDER BY r.p_partkey
+"""
+
+# operators/dims.py:nation_revenue_share — Q11 shape: the global
+# total re-aggregates the per-nation sums via an ORDERED fold
+# (nation-name order; initial-less list_reduce ≡ Spark's 0.0-seeded
+# fold in IEEE), so numerator and denominator share the same doubles.
+NATION_REVENUE_SHARE_SQL = """
+WITH sn AS (
+    SELECT s_suppkey, n_name AS nation_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+pn AS (
+    SELECT nation_name,
+           sum(l_extendedprice * (1 - l_discount)) AS rev
+    FROM lineitem l JOIN sn ON l.l_suppkey = sn.s_suppkey
+    GROUP BY 1
+),
+tot AS (
+    SELECT list_reduce(list(rev ORDER BY nation_name), (a, b) -> a + b)
+        AS total
+    FROM pn
+)
+SELECT nation_name, round(rev, 2) AS revenue,
+       round(rev / total, 6) AS revenue_share
+FROM pn, tot WHERE rev > 0.01 * total
+ORDER BY rev / total DESC, nation_name
+"""
+
+# operators/retrieval.py:tfidf_topk — per-doc TF-IDF keyword
+# extraction; rank on the UNROUNDED score with token tiebreak, score
+# rounded 6 dp at output only (the bm25 precedent). Smoothed idf:
+# ln((1+N)/(1+df)) + 1.
+TFIDF_TOPK_SQL = """
+WITH tk AS (
+    SELECT doc_id,
+        unnest(regexp_extract_all(lower(trim(text)),
+               '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+    FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+s AS (
+    SELECT tf.doc_id, tf.token, tf.tf,
+        CAST(tf.tf AS DOUBLE)
+        * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS raw
+    FROM tf JOIN df USING (token), n
+),
+r AS (
+    SELECT doc_id, token, tf, raw,
+        CAST(row_number() OVER (PARTITION BY doc_id
+                                ORDER BY raw DESC, token) AS BIGINT) AS rank
+    FROM s
+)
+SELECT doc_id, token, tf, round(raw, 6) AS tfidf, rank
+FROM r WHERE rank <= 5
+"""
+
+# operators/curation.py:shingle_novelty — share of each doc's word
+# 3-gram shingles first seen at that doc_id (min-doc ownership); the
+# shingle CTE is the NGRAM_JACCARD_SQL one verbatim (hash-exact
+# precedent). Shingle-free docs kept with n_shingles=0, NULL share.
+SHINGLE_NOVELTY_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks
+),
+fst AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+pd AS (
+    SELECT sh.doc_id,
+        CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel
+    FROM sh JOIN fst USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(pd.n_shingles, 0) AS n_shingles,
+       coalesce(pd.n_novel, 0)    AS n_novel,
+       round(CAST(coalesce(pd.n_novel, 0) AS DOUBLE)
+             / nullif(coalesce(pd.n_shingles, 0), 0), 6) AS novelty_share
+FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+ORDER BY d.doc_id
+"""
+
 DEDUP_EXACT_SQL = """
 SELECT md5(lower(trim(text))) AS text_hash,
        min(doc_id)            AS canonical_doc_id,
@@ -1930,6 +2060,11 @@ FROM base b JOIN bp USING (source, prefix) JOIN bs USING (source)
 # operators/text.py:hash_embed_documents — feature-hash embeddings;
 # md5-prefix parsing parity with Spark conv() verified (simhash
 # precedent). mp[x] yields a 1-element list in DuckDB — [1] unwraps.
+# Gate shape: the registered query posexplodes the unit vector to
+# (doc_id, pos, value) rows — array<double> is unhashable in the
+# driver's pandas canonicalizer (VERDICT r3 #1); the array form stays
+# the internal API the dense stack consumes. raw[pos+1]: DuckDB lists
+# are 1-indexed.
 HASH_EMBED_SQL = """
 WITH tk AS (
     SELECT doc_id,
@@ -1963,11 +2098,10 @@ n AS (
                          (a, b) -> a + b)) AS nrm
     FROM v
 )
-SELECT doc_id,
-       CASE WHEN nrm > 0
-            THEN list_transform(raw, x -> round(x / nrm, 6))
-            ELSE raw END AS embedding
-FROM n
+SELECT doc_id, CAST(p.pos AS INTEGER) AS pos,
+       CASE WHEN nrm > 0 THEN round(raw[p.pos + 1] / nrm, 6)
+            ELSE raw[p.pos + 1] END AS value
+FROM n CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p
 """
 
 
@@ -2119,15 +2253,20 @@ spine AS (
          unnest(generate_series(0, 255)) AS g(b)
 ),
 terms AS (
-    SELECT spine.source, spine.bucket, st.t_s,
-        (CAST(coalesce(sc.c_s, 0) + 1 AS DOUBLE) / CAST(st.t_s + 256 AS DOUBLE))
-        * (ln(CAST(coalesce(sc.c_s, 0) + 1 AS DOUBLE) / CAST(st.t_s + 256 AS DOUBLE))
-         - ln(CAST(coalesce(cc.c_c, 0) + 1 AS DOUBLE) / CAST(ct.t_c + 256 AS DOUBLE)))
+    -- LEFT JOIN st + coalesce: zero-token sources stay in the report
+    -- (n_tokens=0, KL over pure-smoothed p_s) — mirrors curation.py
+    SELECT spine.source, spine.bucket, coalesce(st.t_s, 0) AS t_s,
+        (CAST(coalesce(sc.c_s, 0) + 1 AS DOUBLE)
+         / CAST(coalesce(st.t_s, 0) + 256 AS DOUBLE))
+        * (ln(CAST(coalesce(sc.c_s, 0) + 1 AS DOUBLE)
+              / CAST(coalesce(st.t_s, 0) + 256 AS DOUBLE))
+         - ln(CAST(coalesce(cc.c_c, 0) + 1 AS DOUBLE)
+              / CAST(coalesce(ct.t_c, 0) + 256 AS DOUBLE)))
             AS term
     FROM spine
     LEFT JOIN sc ON spine.source = sc.source AND spine.bucket = sc.bucket
     LEFT JOIN cc ON spine.bucket = cc.bucket
-    JOIN st ON spine.source = st.source, ct
+    LEFT JOIN st ON spine.source = st.source, ct
 )
 SELECT source,
        CAST(max(t_s) AS BIGINT) AS n_tokens,

@@ -1626,3 +1626,68 @@ def test_strip_html_and_split_sentences_planted(spark):
         "no-split.end",  # terminator without trailing space: no split
     ]
     assert [r.sent_idx for r in sents] == [0, 1, 2, 3]
+
+
+def test_tfidf_topk_hand_computed(spark):
+    """Rare terms outrank common ones; k bounds output; ties break on
+    token; token-free docs emit no rows."""
+    import math
+
+    from stock_market_data_pipeline_v2_spark.operators.retrieval import (
+        tfidf_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common rare"),
+            Row(doc_id=2, text="common other"),
+            Row(doc_id=3, text="common"),
+            Row(doc_id=4, text="   "),  # token-free
+        ]
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 4 not in by_doc  # token-free: no keywords
+    assert all(len(v) <= 2 for v in by_doc.values())
+    d1 = {r.token: r for r in by_doc[1]}
+    # doc 1: tf(common)=2 idf=ln(5/4)+1; tf(rare)=1 idf=ln(5/2)+1
+    idf_common = math.log(5.0 / 4.0) + 1.0
+    idf_rare = math.log(5.0 / 2.0) + 1.0
+    assert abs(d1["common"].tfidf - round(2 * idf_common, 6)) < 1e-9
+    assert abs(d1["rare"].tfidf - round(1 * idf_rare, 6)) < 1e-9
+    # 2*idf_common (~2.446) > idf_rare (~1.916): common ranks first
+    assert d1["common"].rank == 1 and d1["rare"].rank == 2
+    # doc 3 has one term -> single row rank 1
+    assert [r.rank for r in by_doc[3]] == [1]
+
+
+def test_shingle_novelty_planted(spark):
+    """First doc owns all its shingles (share 1.0); a verbatim later
+    duplicate owns none (0.0); a doc under n words has no shingles
+    (n_shingles=0, NULL share)."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        shingle_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="alpha beta gamma delta"),
+            Row(doc_id=20, text="alpha beta gamma delta"),  # exact dup
+            Row(doc_id=30, text="totally fresh words here now"),
+            Row(doc_id=40, text="two words"),  # < n=3 words
+        ]
+    )
+    out = {r.doc_id: r for r in shingle_novelty(docs, n=3).collect()}
+    assert out[10].n_shingles == 2 and out[10].novelty_share == 1.0
+    assert out[20].n_shingles == 2 and out[20].novelty_share == 0.0
+    assert out[30].novelty_share == 1.0
+    assert out[40].n_shingles == 0 and out[40].novelty_share is None
+    # ordering contract: doc_id ascending
+    assert [r.doc_id for r in shingle_novelty(docs, n=3).collect()] == [
+        10,
+        20,
+        30,
+        40,
+    ]
