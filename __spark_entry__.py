@@ -1040,6 +1040,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger_bands": q_bollinger,
         "stochastic_k": q_stochastic_k,
         "macd": q_macd,
+        # stub-kernel multimodal tiers, oracle-gated as of round 4
+        # (byte features reproduced via DuckDB hex expansion)
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         # --- rows-only scale tiers (recall/subset pytest-gated); a
         # driver row records that they run and their cardinality ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1049,18 +1054,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # design — KMeans cells aren't SQL-expressible → rows-only;
         # subset + recall gates in tests/test_llm_ops.py).
         "dedup_embedding_ivf": q_dedup_embedding_ivf,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         # PQ/ADC compressed-scan tier (32× memory compression, exact
         # re-rank) — k-means codebooks aren't SQL-expressible →
         # rows-only; recall + brute-pool subset gates in pytest.
         "ann_pq_topk": q_ann_pq_topk,
-        # IVF×PQ composition (FAISS IndexIVFPQ): cell pruning times
-        # code compression — the trillion-vector shape; rows-only.
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        # D4-style prototypicality pruning off the SAME IVF index
-        # (k-means cells → rows-only; score/quota gates in pytest).
-        "prototypicality_prune": q_prototypicality_prune,
         # --- behind the driver window: green in the r2/r3 snapshots ---
         "daily_bars": q_daily_bars,
         # volume-weighted average price + calendar gap-fill panel
@@ -1125,11 +1123,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket_batches": q_length_bucket_batches,
         "bpe_token_counts": q_bpe_token_counts,
         "sft_render_spans": q_sft_render_spans,
-        "multimodal_decode": q_multimodal_decode,
+        # rows-only tiers displaced from the r4 window by the newly
+        # oracle-gated multimodal trio — rotate into the r5 window
+        # with the round-4 star shapes above:
+        "ann_lsh_topk": q_ann_lsh_topk,
+        # IVF×PQ composition (FAISS IndexIVFPQ): cell pruning times
+        # code compression — the trillion-vector shape; rows-only.
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        # D4-style prototypicality pruning off the SAME IVF index
+        # (k-means cells → rows-only; score/quota gates in pytest).
+        "prototypicality_prune": q_prototypicality_prune,
         "audio_features": q_audio_features,
         "image_features": q_image_features,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1221,7 +1226,11 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": oracles.TFIDF_TOPK_SQL,
         "shingle_novelty": oracles.SHINGLE_NOVELTY_SQL,
         "multimodal_meta": oracles.MULTIMODAL_META_SQL,
-        # multimodal_decode: mapInPandas stub kernel — rows-only.
+        # stub-kernel features are pure byte functions → the
+        # mapInPandas plumbing is oracle-gated end-to-end (round 4).
+        "multimodal_decode": oracles.MULTIMODAL_DECODE_SQL,
+        "multimodal_frames": oracles.MULTIMODAL_FRAMES_SQL,
+        "multimodal_resize": oracles.MULTIMODAL_RESIZE_SQL,
         "asof_tick_bar": oracles.ASOF_TICK_BAR_SQL,
         "session_windows": oracles.SESSION_WINDOWS_SQL,
         "symbols_both_halves": oracles.SYMBOLS_BOTH_HALVES_SQL,

@@ -111,6 +111,7 @@ RESIZE_SCHEMA = StructType(
         StructField("out_h", LongType()),
         StructField("resized", BinaryType()),
         StructField("resized_len", LongType()),
+        StructField("resized_checksum", LongType()),
     ]
 )
 
@@ -156,7 +157,18 @@ def resize_media(
                 if not len(b):
                     return bytes(n_out)
                 arr = np.frombuffer(b, dtype=np.uint8)
-                idx = np.floor(np.linspace(0, len(arr) - 1, n_out)).astype(int)
+                # EXACT integer sampling grid (k·(L−1)) div (n−1) —
+                # not float linspace+floor, whose rounded step can
+                # flip a floor at integer boundaries; the integer form
+                # is the same nearest-neighbor rule, bit-reproducible,
+                # and lets the DuckDB oracle verify the resized
+                # CONTENT via checksum (MULTIMODAL_RESIZE_SQL).
+                if n_out == 1:
+                    idx = np.zeros(1, dtype=np.int64)
+                else:
+                    idx = np.arange(n_out, dtype=np.int64) * (len(arr) - 1) // (
+                        n_out - 1
+                    )
                 return arr[idx].tobytes()
 
             resized = pdf["payload"].map(rz)
@@ -168,6 +180,12 @@ def resize_media(
                     "out_h": out_h,
                     "resized": resized,
                     "resized_len": resized.map(len).astype("int64"),
+                    "resized_checksum": resized.map(
+                        lambda b: int(
+                            np.frombuffer(b, dtype=np.uint8).sum()
+                        )
+                        % 65536
+                    ).astype("int64"),
                 }
             )
 

@@ -1297,6 +1297,97 @@ SELECT doc_id,
 FROM documents
 """
 
+# operators/multimodal.py:decode_features — the STUB kernel's
+# byte-level features (utf-8 payload length, byte-sum checksum mod
+# 65536, head byte) are pure functions of the payload, so the
+# mapInPandas output is verifiable against an independent engine:
+# DuckDB expands the blob via hex() and folds 2-char slices. This
+# gates the Arrow plumbing end-to-end (round 4 — previously
+# rows-only).
+MULTIMODAL_DECODE_SQL = """
+WITH m AS (
+    SELECT doc_id,
+        ['png','jpeg','wav'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_format,
+        encode(text) AS payload
+    FROM documents
+),
+b AS (
+    SELECT doc_id, media_format,
+        CAST(octet_length(payload) AS BIGINT) AS byte_len,
+        hex(payload) AS h
+    FROM m
+)
+SELECT doc_id, media_format, byte_len,
+    CAST(coalesce(list_sum(list_transform(
+             generate_series(1, CAST(byte_len AS INTEGER)),
+             i -> CAST(('0x' || substr(h, 2 * i - 1, 2)) AS INTEGER))), 0)
+         % 65536 AS BIGINT) AS checksum,
+    CAST(CASE WHEN byte_len > 0
+              THEN CAST(('0x' || substr(h, 1, 2)) AS INTEGER)
+              ELSE -1 END AS BIGINT) AS head_byte
+FROM b
+"""
+
+# operators/multimodal.py:sample_frames — the stub chunker's frame
+# grid (64-byte frames, keep every 2nd, >=1 frame per doc) and the
+# per-frame byte-sum checksum, reproduced from the hex expansion.
+# Gates the 1->N mapInPandas explode (round 4 — previously rows-only;
+# the frame BYTES stay pytest-golden-gated, the registered query
+# drops the binary column).
+MULTIMODAL_FRAMES_SQL = """
+WITH m AS (SELECT doc_id, encode(text) AS payload FROM documents),
+b AS (
+    SELECT doc_id, CAST(octet_length(payload) AS INTEGER) AS n,
+           hex(payload) AS h
+    FROM m
+),
+f AS (
+    SELECT doc_id, n, h,
+        unnest(generate_series(
+            0, greatest(CAST(ceil(n / 64.0) AS INTEGER), 1) - 1, 2))
+            AS frame_idx
+    FROM b
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+    CAST(greatest(0, least(64, n - frame_idx * 64)) AS BIGINT) AS frame_len,
+    CAST(coalesce(list_sum(list_transform(
+             generate_series(frame_idx * 64 + 1,
+                             frame_idx * 64
+                             + greatest(0, least(64, n - frame_idx * 64))),
+             i -> CAST(('0x' || substr(h, 2 * i - 1, 2)) AS INTEGER))), 0)
+         % 65536 AS BIGINT) AS frame_checksum
+FROM f
+"""
+
+# operators/multimodal.py:resize_media — the stub resize is a pure
+# byte function (exact integer nearest-neighbor grid (k·(n−1)) div 63
+# over the utf-8 payload), so the resized CONTENT is verifiable via
+# its byte-sum checksum (round 4 — previously rows-only; the binary
+# column itself stays dropped from the registered query).
+MULTIMODAL_RESIZE_SQL = """
+WITH m AS (
+    SELECT doc_id,
+        ['png','jpeg','wav'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_format,
+        encode(text) AS payload
+    FROM documents
+),
+b AS (
+    SELECT doc_id, media_format,
+        CAST(octet_length(payload) AS INTEGER) AS n, hex(payload) AS h
+    FROM m
+)
+SELECT doc_id, media_format,
+    CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+    CAST(64 AS BIGINT) AS resized_len,
+    CAST(CASE WHEN n = 0 THEN 0 ELSE
+        coalesce(list_sum(list_transform(generate_series(0, 63),
+            k -> CAST(('0x' || substr(h,
+                       2 * CAST((k * (n - 1)) // 63 AS INTEGER) + 1, 2))
+                      AS INTEGER))), 0) % 65536
+    END AS BIGINT) AS resized_checksum
+FROM b
+"""
+
 # operators/joins.py:as_of_join oracle — DuckDB native ASOF JOIN.
 # Ticks joined backward to the latest daily bar at-or-before the tick.
 ASOF_TICK_BAR_SQL = """
