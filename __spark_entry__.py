@@ -127,6 +127,7 @@ from stock_market_data_pipeline_v2_spark.operators.retrieval import (
     tfidf_topk,
 )
 from stock_market_data_pipeline_v2_spark.operators.curation import (
+    cross_source_contamination,
     shingle_novelty,
 )
 from stock_market_data_pipeline_v2_spark.operators.pq import (
@@ -807,6 +808,12 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_novelty(_docs(spark, sf_dir), n=3)
 
 
+def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cross_source_contamination(
+        _docs(spark, sf_dir), _pair_graph(spark, sf_dir)
+    )
+
+
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1027,6 +1034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shingles first seen at that doc — the aggregate complement
         # of the pairwise dedup family.
         "shingle_novelty": q_shingle_novelty,
+        # source-granular contamination matrix (round 4): near-dup
+        # rates per ordered source pair off the shared pair graph.
+        "cross_source_contamination": q_cross_source_contamination,
         "multimodal_meta": q_multimodal_meta,
         "asof_tick_bar": q_asof_tick_bar,
         "session_windows": q_session_windows,
@@ -1225,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search_rrf": oracles.HYBRID_RRF_SQL,
         "tfidf_topk": oracles.TFIDF_TOPK_SQL,
         "shingle_novelty": oracles.SHINGLE_NOVELTY_SQL,
+        "cross_source_contamination": oracles.CROSS_SOURCE_CONTAMINATION_SQL,
         "multimodal_meta": oracles.MULTIMODAL_META_SQL,
         # stub-kernel features are pure byte functions → the
         # mapInPandas plumbing is oracle-gated end-to-end (round 4).

@@ -76,6 +76,7 @@ HEADLINE = [
     "bm25_topk",          # added round 3: lexical retrieval family
     "tfidf_topk",         # added round 4: per-doc TF-IDF keyword extraction
     "shingle_novelty",    # added round 4: novelty/contribution scoring
+    "cross_source_contamination",  # added round 4: source-pair near-dup matrix
     "passage_overlap",    # added round 3: winnowing fingerprint join
     "text_quality",
     "lang_id",

@@ -990,6 +990,76 @@ def shingle_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def cross_source_contamination(
+    documents: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Source-granular contamination matrix: for every ordered source
+    pair (a, b), the share of a's documents that have at least one
+    near-duplicate in b — the number that says "benchmark X leaked
+    into crawl Y" or "mirror source Z is 80% redundant with W" before
+    any training run ingests either. The diagonal (a = b) is each
+    source's internal near-dup rate. Takes the near-dup pair graph as
+    input by the same contract as :func:`dedup_clusters` /
+    ``leakage_safe_split`` — production maintains the graph beside
+    the corpus.
+
+    Output: full sources × sources spine (zero rows INCLUDED — a 0%
+    overlap claim should be an explicit row, not an absence), with
+    (n_contaminated, n_docs_a, contamination_rate 6 dp).
+
+    Scale shape: the symmetrized edge list is pair-graph-sized
+    (≪ corpus); both enrichment joins carry bare (doc_id, source)
+    rows; the spine cross join and the final aggregate are
+    |sources|²-sized model frames. Nothing corpus-grain shuffles.
+    """
+    from ..functions.core import round_away
+
+    src = documents.select("doc_id", "source")
+    edges = pairs.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+    ).unionByName(pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y")))
+    hits = (
+        edges.join(
+            src.select(F.col("doc_id").alias("x"), F.col("source").alias("source_a")),
+            "x",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("y"), F.col("source").alias("source_b")),
+            "y",
+        )
+        .select("x", "source_a", "source_b")
+        .distinct()
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    totals = documents.groupBy(F.col("source").alias("source_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_a")
+    )
+    sources = documents.select("source").distinct()
+    spine = (
+        sources.select(F.col("source").alias("source_a"))
+        .crossJoin(sources.select(F.col("source").alias("source_b")))
+    )
+    return (
+        spine.join(F.broadcast(hits), ["source_a", "source_b"], "left")
+        .join(F.broadcast(totals), "source_a")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            "n_docs_a",
+            round_away(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_docs_a").cast("double"),
+                6,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def length_bucket_batches(
     documents: DataFrame, batch_size: int = 32
 ) -> DataFrame:

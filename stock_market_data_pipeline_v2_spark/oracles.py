@@ -1158,6 +1158,49 @@ FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
 WHERE CAST(i AS DOUBLE) / (x.c + y.c - i) >= 0.5
 """
 
+# operators/curation.py:cross_source_contamination — the pair CTE is
+# NGRAM_JACCARD_SQL verbatim (single source of truth: the Spark query
+# consumes the SAME pair graph _pair_graph builds from
+# shingle_jaccard_pairs), then symmetrize → enrich with sources →
+# count distinct contaminated docs per ordered source pair over the
+# full spine (zero rows explicit).
+CROSS_SOURCE_CONTAMINATION_SQL = f"""
+WITH pairs AS ({NGRAM_JACCARD_SQL}),
+edges AS (
+    SELECT doc_a AS x, doc_b AS y FROM pairs
+    UNION ALL
+    SELECT doc_b AS x, doc_a AS y FROM pairs
+),
+h0 AS (
+    SELECT DISTINCT e.x, da.source AS source_a, db.source AS source_b
+    FROM edges e
+    JOIN documents da ON e.x = da.doc_id
+    JOIN documents db ON e.y = db.doc_id
+),
+hits AS (
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_contaminated
+    FROM h0 GROUP BY 1, 2
+),
+tot AS (
+    SELECT source AS source_a, CAST(count(*) AS BIGINT) AS n_docs_a
+    FROM documents GROUP BY 1
+),
+spine AS (
+    SELECT a.source AS source_a, b.source AS source_b
+    FROM (SELECT DISTINCT source FROM documents) a,
+         (SELECT DISTINCT source FROM documents) b
+)
+SELECT s.source_a, s.source_b,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       t.n_docs_a,
+       round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / t.n_docs_a, 6)
+           AS contamination_rate
+FROM spine s
+LEFT JOIN hits h USING (source_a, source_b)
+JOIN tot t USING (source_a)
+ORDER BY s.source_a, s.source_b
+"""
+
 # operators/dedup.py:incremental_dedup_decisions — batch (doc_id % 10
 # = 0) admitted against corpus (the rest); df stop list on the CORPUS
 # shingles mirrors max_shingle_freq=1000; sizes unpruned.

@@ -1691,3 +1691,39 @@ def test_shingle_novelty_planted(spark):
         30,
         40,
     ]
+
+
+def test_cross_source_contamination_planted(spark):
+    """Planted near-dup across two sources: the matrix counts it in
+    BOTH directions, the diagonal stays 0, zero rows are explicit."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        cross_source_contamination,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base, lang="en", source="crawl"),
+            Row(doc_id=2, text=base + " iota", lang="en", source="bench"),
+            Row(doc_id=3, text="totally different words entirely here",
+                lang="en", source="crawl"),
+            Row(doc_id=4, text="another unrelated document body text",
+                lang="en", source="clean"),
+        ]
+    )
+    pairs = shingle_jaccard_pairs(docs, n=3, threshold=0.5)
+    out = {
+        (r.source_a, r.source_b): r
+        for r in cross_source_contamination(docs, pairs).collect()
+    }
+    assert len(out) == 9  # full 3x3 spine, zeros explicit
+    assert out[("crawl", "bench")].n_contaminated == 1
+    assert out[("crawl", "bench")].n_docs_a == 2
+    assert out[("crawl", "bench")].contamination_rate == 0.5
+    assert out[("bench", "crawl")].n_contaminated == 1
+    assert out[("bench", "crawl")].contamination_rate == 1.0
+    assert out[("crawl", "crawl")].n_contaminated == 0
+    assert out[("clean", "bench")].n_contaminated == 0

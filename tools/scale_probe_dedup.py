@@ -142,11 +142,32 @@ def main() -> None:
         lm_perplexity,
     )
 
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        cross_source_contamination,
+        shingle_novelty,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.retrieval import (
+        tfidf_topk,
+    )
+
     probes = {
         # (curation_pipeline is NOT probed: the token namespacing of
         # the replicas breaks its stopword gates — a replication
         # artifact; its stages are covered by their own rows)
         "lm_perplexity": lambda: lm_perplexity(docs),
+        "tfidf_topk": lambda: tfidf_topk(docs, k=5),
+        # the trailing filters on COMPUTED columns defeat count()'s
+        # join elimination (both plans end in aggregate-keyed joins
+        # Catalyst can prove count-invariant and would otherwise
+        # skip — the probe must time the real plan)
+        "shingle_novelty": lambda: shingle_novelty(docs).filter(
+            "n_shingles >= 0"
+        ),
+        # includes the pair-graph build (the bench splits it out via
+        # the shared _pair_graph memo; here the full cost is probed)
+        "cross_source_contamination": lambda: cross_source_contamination(
+            docs, shingle_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000)
+        ).filter("contamination_rate >= 0"),
         "source_drift_kl": lambda: source_drift_kl(docs),
         # vocab-level BPE: replica token namespacing grows the vocab
         # ~10x, so this row probes the vocab-linear encode claim
