@@ -1038,7 +1038,7 @@ def cross_source_contamination(
     sources = documents.select("source").distinct()
     spine = (
         sources.select(F.col("source").alias("source_a"))
-        .crossJoin(sources.select(F.col("source").alias("source_b")))
+        .crossJoin(F.broadcast(sources.select(F.col("source").alias("source_b"))))
     )
     return (
         spine.join(F.broadcast(hits), ["source_a", "source_b"], "left")

@@ -320,3 +320,40 @@ def test_bpe_windows_all_partition_by_word(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", phys)
     assert specs, "expected window nodes in the merge-pass plan"
     assert all(s.strip().startswith("word#") for s in specs), specs
+
+
+def test_round4_star_shapes_no_sort_merge(spark):
+    """Q22/Q2/Q11 shapes keep every dim/model join broadcast: no
+    SortMergeJoin anywhere; the only fact-scale work is the initial
+    aggregate (Q2/Q11) or the anti-probe key projection (Q22)."""
+    import __spark_entry__ as m
+
+    for name in ("balance_rich_dormant", "min_cost_supplier", "nation_revenue_share"):
+        plan = _plan(m.queries()[name](spark, SF))
+        assert "SortMergeJoin" not in plan, name
+    # Q22's NOT EXISTS is a broadcast anti join over bare custkeys
+    plan = _plan(m.queries()["balance_rich_dormant"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_tfidf_no_global_window(spark):
+    """tfidf's rank window is PARTITIONED by doc_id — a plan with a
+    global (empty-partition) window would single-task the corpus."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["tfidf_topk"](spark, SF))
+    assert "Window" in plan
+    # every Window operator's spec carries the doc_id partition key
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "doc_id" in line
+
+
+def test_shingle_novelty_no_cartesian_no_cap_needed(spark):
+    """novelty's shingle index joins back 1:1 on the shingle key —
+    no inverted-index self-join, so no cartesian/BNLJ and no df-cap."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["shingle_novelty"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
