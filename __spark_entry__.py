@@ -158,6 +158,7 @@ from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
 from stock_market_data_pipeline_v2_spark.operators.dedup import (
     embedding_neardup_pairs_blas,
     embedding_neardup_pairs_ivf,
+    repeated_span_stats,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -503,6 +504,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repeated_span_stats(_docs(spark, sf_dir), span_tokens=32, min_docs=2)
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1001,6 +1006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "corpus_stats_by_source": q_corpus_stats_by_source,
         "dedup_exact": q_dedup_exact,
+        # ExactSubstr (round 4): per-doc verbatim passage-reuse
+        # fraction — the exact-substring member of the dedup family.
+        "repeated_spans": q_repeated_spans,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep_best": q_dedup_keep_best,
         # MOSS winnowing: local fingerprints with a deterministic
@@ -1213,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": oracles.CURATION_PIPELINE_SQL,
         "corpus_stats_by_source": oracles.CORPUS_STATS_BY_SOURCE_SQL,
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
+        "repeated_spans": oracles.REPEATED_SPAN_SQL,
         "dedup_incremental": oracles.INCREMENTAL_DEDUP_SQL,
         "dedup_keep_best": oracles.DEDUP_KEEP_BEST_SQL,
         "winnow_fingerprints": oracles.WINNOW_FINGERPRINTS_SQL,

@@ -59,6 +59,7 @@ HEADLINE = [
     "scd2_user_status",       # added round 3: SCD2 dimension history
     "large_volume_customers",  # added round 3: Q18 aggregate-then-broadcast shape
     "dedup_exact",
+    "repeated_spans",     # added round 4: ExactSubstr passage-reuse stats
     "dedup_clusters_star",     # added round 3 (late): log-round CC family row
     "dedup_keep_best",         # added round 3 (late): quality arbitration
     "dedup_incremental_lsh",   # added round 3 (late): LSH admission tier

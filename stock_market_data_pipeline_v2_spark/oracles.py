@@ -1158,6 +1158,60 @@ FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
 WHERE CAST(i AS DOUBLE) / (x.c + y.c - i) >= 0.5
 """
 
+# operators/dedup.py:repeated_span_stats — ExactSubstr statistics:
+# positioned 32-grams (same split as NGRAM_JACCARD), distinct-doc
+# frequency >= 2, per-doc interval union via the running-max window.
+# Matching on the gram STRING is equivalent to the engine's 16-byte
+# md5 key. pos is 0-based (i - 1) to match posexplode.
+REPEATED_SPAN_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w,
+        CASE WHEN length(lower(trim(text))) > 0
+             THEN len(string_split_regex(lower(trim(text)), '\\s+'))
+             ELSE 0 END AS n_tokens
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 31),
+                              i -> {'pos': i - 1,
+                                    'gram': array_to_string(w[i : i + 31], ' ')}))
+            AS z
+    FROM toks
+),
+grams AS (SELECT doc_id, z.pos AS pos, z.gram AS gram FROM g),
+shared AS (
+    SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1
+    ) WHERE df >= 2
+),
+hits AS (
+    SELECT grams.doc_id, grams.pos, grams.pos + 32 AS e
+    FROM grams JOIN shared USING (gram)
+),
+cov AS (
+    SELECT doc_id, pos, e,
+        max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_e
+    FROM hits
+),
+agg AS (
+    SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_repeated_spans,
+        CAST(sum(greatest(e - greatest(pos, coalesce(prev_e, 0)), 0))
+             AS BIGINT) AS covered_tokens
+    FROM cov GROUP BY 1
+)
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(a.n_repeated_spans, 0) AS n_repeated_spans,
+       coalesce(a.covered_tokens, 0)   AS covered_tokens,
+       round(CAST(coalesce(a.covered_tokens, 0) AS DOUBLE)
+             / nullif(t.n_tokens, 0), 6) AS repeated_frac
+FROM toks t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
 # operators/curation.py:cross_source_contamination — the pair CTE is
 # NGRAM_JACCARD_SQL verbatim (single source of truth: the Spark query
 # consumes the SAME pair graph _pair_graph builds from

@@ -1727,3 +1727,42 @@ def test_cross_source_contamination_planted(spark):
     assert out[("bench", "crawl")].contamination_rate == 1.0
     assert out[("crawl", "crawl")].n_contaminated == 0
     assert out[("clean", "bench")].n_contaminated == 0
+
+
+def test_repeated_span_stats_planted(spark):
+    """A verbatim 8-token passage shared by two docs is found with the
+    exact interval union; unique docs and short docs report zeros."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        repeated_span_stats,
+    )
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            # shared passage at offset 2 of a 12-token doc
+            Row(doc_id=1, text="aa bb " + shared + " yy zz"),
+            # the same passage at offset 0 of a 10-token doc
+            Row(doc_id=2, text=shared + " pp qq"),
+            Row(doc_id=3, text="totally unrelated words that repeat nothing at all"),
+            Row(doc_id=4, text="short doc"),
+            Row(doc_id=5, text=""),
+        ]
+    )
+    out = {r.doc_id: r for r in repeated_span_stats(docs, span_tokens=8).collect()}
+    # doc 1: 12 tokens; exactly one shared 8-gram (the passage) at pos 2
+    assert out[1].n_tokens == 12 and out[1].n_repeated_spans == 1
+    assert out[1].covered_tokens == 8 and out[1].repeated_frac == round(8 / 12, 6)
+    # doc 2: 10 tokens; same passage at pos 0
+    assert out[2].covered_tokens == 8 and out[2].repeated_frac == 0.8
+    assert out[3].n_repeated_spans == 0 and out[3].repeated_frac == 0.0
+    assert out[4].n_tokens == 2 and out[4].covered_tokens == 0
+    assert out[5].n_tokens == 0 and out[5].repeated_frac is None
+    # overlap union: two docs sharing a 9-token run contain TWO shared
+    # 8-grams whose spans overlap — covered tokens must be 9, not 16
+    nine = "n1 n2 n3 n4 n5 n6 n7 n8 n9"
+    docs2 = spark.createDataFrame(
+        [Row(doc_id=1, text=nine + " tailx"), Row(doc_id=2, text="headx " + nine)]
+    )
+    out2 = {r.doc_id: r for r in repeated_span_stats(docs2, span_tokens=8).collect()}
+    assert out2[1].n_repeated_spans == 2 and out2[1].covered_tokens == 9
+    assert out2[2].covered_tokens == 9

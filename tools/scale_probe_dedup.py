@@ -94,6 +94,7 @@ def main() -> None:
         embedding_neardup_pairs_ivf,
         incremental_dedup_decisions,
         minhash_lsh_pairs,
+        repeated_span_stats,
         shingle_jaccard_pairs,
         simhash_pairs,
     )
@@ -184,6 +185,10 @@ def main() -> None:
         ),
         "dedup_minhash_lsh": lambda: minhash_lsh_pairs(
             docs, threshold=0.5, max_shingle_freq=1000
+        ),
+        # computed-column filter defeats count()'s join elimination
+        "repeated_spans": lambda: repeated_span_stats(docs).filter(
+            "covered_tokens >= 0"
         ),
         "dedup_simhash": lambda: simhash_pairs(docs, max_hamming=3),
         # batch-vs-corpus admission: batch is the fixed 10% slice, so
