@@ -151,6 +151,7 @@ from stock_market_data_pipeline_v2_spark.operators.stats import (
     users_only_before,
 )
 from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
+    atr_obv,
     bollinger_bands,
     macd,
     stochastic_k,
@@ -873,6 +874,10 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return macd(_clean_bars(spark, sf_dir))
 
 
+def q_atr_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return atr_obv(_clean_bars(spark, sf_dir))
+
+
 def q_dedup_embedding_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_blas(_embs(spark, sf_dir), threshold=0.4)
 
@@ -1058,6 +1063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger_bands": q_bollinger,
         "stochastic_k": q_stochastic_k,
         "macd": q_macd,
+        # ATR + OBV (round 4): volatility-range and volume-flow
+        # members of the classic indicator set, one window pass.
+        "atr_obv": q_atr_obv,
         # stub-kernel multimodal tiers, oracle-gated as of round 4
         # (byte features reproduced via DuckDB hex expansion)
         "multimodal_decode": q_multimodal_decode,
@@ -1265,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         # macd's oracle is a recursive CTE reproducing pandas ewm
         # bit-for-bit (see oracles.MACD_SQL).
         "macd": oracles.MACD_SQL,
+        "atr_obv": oracles.ATR_OBV_SQL,
         # dedup_embedding_blas is bit-identical to the exact op: same oracle.
         "dedup_embedding_blas": oracles.EMBEDDING_NEARDUP_SQL,
     }

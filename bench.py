@@ -27,6 +27,7 @@ HEADLINE = [
     "bollinger_bands",
     "stochastic_k",
     "macd",
+    "atr_obv",            # added round 4: ATR + OBV window pass
     "asof_tick_bar",
     "daily_vwap",          # added round 3
     "multi_grain_bars",    # added round 3: grouping-sets single pass

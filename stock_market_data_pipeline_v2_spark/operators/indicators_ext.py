@@ -155,3 +155,58 @@ def macd(
         .groupBy(partition_col)
         .applyInPandas(compute, schema=schema)
     )
+
+
+def atr_obv(
+    bars: DataFrame,
+    n: int = 14,
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+) -> DataFrame:
+    """Average True Range (SMA-of-TR variant) + On-Balance Volume —
+    the volatility-range and volume-flow members of the classic
+    indicator set, both tier (a) window-expressible:
+
+    TR  = greatest(high − low, |high − prev_close|, |low − prev_close|)
+          (first row per symbol: high − low — no prior close exists)
+    ATR = avg(TR) over the trailing ``n`` rows (the SMA variant —
+          deterministic and oracle-exact; Wilder's recursive smoothing
+          is EMA-family and would ride the macd applyInPandas tier)
+    OBV = running Σ of sign(close − prev_close) · volume — integer
+          arithmetic end to end (volume is integral), so OBV is exact
+          in any engine with no rounding at all.
+
+    One partition/order spec serves the lag, the trailing avg, and the
+    running sum — a single exchange + sort, same sharing as
+    rolling_indicators (plan property: stock_performance test).
+    """
+    w_ord = Window.partitionBy(partition_col).orderBy(order_col)
+    w_trail = w_ord.rowsBetween(-(n - 1), 0)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    prev_close = F.lag("close_price").over(w_ord)
+    tr = F.when(
+        prev_close.isNull(), F.col("high_price") - F.col("low_price")
+    ).otherwise(
+        F.greatest(
+            F.col("high_price") - F.col("low_price"),
+            F.abs(F.col("high_price") - prev_close),
+            F.abs(F.col("low_price") - prev_close),
+        )
+    )
+    flow = F.when(prev_close.isNull(), F.lit(0)).otherwise(
+        F.when(F.col("close_price") > prev_close, F.col("volume"))
+        .when(F.col("close_price") < prev_close, -F.col("volume"))
+        .otherwise(F.lit(0))
+    )
+    return (
+        bars.withColumn("__tr", tr)
+        .withColumn("__flow", flow.cast("long"))
+        .select(
+            partition_col,
+            order_col,
+            "close_price",
+            round_away(F.col("__tr"), 4).alias("true_range"),
+            round_away(F.avg("__tr").over(w_trail), 4).alias(f"atr_{n}"),
+            F.sum("__flow").over(w_run).cast("long").alias("obv"),
+        )
+    )

@@ -1575,6 +1575,44 @@ stochastic AS (
 )
 """
 
+# operators/indicators_ext.py:atr_obv — SMA-variant ATR + integer OBV
+# over the clean-bar series; first row per symbol has no prior close
+# (TR = high − low, flow = 0).
+ATR_OBV = """
+atrobv AS (
+    SELECT symbol, trade_date, close_price,
+        round(tr, 4)                     AS true_range,
+        round(avg(tr) OVER w14, 4)       AS atr_14,
+        CAST(sum(flow) OVER wrun AS BIGINT) AS obv
+    FROM (
+        SELECT symbol, trade_date, close_price,
+            CASE WHEN prev_close IS NULL THEN high_price - low_price
+                 ELSE greatest(high_price - low_price,
+                               abs(high_price - prev_close),
+                               abs(low_price - prev_close)) END AS tr,
+            CASE WHEN prev_close IS NULL THEN 0
+                 WHEN close_price > prev_close THEN volume
+                 WHEN close_price < prev_close THEN -volume
+                 ELSE 0 END AS flow
+        FROM (
+            SELECT symbol, trade_date, close_price, high_price, low_price,
+                volume,
+                lag(close_price) OVER (PARTITION BY symbol
+                                       ORDER BY trade_date) AS prev_close
+            FROM clean_bars
+        )
+    )
+    WINDOW w14 AS (PARTITION BY symbol ORDER BY trade_date
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+           wrun AS (PARTITION BY symbol ORDER BY trade_date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+"""
+
+ATR_OBV_SQL = with_ctes(
+    EVENTS_TICKS, DAILY_BARS, CLEAN_BARS, ATR_OBV, select="SELECT * FROM atrobv"
+)
+
 WINDOW_AGG_15M_SQL = with_ctes(
     EVENTS_TICKS, AGG_15M, select="SELECT * FROM agg_15m"
 )

@@ -92,3 +92,23 @@ def test_blas_dedup_equals_exact(spark):
         ).collect()
     }
     assert blas_grid == exact
+
+
+def test_atr_obv_golden(spark):
+    from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
+        atr_obv,
+    )
+
+    # closes 10, 20, 15, 15 with high = c+1, low = c-1, volume 100
+    out = atr_obv(_bars(spark, [10, 20, 15, 15])).orderBy("trade_date").collect()
+    # row 1: no prior close -> TR = high-low = 2, OBV flow 0
+    assert out[0].true_range == 2.0 and out[0].obv == 0
+    # row 2: TR = max(2, |21-10|, |19-10|) = 11; ATR = (2+11)/2 = 6.5
+    assert out[1].true_range == 11.0 and out[1].atr_14 == 6.5
+    # OBV: up day (+100)
+    assert out[1].obv == 100
+    # row 3: down day -> OBV 0; TR = max(2, |16-20|, |14-20|) = 6
+    assert out[2].true_range == 6.0 and out[2].obv == 0
+    # row 4: unchanged close -> flow 0, OBV stays 0
+    assert out[3].obv == 0
+    assert out[3].atr_14 == round((2 + 11 + 6 + 2) / 4, 4)
