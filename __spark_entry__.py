@@ -27,8 +27,11 @@ from stock_market_data_pipeline_v2_spark.operators.performance import stock_perf
 from stock_market_data_pipeline_v2_spark.operators.summary import daily_summary
 from stock_market_data_pipeline_v2_spark.operators.dims import (
     balance_rich_dormant_nations,
+    bilateral_trade_volume,
+    disjunctive_brand_revenue,
     min_cost_supplier_parts,
     nation_revenue_share,
+    top_return_customers,
     dormant_customers,
     event_type_pivot,
     exclusive_fault_suppliers,
@@ -297,6 +300,34 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation_revenue_share(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return bilateral_trade_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_disjunctive_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return disjunctive_brand_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return top_return_customers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
     )
 
@@ -1124,6 +1155,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_rich_dormant": q_balance_rich_dormant,
         "min_cost_supplier": q_min_cost_supplier,
         "nation_revenue_share": q_nation_revenue_share,
+        # Q7/Q19/Q10 shapes (round 4, late): two-role dims, one-pass
+        # disjunctive envelopes, returned-revenue top-k.
+        "bilateral_trade": q_bilateral_trade,
+        "disjunctive_brand_revenue": q_disjunctive_brand,
+        "top_return_customers": q_top_return_customers,
         "event_type_pivot": q_event_type_pivot,
         # sketch tier: approximate by contract → rows-only gate
         "sector_activity_sketch": q_sector_activity_sketch,
@@ -1197,6 +1233,9 @@ def oracle_sql() -> dict[str, str]:
         "balance_rich_dormant": oracles.BALANCE_RICH_DORMANT_SQL,
         "min_cost_supplier": oracles.MIN_COST_SUPPLIER_SQL,
         "nation_revenue_share": oracles.NATION_REVENUE_SHARE_SQL,
+        "bilateral_trade": oracles.BILATERAL_TRADE_SQL,
+        "disjunctive_brand_revenue": oracles.DISJUNCTIVE_BRAND_SQL,
+        "top_return_customers": oracles.TOP_RETURN_CUSTOMERS_SQL,
         "event_type_pivot": oracles.EVENT_TYPE_PIVOT_SQL,
         "text_quality": oracles.TEXT_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,

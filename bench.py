@@ -40,6 +40,9 @@ HEADLINE = [
     "balance_rich_dormant",   # added round 4: Q22 shape
     "min_cost_supplier",      # added round 4: Q2 shape (window argmin)
     "nation_revenue_share",   # added round 4: Q11 shape
+    "bilateral_trade",        # added round 4: Q7 shape (two-role dims)
+    "disjunctive_brand_revenue",  # added round 4: Q19 shape
+    "top_return_customers",   # added round 4: Q10 shape
     "event_type_pivot",
     "top_volume_days",
     "return_correlations",

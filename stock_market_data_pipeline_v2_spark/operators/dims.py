@@ -631,3 +631,161 @@ def nation_revenue_share(
         )
         .orderBy(F.desc("revenue_share"), F.asc("nation_name"))
     )
+
+
+def bilateral_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    year_from: str = "1996-01-01",
+    year_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-shaped: shipping volume between every DISTINCT nation
+    pair (supplier nation ≠ customer nation) by order year — the
+    two-role dimension pattern: the same nation dim joins the fact
+    twice under different roles.
+
+    Spark-first plan: both role enrichments are broadcast chains onto
+    the customer/supplier dims BEFORE the facts join (nation is tiny;
+    the enriched dims stay broadcast-sized), so the single big
+    shuffle is orders⋈lineitem on the orderkey. The date filter
+    pushes to the orders scan.
+
+    Exactness: revenue sums rounded 2 dp (the Q5 precedent);
+    year via date_trunc—exact; ordered (supp_nation, cust_nation,
+    order_year).
+    """
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(n1), supplier.s_nationkey == n1.s_nk
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n2), customer.c_nationkey == n2.c_nk
+    ).select("c_custkey", "cust_nation")
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit(year_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(year_to).cast("timestamp"))
+    )
+    # EXACT DECIMAL money math: at ~760 (pair, year) groups a few
+    # double sums inevitably land on the half-cent rounding boundary
+    # and flip by accumulation order (measured: 5 penny mismatches) —
+    # price and discount are semantically 2-dp, so decimal sums are
+    # exact in ANY order and both engines round the identical value.
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    )
+    return (
+        ord_f.join(F.broadcast(cust), ord_f.o_custkey == cust.c_custkey)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "order_year")
+    )
+
+
+def disjunctive_brand_revenue(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q19-shaped: revenue under a DISJUNCTION of brand-specific
+    quantity/size envelopes — the shape that tests an optimizer's
+    handling of OR-of-ANDs predicates (naive engines scan everything
+    per branch; a single pass with the disjunction evaluated row-wise
+    is the right plan, with the common conjuncts — the join key and
+    the size floor — still pushed down).
+
+    Spark-first plan: part dim broadcasts; the three envelopes are ONE
+    boolean expression on the joined row (one fact scan, no union of
+    three scans); Catalyst pushes the p_size lower bound common to all
+    branches into the part scan.
+
+    Exactness: one rounded 2-dp revenue sum and an integral match
+    count per brand.
+    """
+    p = part.select("p_partkey", "p_brand", "p_size")
+    j = lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+    env = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30)
+           & F.col("p_size").between(1, 15))
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        j.filter(env)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            round_away(revenue, 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def top_return_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-07-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped: customers who returned the most revenue in a
+    quarter-window — the returned-goods triage mart (who to call, in
+    money order). Join chain orders(filtered)⋈lineitem(R)⋈customer⋈
+    nation with the dims broadcast; the top-k rides a deterministic
+    (revenue desc, custkey asc) order on the UNROUNDED sum.
+
+    Scale shape: the date filter pushes to the orders scan; the 'R'
+    filter pushes to lineitem; both prune before the one big
+    orderkey shuffle; the k-row limit is TakeOrdered, never a global
+    sort materialization.
+    """
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    ret = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_cust = (
+        ord_f.join(ret, ord_f.o_orderkey == ret.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(revenue.alias("__rev"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            per_cust.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .orderBy(F.desc("__rev"), F.asc("c_custkey"))
+        .limit(k)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            "c_acctbal",
+            round_away(F.col("__rev"), 2).alias("return_revenue"),
+        )
+    )

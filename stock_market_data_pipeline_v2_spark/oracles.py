@@ -1061,6 +1061,68 @@ FROM pn, tot WHERE rev > 0.01 * total
 ORDER BY rev / total DESC, nation_name
 """
 
+# operators/dims.py:bilateral_trade_volume — Q7 shape: the same
+# nation dim joins the fact under two roles. Revenue in EXACT DECIMAL
+# (2-dp money × 2-dp multiplier): order-invariant sums, identical
+# rounding in both engines (double sums flipped pennies at this group
+# count).
+BILATERAL_TRADE_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(8,2))), 2)
+            AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+# operators/dims.py:disjunctive_brand_revenue — Q19 shape:
+# OR-of-ANDs envelopes evaluated in ONE fact pass.
+DISJUNCTIVE_BRAND_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE ((p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+        AND p_size BETWEEN 1 AND 5)
+   OR  (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+        AND p_size BETWEEN 1 AND 10)
+   OR  (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+        AND p_size BETWEEN 1 AND 15))
+GROUP BY 1 ORDER BY 1
+"""
+
+# operators/dims.py:top_return_customers — Q10 shape: returned-goods
+# revenue top-k; rank on the UNROUNDED sum with custkey tiebreak.
+TOP_RETURN_CUSTOMERS_SQL = """
+WITH pc AS (
+    SELECT o.o_custkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1
+),
+r AS (
+    SELECT pc.*, row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk
+    FROM pc
+)
+SELECT c.c_custkey, c.c_name, n.n_name AS nation_name, c.c_acctbal,
+       round(rev, 2) AS return_revenue
+FROM r
+JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE rk <= 20 ORDER BY rev DESC, c.c_custkey
+"""
+
 # operators/retrieval.py:tfidf_topk — per-doc TF-IDF keyword
 # extraction; rank on the UNROUNDED score with token tiebreak, score
 # rounded 6 dp at output only (the bm25 precedent). Smoothed idf:
