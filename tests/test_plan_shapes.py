@@ -357,3 +357,35 @@ def test_shingle_novelty_no_cartesian_no_cap_needed(spark):
     plan = _plan(m.queries()["shingle_novelty"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_row_path_python_udfs_anywhere(spark):
+    """The §2.10 claim, enforced mechanically: no registered query's
+    physical plan contains a row-at-a-time Python UDF (BatchEvalPython
+    / ArrowEvalPython). Arrow-batched group/map kernels (MapInPandas,
+    FlatMapGroupsInPandas) are the sanctioned Python path and appear
+    only in the documented operators."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    offenders = []
+    arrow_kernels = {}
+    for name, fn in qs.items():
+        plan = _plan(fn(spark, SF))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+        n_kernels = plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas")
+        if n_kernels:
+            arrow_kernels[name] = True
+    assert not offenders, f"row-path Python UDFs in: {offenders}"
+    # Arrow kernels only where the op is genuinely non-SQL-expressible
+    # (codecs, recursive EMA, k-means cells, block-grid BLAS)
+    allowed = {
+        "macd", "multimodal_decode", "multimodal_resize", "multimodal_frames",
+        "audio_features", "image_features", "dedup_embedding_blas",
+        "dedup_embedding_ivf", "ann_cosine_topk_blas", "ann_pq_topk",
+        "ann_ivfpq_topk", "prototypicality_prune", "ann_ivf_topk",
+        "dedup_embedding", "ann_cosine_topk", "ann_lsh_topk",
+    }
+    unexpected = set(arrow_kernels) - allowed
+    assert not unexpected, f"undocumented Arrow kernels in: {sorted(unexpected)}"
