@@ -97,6 +97,101 @@ def _sq_dist_expr(a: Column, b_items: list[Column]) -> Column:
     return out
 
 
+def _encode_codes(c: DataFrame, cb_df: DataFrame, m: int, dsub: int) -> DataFrame:
+    """Encode (id, uv) rows against a codebook frame: m rows per
+    vector (bounded explode), broadcast-join the m-row grouped
+    codebook (one ordered struct array of ksub centers per subspace —
+    the per-vector argmin is a bounded in-row fold, never a shuffle),
+    tie→smaller code, collapse back to one (id, codes) row. The only
+    shuffle moves n narrow rows. Shared by the build pass and the
+    incremental :func:`extend_pq_index` ADD path — one definition, so
+    extended batches encode bit-identically to built ones."""
+    cb_grouped = cb_df.groupBy("sub").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("code"), F.col("center")))
+        ).alias("centers")
+    )
+    argmin_code = F.array_min(
+        F.transform(
+            F.col("centers"),
+            lambda s: F.struct(
+                _sq_dist_expr(
+                    F.col("sv"),
+                    [F.element_at(s["center"], i + 1) for i in range(dsub)],
+                ).alias("d"),
+                s["code"].alias("code"),
+            ),
+        )
+    )["code"]
+    return (
+        c.select(
+            "id", "uv", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
+        )
+        .select(
+            "id",
+            "sub",
+            F.expr(f"slice(uv, sub * {dsub} + 1, {dsub})").alias("sv"),
+        )
+        .join(F.broadcast(cb_grouped), "sub")
+        .select("id", "sub", argmin_code.alias("code"))
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("sub"), F.col("code")))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def extend_pq_index(
+    index: PqIndex,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist: bool = False,
+) -> PqIndex:
+    """Incremental ADD for the PQ index (the FAISS ``add()`` path,
+    twin of :func:`similarity.extend_ivf_index`): encode a batch of
+    NEW vectors against the FROZEN codebooks and union the codes
+    table. Nightly corpus growth appends compressed codes without
+    retraining — subquantizers are trained on a representative sample
+    and drift slowly; the production cadence is add-per-batch,
+    retrain-per-epoch (then re-encode everything once).
+
+    Exactness: the encode plan is the build pass's own
+    ``_encode_codes`` — new ids encode bit-identically to a build
+    that had used the same codebooks; existing (id, codes) rows are
+    untouched by construction. Cost: ONE scan of the batch (bounded
+    m-row explode + broadcast argmin); nothing corpus-sized runs.
+
+    ``persist=True`` caches the merged frame and releases the old one.
+    """
+    spark = new_vectors.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    m, dim = index.m, index.dim
+    dsub = dim // m
+    unit = F.when(
+        F.col("nrm") > 0,
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0.0)))
+    c = (
+        new_vectors.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("nrm", l2_norm_unrolled("v", dim))
+        .withColumn("uv", unit)
+    )
+    merged = index.codes.unionByName(_encode_codes(c, index.codebook, m, dsub))
+    if persist:
+        merged = merged.cache()
+        merged.count()  # deliberate materialization before release
+        index.codes.unpersist()
+    return index._replace(codes=merged)
+
+
 def build_pq_index(
     corpus: DataFrame,
     m: int = 16,
@@ -206,50 +301,7 @@ def build_pq_index(
         [(s, j, cb_local[s][j]) for s in range(m) for j in range(ksub)],
         "sub int, code int, center array<double>",
     )
-    # One center table per subspace, carried as an ordered struct array
-    # so the per-vector argmin is a bounded in-row fold (ksub structs),
-    # never a shuffle.
-    cb_grouped = cb_df.groupBy("sub").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("code"), F.col("center")))
-        ).alias("centers")
-    )
-
-    # Encoding: m rows per vector (bounded explode), broadcast-join the
-    # m-row grouped codebook, in-row argmin over ksub centers with
-    # tie→smaller code, collapse back to one row per vector. The only
-    # shuffle moves n narrow (id, codes) rows.
-    argmin_code = F.array_min(
-        F.transform(
-            F.col("centers"),
-            lambda s: F.struct(
-                _sq_dist_expr(
-                    F.col("sv"),
-                    [F.element_at(s["center"], i + 1) for i in range(dsub)],
-                ).alias("d"),
-                s["code"].alias("code"),
-            ),
-        )
-    )["code"]
-    codes = (
-        c.select(
-            "id", "uv", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
-        )
-        .select(
-            "id",
-            "sub",
-            F.expr(f"slice(uv, sub * {dsub} + 1, {dsub})").alias("sv"),
-        )
-        .join(F.broadcast(cb_grouped), "sub")
-        .select("id", "sub", argmin_code.alias("code"))
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("sub"), F.col("code")))),
-                lambda s: s["code"],
-            ).alias("codes")
-        )
-    )
+    codes = _encode_codes(c, cb_df, m, dsub)
     if persist:
         codes = codes.cache()
         codes.count()  # deliberate build-once materialization

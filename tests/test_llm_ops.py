@@ -1766,3 +1766,39 @@ def test_repeated_span_stats_planted(spark):
     out2 = {r.doc_id: r for r in repeated_span_stats(docs2, span_tokens=8).collect()}
     assert out2[1].n_repeated_spans == 2 and out2[1].covered_tokens == 9
     assert out2[2].covered_tokens == 9
+
+
+def test_extend_pq_index_matches_build_encoding(spark):
+    """PQ incremental-add contract (twin of the IVF test): a new
+    batch encodes against the FROZEN codebooks exactly as the build
+    pass would, existing codes are untouched, the extend is
+    deterministic, and the extended index serves ADC queries over
+    both halves."""
+    from stock_market_data_pipeline_v2_spark.operators.pq import (
+        build_pq_index,
+        extend_pq_index,
+        pq_adc_topk,
+    )
+
+    embs = _embs(spark)
+    old = embs.filter(F.col("vec_id") % 5 != 0)
+    new = embs.filter(F.col("vec_id") % 5 == 0)
+    idx = build_pq_index(old, persist=True)
+    before = {r.id: tuple(r.codes) for r in idx.codes.collect()}
+
+    ext = extend_pq_index(idx, new, persist=True)
+    after = {r.id: tuple(r.codes) for r in ext.codes.collect()}
+    assert set(after) == {r.vec_id for r in embs.select("vec_id").collect()}
+    assert all(after[i] == c for i, c in before.items())  # old untouched
+    # codebooks are frozen by construction (same object)
+    assert ext.codebook_local == idx.codebook_local
+
+    # determinism: a second extend encodes the batch identically
+    ext2 = extend_pq_index(idx._replace(codes=ext.codes.limit(0)), new)
+    again = {r.id: tuple(r.codes) for r in ext2.codes.collect()}
+    assert all(after[i] == c for i, c in again.items())
+    assert set(again) == {r.vec_id for r in new.select("vec_id").collect()}
+
+    got = pq_adc_topk(embs, embs.filter(F.col("vec_id") % 100 == 0), k=5, index=ext)
+    assert got.count() > 0
+    ext.release()
