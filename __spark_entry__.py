@@ -1103,7 +1103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         # --- rows-only scale tiers (recall/subset pytest-gated); a
-        # driver row records that they run and their cardinality ---
+        # driver row records that they run and their cardinality.
+        # Round-4 additions above pushed all but the first three past
+        # slot 50 — those rotate into the r5 window. ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         # SemDeDup-style sub-quadratic tier: emitted pairs are a
