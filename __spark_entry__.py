@@ -72,6 +72,7 @@ from stock_market_data_pipeline_v2_spark.operators.curation import (
     token_frequency,
 )
 from stock_market_data_pipeline_v2_spark.operators.text import (
+    dedup_sentences_within_doc,
     doc_fingerprint,
     gopher_quality_filter,
     boilerplate_prefix_stats,
@@ -621,6 +622,10 @@ def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(_docs(spark, sf_dir))
 
 
+def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_sentences_within_doc(_docs(spark, sf_dir))
+
+
 def q_sft_render_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_render_spans(_docs(spark, sf_dir), turn_chars=256)
 
@@ -1045,6 +1050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ExactSubstr (round 4): per-doc verbatim passage-reuse
         # fraction — the exact-substring member of the dedup family.
         "repeated_spans": q_repeated_spans,
+        # within-doc repeated-sentence REMOVAL (round 4): the repair
+        # twin of repetition_filter — scan-shaped, zero shuffles.
+        "dedup_sentences": q_dedup_sentences,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep_best": q_dedup_keep_best,
         # MOSS winnowing: local fingerprints with a deterministic
@@ -1271,6 +1279,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats_by_source": oracles.CORPUS_STATS_BY_SOURCE_SQL,
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "repeated_spans": oracles.REPEATED_SPAN_SQL,
+        "dedup_sentences": oracles.DEDUP_SENTENCES_SQL,
         "dedup_incremental": oracles.INCREMENTAL_DEDUP_SQL,
         "dedup_keep_best": oracles.DEDUP_KEEP_BEST_SQL,
         "winnow_fingerprints": oracles.WINNOW_FINGERPRINTS_SQL,

@@ -89,6 +89,7 @@ HEADLINE = [
     "pii_scrub",         # added round 2
     "strip_html",        # added round 3 (late): crawl HTML extraction
     "split_sentences",   # added round 3 (late): sentence grain
+    "dedup_sentences",   # added round 4: within-doc repeat removal
     "lm_perplexity",     # added round 3: CCNet-style LM quality scoring
     "boilerplate_prefixes",  # added round 3: cross-doc prefix shares
     "hash_embeddings",       # added round 3: feature-hash featurization

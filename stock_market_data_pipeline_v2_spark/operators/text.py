@@ -617,3 +617,39 @@ def split_sentences(documents: DataFrame) -> DataFrame:
         .withColumn("sent_idx", F.col("sent_idx").cast("long"))
         .orderBy("doc_id", "sent_idx")
     )
+
+
+def dedup_sentences_within_doc(documents: DataFrame) -> DataFrame:
+    """Within-document repeated-sentence REMOVAL — the repair twin of
+    :func:`repetition_filter` (which only flags): templated pages
+    repeat nav blurbs, disclaimers, and call-to-action lines many
+    times inside one document; keeping the FIRST occurrence of each
+    distinct sentence (original order otherwise preserved) removes
+    the self-repetition a within-page crawler artifact injects
+    without touching cross-document signals (those are the pairwise
+    dedup family's job).
+
+    Entirely scan-shaped — ZERO shuffles: sentence split (the
+    split_sentences sentinel machinery), ``array_distinct`` (which
+    preserves first-occurrence order), and an in-row rejoin all ride
+    the scan projection. Output: (doc_id, n_sentences, n_unique,
+    n_removed, clean_text); sentence-free docs keep an empty string.
+    """
+    marked = F.regexp_replace(_norm(), r"([.!?])\s+", "$1\x01")
+    sents = F.filter(F.split(marked, "\x01"), lambda x: F.length(x) > 0)
+    uniq = F.array_distinct(sents)
+    return (
+        documents.select(
+            "doc_id",
+            sents.alias("__s"),
+            uniq.alias("__u"),
+        )
+        .select(
+            "doc_id",
+            F.size("__s").cast("long").alias("n_sentences"),
+            F.size("__u").cast("long").alias("n_unique"),
+            (F.size("__s") - F.size("__u")).cast("long").alias("n_removed"),
+            F.array_join("__u", " ").alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

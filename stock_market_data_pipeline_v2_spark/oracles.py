@@ -559,6 +559,44 @@ ORDER BY doc_id, sent_idx
 """
 )
 
+# operators/text.py:dedup_sentences_within_doc — first-occurrence
+# sentence dedup, original order preserved. Spark's array_distinct
+# keeps first-occurrence order; the oracle reproduces that
+# deterministically via min(position) per distinct sentence and an
+# ORDER BY first_idx string_agg.
+DEDUP_SENTENCES_SQL = (
+    r"""
+WITH m AS (
+    SELECT doc_id,
+        list_filter(string_split(
+            regexp_replace(lower(trim(text)), '([.!?])\s+', '\1' || chr(1), 'g'),
+            chr(1)), x -> len(x) > 0) AS l
+    FROM documents
+),
+e AS (
+    SELECT doc_id, l[i] AS sentence, i
+    FROM m, unnest(generate_series(1, len(l))) AS u(i)
+),
+f AS (
+    SELECT doc_id, sentence, min(i) AS first_idx
+    FROM e GROUP BY 1, 2
+),
+agg AS (
+    SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_unique,
+        string_agg(sentence, ' ' ORDER BY first_idx) AS clean_text
+    FROM f GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(len(m.l) AS BIGINT) AS n_sentences,
+       coalesce(agg.n_unique, 0) AS n_unique,
+       CAST(len(m.l) AS BIGINT) - coalesce(agg.n_unique, 0) AS n_removed,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM m LEFT JOIN agg USING (doc_id)
+ORDER BY m.doc_id
+"""
+)
+
 DOC_FINGERPRINT_SQL = """
 WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
 pos AS (

@@ -1802,3 +1802,26 @@ def test_extend_pq_index_matches_build_encoding(spark):
     got = pq_adc_topk(embs, embs.filter(F.col("vec_id") % 100 == 0), k=5, index=ext)
     assert got.count() > 0
     ext.release()
+
+
+def test_dedup_sentences_within_doc_planted(spark):
+    """First occurrence kept, order preserved, repeats removed;
+    sentence-free docs emit empty clean_text."""
+    from stock_market_data_pipeline_v2_spark.operators.text import (
+        dedup_sentences_within_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Buy now. Real content here. Buy now. More text. Buy now."),
+            Row(doc_id=2, text="Unique one. Unique two."),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = {r.doc_id: r for r in dedup_sentences_within_doc(docs).collect()}
+    assert out[1].n_sentences == 5 and out[1].n_unique == 3
+    assert out[1].n_removed == 2
+    # order preserved, first occurrences only (normalized lowercase)
+    assert out[1].clean_text == "buy now. real content here. more text."
+    assert out[2].n_removed == 0
+    assert out[3].n_sentences == 0 and out[3].clean_text == ""
