@@ -409,6 +409,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(_docs(spark, sf_dir))
 
 
+def q_lm_perplexity_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # production CCNet shape: reference-corpus model (the English
+    # slice) scores EVERY document — exercises the unknown-token
+    # coalesce paths the self-scored form never hits.
+    docs = _docs(spark, sf_dir)
+    return lm_perplexity(docs, lm_corpus=docs.filter("lang = 'en'"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
@@ -1053,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within-doc repeated-sentence REMOVAL (round 4): the repair
         # twin of repetition_filter — scan-shaped, zero shuffles.
         "dedup_sentences": q_dedup_sentences,
+        # CCNet production shape (round 4): en-slice LM scores all
+        "lm_perplexity_cross": q_lm_perplexity_cross,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep_best": q_dedup_keep_best,
         # MOSS winnowing: local fingerprints with a deterministic
@@ -1280,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "repeated_spans": oracles.REPEATED_SPAN_SQL,
         "dedup_sentences": oracles.DEDUP_SENTENCES_SQL,
+        "lm_perplexity_cross": oracles.LM_PERPLEXITY_CROSS_SQL,
         "dedup_incremental": oracles.INCREMENTAL_DEDUP_SQL,
         "dedup_keep_best": oracles.DEDUP_KEEP_BEST_SQL,
         "winnow_fingerprints": oracles.WINNOW_FINGERPRINTS_SQL,

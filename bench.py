@@ -91,6 +91,7 @@ HEADLINE = [
     "split_sentences",   # added round 3 (late): sentence grain
     "dedup_sentences",   # added round 4: within-doc repeat removal
     "lm_perplexity",     # added round 3: CCNet-style LM quality scoring
+    "lm_perplexity_cross",  # added round 4: reference-model scoring (CCNet production shape)
     "boilerplate_prefixes",  # added round 3: cross-doc prefix shares
     "hash_embeddings",       # added round 3: feature-hash featurization
     "winsorize_ticks",       # added round 3: percentile outlier clamp

@@ -2337,6 +2337,54 @@ FROM s
 """
 
 
+# operators/text.py:lm_perplexity with lm_corpus = the English slice —
+# the PRODUCTION CCNet shape: a reference-corpus model scores the
+# whole corpus (out-of-model bigrams and unigrams hit the coalesce
+# paths the self-scored form never exercises).
+LM_PERPLEXITY_CROSS_SQL = """
+WITH tk AS (
+    SELECT doc_id,
+        regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ta
+    FROM documents
+),
+tkm AS (
+    SELECT regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ta
+    FROM documents WHERE lang = 'en'
+),
+uni AS (
+    SELECT w1, CAST(count(*) AS BIGINT) AS c_w1
+    FROM (SELECT unnest(ta) AS w1 FROM tkm) GROUP BY 1
+),
+bglm AS (
+    SELECT ta[i] || ' ' || ta[i+1] AS bg
+    FROM tkm, unnest(generate_series(1, len(ta) - 1)) AS u(i)
+    WHERE len(ta) >= 2
+),
+bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM bglm GROUP BY 1),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+bgl AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           ta[i] || ' ' || ta[i+1] AS bg, ta[i] AS w1
+    FROM tk, unnest(generate_series(1, len(ta) - 1)) AS u(i)
+    WHERE len(ta) >= 2
+),
+sc AS (
+    SELECT b.doc_id, b.pos,
+        ln(CAST(coalesce(bi.c_bg, 0) + 1 AS DOUBLE)
+           / CAST(coalesce(u.c_w1, 0) + v.v AS DOUBLE)) AS logp
+    FROM bgl b LEFT JOIN bi USING (bg) LEFT JOIN uni u ON b.w1 = u.w1, v
+),
+s AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        list_reduce(list(logp ORDER BY pos), (x, y) -> x + y) AS sum_logp
+    FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(-sum_logp / n_bigrams, 6) AS avg_nll,
+       round(exp(-sum_logp / n_bigrams), 4) AS perplexity
+FROM s
+"""
+
 # operators/realtime.py:winsorize_ticks — per-symbol exact continuous
 # percentiles (quantile_cont == Spark percentile), bounds rounded to
 # 6 dp BEFORE the clamp so both engines compare the identical double.
