@@ -157,9 +157,11 @@ from stock_market_data_pipeline_v2_spark.operators.stats import (
 from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
     atr_obv,
     bollinger_bands,
+    drawdown,
     macd,
     stochastic_k,
 )
+from stock_market_data_pipeline_v2_spark.operators.stats import rolling_beta
 from stock_market_data_pipeline_v2_spark.operators.dedup import (
     embedding_neardup_pairs_blas,
     embedding_neardup_pairs_ivf,
@@ -922,6 +924,14 @@ def q_atr_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return atr_obv(_clean_bars(spark, sf_dir))
 
 
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drawdown(_clean_bars(spark, sf_dir))
+
+
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_beta(daily_returns(_clean_bars(spark, sf_dir)), n=10)
+
+
 def q_dedup_embedding_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_blas(_embs(spark, sf_dir), threshold=0.4)
 
@@ -1115,6 +1125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ATR + OBV (round 4): volatility-range and volume-flow
         # members of the classic indicator set, one window pass.
         "atr_obv": q_atr_obv,
+        # drawdown series + rolling CAPM beta (round 4): the risk
+        # marts every quant deck leads with.
+        "drawdown": q_drawdown,
+        "rolling_beta": q_rolling_beta,
         # stub-kernel multimodal tiers, oracle-gated as of round 4
         # (byte features reproduced via DuckDB hex expansion)
         "multimodal_decode": q_multimodal_decode,
@@ -1335,6 +1349,8 @@ def oracle_sql() -> dict[str, str]:
         # bit-for-bit (see oracles.MACD_SQL).
         "macd": oracles.MACD_SQL,
         "atr_obv": oracles.ATR_OBV_SQL,
+        "drawdown": oracles.DRAWDOWN_SQL,
+        "rolling_beta": oracles.ROLLING_BETA_SQL,
         # dedup_embedding_blas is bit-identical to the exact op: same oracle.
         "dedup_embedding_blas": oracles.EMBEDDING_NEARDUP_SQL,
     }

@@ -28,6 +28,8 @@ HEADLINE = [
     "stochastic_k",
     "macd",
     "atr_obv",            # added round 4: ATR + OBV window pass
+    "drawdown",           # added round 4: running-peak drawdown mart
+    "rolling_beta",       # added round 4: rolling CAPM beta
     "asof_tick_bar",
     "daily_vwap",          # added round 3
     "multi_grain_bars",    # added round 3: grouping-sets single pass

@@ -210,3 +210,40 @@ def atr_obv(
             F.sum("__flow").over(w_run).cast("long").alias("obv"),
         )
     )
+
+
+def drawdown(
+    bars: DataFrame,
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+) -> DataFrame:
+    """Drawdown series + running peak per symbol: the number every
+    risk report leads with. peak = running max of close (EXACT — max
+    is accumulation-order-free), drawdown = close/peak − 1 (one
+    divide, rounded 6 dp), max_drawdown = the partition-wide minimum
+    of the UNROUNDED series carried on every row (min is order-free,
+    so the whole mart is engine-exact except the output rounding).
+
+    One partition/order spec serves the running max; the full-
+    partition min reuses the same exchange with an unbounded frame —
+    no second shuffle.
+    """
+    w_ord = Window.partitionBy(partition_col).orderBy(order_col)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    peak = F.max("close_price").over(w_run)
+    dd = F.col("close_price") / peak - F.lit(1.0)
+    return (
+        bars.withColumn("__peak", peak)
+        .withColumn("__dd", dd)
+        .select(
+            partition_col,
+            order_col,
+            "close_price",
+            F.col("__peak").alias("peak_close"),
+            round_away(F.col("__dd"), 6).alias("drawdown_pct"),
+            round_away(F.min("__dd").over(w_all), 6).alias("max_drawdown_pct"),
+        )
+    )

@@ -210,3 +210,56 @@ def event_value_quantiles(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def rolling_beta(returns: DataFrame, n: int = 10) -> DataFrame:
+    """ROLLING CAPM beta per symbol over a trailing ``n``-day frame —
+    the time-varying twin of :func:`market_beta` (a static whole-
+    period beta hides regime changes; risk marts track the rolling
+    one). Formulated from ROLLING SUMS, not windowed covar/var:
+    β = (n·Σxy − Σx·Σy) / (n·Σy² − (Σy)²) — windowed covariance
+    aggregates use engine-specific update algebra, while windowed
+    sums of identical summands round identically under the 6-dp
+    output contract (PERF.md exactness stance).
+
+    Emitted only for FULL frames (cnt == n): a partial-window beta is
+    a different estimator and silently mixing them poisons downstream
+    z-scores. The market return is the equal-weight per-date average
+    (one broadcast-sized frame), same as market_beta.
+    """
+    market = returns.groupBy("trade_date").agg(
+        F.avg("daily_return_pct").alias("mret")
+    )
+    j = returns.join(F.broadcast(market), "trade_date").filter(
+        F.col("daily_return_pct").isNotNull() & F.col("mret").isNotNull()
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("trade_date")
+        .rowsBetween(-(n - 1), 0)
+    )
+    x = F.col("daily_return_pct")
+    y = F.col("mret")
+    cnt = F.count(F.lit(1)).over(w)
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxy = F.sum(x * y).over(w)
+    syy = F.sum(y * y).over(w)
+    beta_raw = (cnt * sxy - sx * sy) / F.nullif(
+        cnt * syy - sy * sy, F.lit(0.0)
+    )
+    return (
+        j.select(
+            "symbol",
+            "trade_date",
+            cnt.alias("__cnt"),
+            beta_raw.alias("__b"),
+        )
+        .filter(F.col("__cnt") == n)
+        .select(
+            "symbol",
+            "trade_date",
+            round_away(F.col("__b"), 6).alias(f"beta_{n}d"),
+        )
+        .orderBy("symbol", "trade_date")
+    )

@@ -1932,6 +1932,71 @@ ORDER BY symbol
 """,
 )
 
+# operators/stats.py:rolling_beta — rolling-sum beta formulation
+# (windowed covar aggregates use engine-specific update algebra; sums
+# of identical summands round identically at 6 dp); full frames only.
+ROLLING_BETA_SQL = with_ctes(
+    EVENTS_TICKS,
+    DAILY_BARS,
+    CLEAN_BARS,
+    DAILY_RETURNS,
+    "market AS (SELECT trade_date, avg(daily_return_pct) AS mret"
+    "           FROM daily_returns GROUP BY trade_date)",
+    """
+j AS (
+    SELECT r.symbol, r.trade_date,
+           r.daily_return_pct AS x, m.mret AS y
+    FROM daily_returns r JOIN market m USING (trade_date)
+    WHERE r.daily_return_pct IS NOT NULL AND m.mret IS NOT NULL
+),
+rb AS (
+    SELECT symbol, trade_date,
+        count(*)       OVER w10 AS cnt,
+        sum(x)         OVER w10 AS sx,
+        sum(y)         OVER w10 AS sy,
+        sum(x * y)     OVER w10 AS sxy,
+        sum(y * y)     OVER w10 AS syy
+    FROM j
+    WINDOW w10 AS (PARTITION BY symbol ORDER BY trade_date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+""",
+    select="""
+SELECT symbol, trade_date,
+       round((cnt * sxy - sx * sy) / nullif(cnt * syy - sy * sy, 0), 6)
+           AS beta_10d
+FROM rb WHERE cnt = 10
+ORDER BY symbol, trade_date
+""",
+)
+
+# operators/indicators_ext.py:drawdown — running peak + drawdown
+# series; max is accumulation-order-free so everything but the output
+# rounding is exact by construction.
+DRAWDOWN = """
+ddown AS (
+    SELECT symbol, trade_date, close_price,
+        max(close_price) OVER wrun AS peak_close,
+        close_price / max(close_price) OVER wrun - 1.0 AS dd
+    FROM clean_bars
+    WINDOW wrun AS (PARTITION BY symbol ORDER BY trade_date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+"""
+
+DRAWDOWN_SQL = with_ctes(
+    EVENTS_TICKS,
+    DAILY_BARS,
+    CLEAN_BARS,
+    DRAWDOWN,
+    select="""
+SELECT symbol, trade_date, close_price, peak_close,
+       round(dd, 6) AS drawdown_pct,
+       round(min(dd) OVER (PARTITION BY symbol), 6) AS max_drawdown_pct
+FROM ddown
+""",
+)
+
 # dedup_clusters oracle: transitive closure of the jaccard>=0.5 pair
 # graph via recursive CTE; cluster = min reachable doc.
 DEDUP_CLUSTERS_SQL = """

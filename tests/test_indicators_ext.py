@@ -112,3 +112,43 @@ def test_atr_obv_golden(spark):
     # row 4: unchanged close -> flow 0, OBV stays 0
     assert out[3].obv == 0
     assert out[3].atr_14 == round((2 + 11 + 6 + 2) / 4, 4)
+
+
+def test_drawdown_golden(spark):
+    from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
+        drawdown,
+    )
+
+    out = drawdown(_bars(spark, [10, 8, 12, 9])).orderBy("trade_date").collect()
+    assert [r.peak_close for r in out] == [10.0, 10.0, 12.0, 12.0]
+    assert out[1].drawdown_pct == -0.2
+    assert out[2].drawdown_pct == 0.0
+    assert out[3].drawdown_pct == -0.25
+    # the full-partition minimum rides every row
+    assert all(r.max_drawdown_pct == -0.25 for r in out)
+
+
+def test_rolling_beta_planted(spark):
+    """Two symbols, A's return always exactly 2x B's: the equal-weight
+    market is 1.5x B, A's beta vs market = 2/1.5, B's = 1/1.5 —
+    constant over every full window."""
+    from pyspark.sql import Row
+
+    from stock_market_data_pipeline_v2_spark.operators.stats import rolling_beta
+
+    rows = []
+    rets = [0.01, -0.02, 0.03, 0.005, -0.01, 0.02, 0.015, -0.005, 0.01, 0.02,
+            -0.03, 0.01]
+    for d, r in enumerate(rets):
+        for sym, mult in (("A", 2.0), ("B", 1.0)):
+            rows.append(Row(symbol=sym, trade_date=f"2024-01-{d+1:02d}",
+                            daily_return_pct=r * mult))
+    df = spark.createDataFrame(rows).withColumn(
+        "trade_date", F.to_date("trade_date")
+    )
+    out = rolling_beta(df, n=10).collect()
+    # 12 dates, window 10 -> 3 full frames per symbol
+    assert len(out) == 6
+    for r in out:
+        expected = round((2.0 if r.symbol == "A" else 1.0) / 1.5, 6)
+        assert abs(r.beta_10d - expected) < 1e-9, r
