@@ -161,7 +161,13 @@ from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
     macd,
     stochastic_k,
 )
-from stock_market_data_pipeline_v2_spark.operators.stats import rolling_beta
+from stock_market_data_pipeline_v2_spark.operators.stats import (
+    cross_sectional_ranks,
+    rolling_beta,
+)
+from stock_market_data_pipeline_v2_spark.operators.retrieval import (
+    pmi_collocations,
+)
 from stock_market_data_pipeline_v2_spark.operators.dedup import (
     embedding_neardup_pairs_blas,
     embedding_neardup_pairs_ivf,
@@ -932,6 +938,14 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_beta(daily_returns(_clean_bars(spark, sf_dir)), n=10)
 
 
+def q_cross_sectional_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cross_sectional_ranks(daily_returns(_clean_bars(spark, sf_dir)))
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5, k=100)
+
+
 def q_dedup_embedding_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_blas(_embs(spark, sf_dir), threshold=0.4)
 
@@ -1129,6 +1143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # marts every quant deck leads with.
         "drawdown": q_drawdown,
         "rolling_beta": q_rolling_beta,
+        # per-date relative strength + PMI collocation mining (r4)
+        "cross_sectional_ranks": q_cross_sectional_ranks,
+        "pmi_collocations": q_pmi_collocations,
         # stub-kernel multimodal tiers, oracle-gated as of round 4
         # (byte features reproduced via DuckDB hex expansion)
         "multimodal_decode": q_multimodal_decode,
@@ -1351,6 +1368,8 @@ def oracle_sql() -> dict[str, str]:
         "atr_obv": oracles.ATR_OBV_SQL,
         "drawdown": oracles.DRAWDOWN_SQL,
         "rolling_beta": oracles.ROLLING_BETA_SQL,
+        "cross_sectional_ranks": oracles.CROSS_SECTIONAL_RANKS_SQL,
+        "pmi_collocations": oracles.PMI_COLLOCATIONS_SQL,
         # dedup_embedding_blas is bit-identical to the exact op: same oracle.
         "dedup_embedding_blas": oracles.EMBEDDING_NEARDUP_SQL,
     }

@@ -30,6 +30,8 @@ HEADLINE = [
     "atr_obv",            # added round 4: ATR + OBV window pass
     "drawdown",           # added round 4: running-peak drawdown mart
     "rolling_beta",       # added round 4: rolling CAPM beta
+    "cross_sectional_ranks",  # added round 4: per-date relative strength
+    "pmi_collocations",   # added round 4: PMI phrase mining
     "asof_tick_bar",
     "daily_vwap",          # added round 3
     "multi_grain_bars",    # added round 3: grouping-sets single pass

@@ -196,3 +196,78 @@ def rrf_fuse(
             "fused_rank",
         )
     )
+
+
+def pmi_collocations(
+    documents: DataFrame, min_count: int = 5, k: int = 100
+) -> DataFrame:
+    """Collocation mining: the corpus's top-``k`` adjacent-token
+    bigrams by pointwise mutual information, PMI = ln(N·C(xy) /
+    (C(x)·C(y))) — the classic phrase-extraction signal (tokenizer
+    vocabulary design, stop-phrase lists, and index phrase fields all
+    start from a PMI table). ``min_count`` floors the bigram count —
+    PMI famously explodes on hapax pairs, so rare bigrams are noise
+    by construction.
+
+    Exactness: all counts are integers; PMI is one ln of an
+    integer-ratio double, rounded 6 dp at output; ranking runs on the
+    UNROUNDED score with a bigram tiebreak. Scale shape: two
+    map-side-combined token aggregates (bigram grain + unigram
+    grain), the unigram table joins in twice by token key
+    (broadcast at model size), and the top-k is one ≤-k-sized
+    TakeOrdered — never a corpus-wide sort.
+    """
+    toks = documents.select(
+        F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0)).alias("ta")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.col("ta"),
+                    F.slice(
+                        F.col("ta"), 2, F.greatest(F.size("ta") - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2"),
+                        F.concat(a, F.lit(" "), b).alias("bg"),
+                    ),
+                ),
+                lambda s: s["bg"].isNotNull(),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2", "p.bg")
+    uni = (
+        toks.select(F.explode("ta").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bi = (
+        bigrams.groupBy("w1", "w2", "bg")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .filter(F.col("c_bg") >= min_count)
+    )
+    n_tok = uni.agg(F.sum("c_w").alias("n_tokens"))
+    pmi = F.log(
+        (F.col("n_tokens") * F.col("c_bg")).cast("double")
+        / (F.col("c_w1") * F.col("c_w2")).cast("double")
+    )
+    return (
+        bi.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_tok))
+        .withColumn("__pmi", pmi)
+        .orderBy(F.desc("__pmi"), F.asc("bg"))
+        .limit(k)
+        .select(
+            "bg",
+            F.col("c_bg").cast("long").alias("n_occurrences"),
+            round_away(F.col("__pmi"), 6).alias("pmi"),
+        )
+    )

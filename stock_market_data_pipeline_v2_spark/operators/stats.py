@@ -263,3 +263,41 @@ def rolling_beta(returns: DataFrame, n: int = 10) -> DataFrame:
         )
         .orderBy("symbol", "trade_date")
     )
+
+
+def cross_sectional_ranks(returns: DataFrame) -> DataFrame:
+    """Per-DATE cross-sectional ranking of symbols by daily return and
+    volume — relative strength, the other axis from the time-series
+    marts (every rotation/momentum screen is "top decile of today's
+    cross-section", not "high vs own history"). percent_rank and a
+    dense integer rank per (date) partition; rows with a NULL return
+    (each symbol's first day) are excluded — they have no standing in
+    the cross-section.
+
+    Scale shape: windows partition by trade_date — thousands of
+    narrow per-date groups, never a global sort; at a date-partitioned
+    layout the exchange disappears entirely.
+
+    Exactness: ranks are integers off (value, symbol) orderings with
+    explicit symbol tiebreaks; percent_rank is (rank−1)/(n−1) — a
+    ratio of small exact integers, identical in any engine.
+    """
+    w_ret = Window.partitionBy("trade_date").orderBy(
+        F.desc("daily_return_pct"), F.asc("symbol")
+    )
+    w_vol = Window.partitionBy("trade_date").orderBy(
+        F.desc("volume"), F.asc("symbol")
+    )
+    return (
+        returns.filter(F.col("daily_return_pct").isNotNull())
+        .select(
+            "trade_date",
+            "symbol",
+            "daily_return_pct",
+            "volume",
+            F.row_number().over(w_ret).cast("long").alias("return_rank"),
+            round_away(F.percent_rank().over(w_ret), 6).alias("return_pct_rank"),
+            F.row_number().over(w_vol).cast("long").alias("volume_rank"),
+        )
+        .orderBy("trade_date", "return_rank")
+    )

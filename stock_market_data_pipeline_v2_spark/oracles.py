@@ -1970,6 +1970,57 @@ ORDER BY symbol, trade_date
 """,
 )
 
+# operators/stats.py:cross_sectional_ranks — per-date relative
+# strength; integer ranks with symbol tiebreaks, percent_rank =
+# (rank-1)/(n-1) exact small-integer ratio.
+CROSS_SECTIONAL_RANKS_SQL = with_ctes(
+    EVENTS_TICKS,
+    DAILY_BARS,
+    CLEAN_BARS,
+    DAILY_RETURNS,
+    select="""
+SELECT trade_date, symbol, daily_return_pct, volume,
+       CAST(row_number() OVER wr AS BIGINT)   AS return_rank,
+       round(percent_rank() OVER wr, 6)       AS return_pct_rank,
+       CAST(row_number() OVER wv AS BIGINT)   AS volume_rank
+FROM daily_returns WHERE daily_return_pct IS NOT NULL
+WINDOW wr AS (PARTITION BY trade_date ORDER BY daily_return_pct DESC, symbol),
+       wv AS (PARTITION BY trade_date ORDER BY volume DESC, symbol)
+ORDER BY trade_date, return_rank
+""",
+)
+
+# operators/retrieval.py:pmi_collocations — adjacent-bigram PMI with
+# a min-count floor; rank on the unrounded score, bigram tiebreak.
+PMI_COLLOCATIONS_SQL = """
+WITH tk AS (
+    SELECT regexp_extract_all(lower(trim(text)),
+           '[a-z]+|[0-9]+|[^a-z0-9 ]') AS ta
+    FROM documents
+),
+uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c_w
+    FROM (SELECT unnest(ta) AS w FROM tk) GROUP BY 1
+),
+bi AS (
+    SELECT ta[i] AS w1, ta[i+1] AS w2,
+           ta[i] || ' ' || ta[i+1] AS bg,
+           CAST(count(*) AS BIGINT) AS c_bg
+    FROM tk, unnest(generate_series(1, len(ta) - 1)) AS u(i)
+    GROUP BY 1, 2, 3 HAVING count(*) >= 5
+),
+n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tokens FROM uni),
+s AS (
+    SELECT bg, c_bg,
+        ln(CAST(n.n_tokens * bi.c_bg AS DOUBLE)
+           / CAST(u1.c_w * u2.c_w AS DOUBLE)) AS pmi
+    FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, n
+),
+r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, bg) AS rk FROM s)
+SELECT bg, c_bg AS n_occurrences, round(pmi, 6) AS pmi
+FROM r WHERE rk <= 100 ORDER BY pmi DESC, bg
+"""
+
 # operators/indicators_ext.py:drawdown — running peak + drawdown
 # series; max is accumulation-order-free so everything but the output
 # rounding is exact by construction.
