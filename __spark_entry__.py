@@ -164,6 +164,10 @@ from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
 from stock_market_data_pipeline_v2_spark.operators.stats import (
     cross_sectional_ranks,
     rolling_beta,
+    sharpe_ratios,
+)
+from stock_market_data_pipeline_v2_spark.operators.dims import (
+    monthly_revenue_growth,
 )
 from stock_market_data_pipeline_v2_spark.operators.retrieval import (
     pmi_collocations,
@@ -946,6 +950,15 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(_docs(spark, sf_dir), min_count=5, k=100)
 
 
+def q_sharpe_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sharpe_ratios(daily_returns(_clean_bars(spark, sf_dir)))
+
+
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return monthly_revenue_growth(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_dedup_embedding_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_blas(_embs(spark, sf_dir), threshold=0.4)
 
@@ -1248,6 +1261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prototypicality_prune": q_prototypicality_prune,
         "audio_features": q_audio_features,
         "image_features": q_image_features,
+        # round-4 (late, past the window — r5 rotation): strategy
+        # summary + month-over-month trend marts.
+        "sharpe_ratios": q_sharpe_ratios,
+        "monthly_revenue_growth": q_monthly_revenue_growth,
     }
 
 
@@ -1370,6 +1387,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_beta": oracles.ROLLING_BETA_SQL,
         "cross_sectional_ranks": oracles.CROSS_SECTIONAL_RANKS_SQL,
         "pmi_collocations": oracles.PMI_COLLOCATIONS_SQL,
+        "sharpe_ratios": oracles.SHARPE_RATIOS_SQL,
+        "monthly_revenue_growth": oracles.MONTHLY_REVENUE_GROWTH_SQL,
         # dedup_embedding_blas is bit-identical to the exact op: same oracle.
         "dedup_embedding_blas": oracles.EMBEDDING_NEARDUP_SQL,
     }

@@ -32,6 +32,8 @@ HEADLINE = [
     "rolling_beta",       # added round 4: rolling CAPM beta
     "cross_sectional_ranks",  # added round 4: per-date relative strength
     "pmi_collocations",   # added round 4: PMI phrase mining
+    "sharpe_ratios",      # added round 4: annualized strategy summary
+    "monthly_revenue_growth",  # added round 4: MoM trend mart
     "asof_tick_bar",
     "daily_vwap",          # added round 3
     "multi_grain_bars",    # added round 3: grouping-sets single pass

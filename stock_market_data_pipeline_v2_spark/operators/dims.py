@@ -789,3 +789,41 @@ def top_return_customers(
             round_away(F.col("__rev"), 2).alias("return_revenue"),
         )
     )
+
+
+def monthly_revenue_growth(lineitem: DataFrame) -> DataFrame:
+    """Month-over-month revenue growth — the trend mart every
+    finance dashboard opens with: monthly revenue, the previous
+    month's, and the growth ratio. One fact aggregate at month grain
+    (map-side combined; at a date-partitioned layout the scan prunes
+    to the queried months) and one lag window over the TINY monthly
+    frame — the window runs on dozens of rows no matter the fact
+    size.
+
+    Exactness: revenue in exact DECIMAL (the bilateral_trade lesson:
+    at month grain a year of pennies lands on rounding boundaries),
+    growth ratio computed on the exact decimals cast to double once,
+    rounded 6 dp; first month emits NULL growth.
+    """
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    )
+    monthly = lineitem.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month")
+    ).agg(rev.alias("__rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("__rev").over(w)
+    return (
+        monthly.select(
+            "month",
+            F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+            F.round(prev, 2).cast("double").alias("prev_revenue"),
+            round_away(
+                (F.col("__rev").cast("double") - prev.cast("double"))
+                / F.nullif(prev.cast("double"), F.lit(0.0)),
+                6,
+            ).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )

@@ -301,3 +301,34 @@ def cross_sectional_ranks(returns: DataFrame) -> DataFrame:
         )
         .orderBy("trade_date", "return_rank")
     )
+
+
+def sharpe_ratios(returns: DataFrame, periods_per_year: int = 252) -> DataFrame:
+    """Per-symbol annualized return / volatility / Sharpe (rf = 0) —
+    the one-line summary every strategy table leads with. One
+    map-side-combined aggregate over the returns mart; annualization
+    is the standard √periods scaling.
+
+    Exactness: mean/stddev round 6 dp (order-sensitive in the last
+    ulps, the market_beta contract); the ratio computes on the
+    UNROUNDED moments and rounds once at output. Symbols with fewer
+    than 2 return observations emit NULL vol/sharpe (stddev_samp
+    undefined), not a crash.
+    """
+    mu = F.avg("daily_return_pct")
+    sd = F.stddev_samp("daily_return_pct")
+    ann_ret = mu * periods_per_year
+    ann_vol = sd * F.sqrt(F.lit(float(periods_per_year)))
+    return (
+        returns.filter(F.col("daily_return_pct").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            round_away(ann_ret, 6).alias("ann_return_pct"),
+            round_away(ann_vol, 6).alias("ann_volatility_pct"),
+            round_away(ann_ret / F.nullif(ann_vol, F.lit(0.0)), 6).alias(
+                "sharpe"
+            ),
+        )
+        .orderBy("symbol")
+    )

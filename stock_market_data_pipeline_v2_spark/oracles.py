@@ -2021,6 +2021,44 @@ SELECT bg, c_bg AS n_occurrences, round(pmi, 6) AS pmi
 FROM r WHERE rk <= 100 ORDER BY pmi DESC, bg
 """
 
+# operators/stats.py:sharpe_ratios — annualized moments + Sharpe
+# (rf = 0); ratio on the UNROUNDED moments, one output rounding.
+SHARPE_RATIOS_SQL = with_ctes(
+    EVENTS_TICKS,
+    DAILY_BARS,
+    CLEAN_BARS,
+    DAILY_RETURNS,
+    select="""
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+    round(avg(daily_return_pct) * 252, 6) AS ann_return_pct,
+    round(stddev_samp(daily_return_pct) * sqrt(252.0), 6)
+        AS ann_volatility_pct,
+    round(avg(daily_return_pct) * 252
+          / nullif(stddev_samp(daily_return_pct) * sqrt(252.0), 0), 6)
+        AS sharpe
+FROM daily_returns WHERE daily_return_pct IS NOT NULL
+GROUP BY symbol ORDER BY symbol
+""",
+)
+
+# operators/dims.py:monthly_revenue_growth — month-grain DECIMAL
+# revenue (bilateral_trade lesson) + lag over the tiny monthly frame.
+MONTHLY_REVENUE_GROWTH_SQL = """
+WITH m AS (
+    SELECT date_trunc('month', l_shipdate) AS month,
+        sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(8,2))) AS rev
+    FROM lineitem GROUP BY 1
+),
+g AS (SELECT month, rev, lag(rev) OVER (ORDER BY month) AS prev FROM m)
+SELECT month,
+       CAST(round(rev, 2) AS DOUBLE)  AS revenue,
+       CAST(round(prev, 2) AS DOUBLE) AS prev_revenue,
+       round((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+             / nullif(CAST(prev AS DOUBLE), 0), 6) AS mom_growth
+FROM g ORDER BY month
+"""
+
 # operators/indicators_ext.py:drawdown — running peak + drawdown
 # series; max is accumulation-order-free so everything but the output
 # rounding is exact by construction.
