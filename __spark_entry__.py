@@ -1351,10 +1351,19 @@ def oracle_sql() -> dict[str, str]:
         # pigeonhole chunk join is complete for hamming ≤ max, so the
         # brute-force oracle reproduces the identical pair set.
         "dedup_simhash": oracles.SIMHASH_SQL,
-        # dedup_minhash_lsh / ann_lsh_topk: approximate candidate
-        # generation (exact-verified) — recall < 1 by design, so
-        # rows-only; tests/test_llm_ops.py checks recall vs exact.
+        # MinHash-LSH tiers (round 5): hash-exact via the md5-seeded
+        # double-hash family — the oracle reproduces signatures, band
+        # buckets, candidates AND the exact-Jaccard verify, so the
+        # emitted pair set matches bit-for-bit (recall < 1 vs the
+        # exact tier is a property BOTH engines share identically).
+        "dedup_minhash_lsh": oracles.MINHASH_LSH_SQL,
+        "dedup_incremental_lsh": oracles.INCREMENTAL_LSH_SQL,
         "dedup_embedding": oracles.EMBEDDING_NEARDUP_SQL,
+        # LSH ANN tier (round 5): hash-exact — frozen plane-term
+        # literals + the band-hamming collision rule reproduce the
+        # identical candidate set; cosines/ranks exact as in
+        # ann_cosine_topk.
+        "ann_lsh_topk": oracles.ANN_LSH_TOPK_SQL,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK_SQL,
         "ann_cosine_topk_blas": oracles.ANN_COSINE_TOPK_SQL,
         "bm25_topk": oracles.BM25_TOPK_SQL,

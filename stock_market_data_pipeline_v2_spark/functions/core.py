@@ -54,3 +54,25 @@ def round_away(col: Column, digits: int = 0) -> Column:
 def count_if(predicate: Column) -> Column:
     """Conditional count (``mart_daily_summary.sql:30-36`` ``countif``)."""
     return F.count_if(predicate)
+
+
+def single_partition_key(col: Column | str) -> Column:
+    """An all-zero window partition key that SURVIVES the optimizer.
+
+    Some windows are single-partition BY DESIGN — post-limit rank
+    windows over ≤ k rows, cumulative sums over per-partition count
+    tables (≤ parallelism rows), month-grain lag frames. Left with an
+    empty partition spec they each emit WindowExec's "No Partition
+    Defined" WARN on every run, burying the one case where that WARN
+    is a real regression signal. A bare ``lit(0)`` doesn't help:
+    Catalyst folds foldable partition expressions away (and
+    ``col * 0`` folds too when ``col`` is non-nullable), restoring
+    the empty spec. ``pmod(hash(col), 1)`` is always 0 and never
+    null (``hash`` of NULL is the seed), works for any input type,
+    and no simplification rule touches it — the spec stays non-empty
+    and the WARN stays meaningful. Cost: one 32-bit hash per row on
+    bounded-row frames.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.pmod(F.hash(col), F.lit(1))

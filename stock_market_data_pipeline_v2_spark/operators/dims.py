@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.core import round_away
+from ..functions.core import round_away, single_partition_key
 from .joins import broadcast_dim_join
 
 
@@ -812,7 +812,7 @@ def monthly_revenue_growth(lineitem: DataFrame) -> DataFrame:
     monthly = lineitem.groupBy(
         F.date_trunc("month", F.col("l_shipdate")).alias("month")
     ).agg(rev.alias("__rev"))
-    w = Window.orderBy("month")
+    w = Window.partitionBy(single_partition_key("month")).orderBy("month")
     prev = F.lag("__rev").over(w)
     return (
         monthly.select(

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.core import round_away
+from ..functions.core import round_away, single_partition_key
 from .text import TOKEN_PATTERN, _norm
 
 
@@ -96,7 +96,9 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(score.alias("score"))
     )
-    rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    rank_w = Window.partitionBy(single_partition_key("doc_id")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
@@ -183,7 +185,9 @@ def rrf_fuse(
     score = F.coalesce(
         F.lit(1.0) / (F.lit(k0) + F.col("rank_a")), F.lit(0.0)
     ) + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("rank_b")), F.lit(0.0))
-    w = Window.orderBy(F.desc("rrf_raw"), F.asc("id"))
+    w = Window.partitionBy(single_partition_key("id")).orderBy(
+        F.desc("rrf_raw"), F.asc("id")
+    )
     return (
         fa.join(fb, "id", "full_outer")
         .withColumn("rrf_raw", score)

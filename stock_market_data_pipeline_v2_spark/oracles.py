@@ -862,6 +862,32 @@ from .operators.bpe import bpe_oracle_sql as _bpe_oracle_sql
 
 BPE_TOKEN_COUNTS_SQL = _bpe_oracle_sql(_BPE_FIXED_MERGES)
 
+# operators/dedup.py MinHash-LSH tiers (round 5): the md5-seeded
+# double-hash family makes the full plan — signatures, band keys,
+# candidate join, exact-Jaccard verify — cross-engine algebra, so
+# the DuckDB twins are GENERATED from the same parameters the entry
+# queries run with (num_perm=32, bands=8, n=3, threshold=0.5,
+# max_shingle_freq=1000). Previously rows-only.
+from .operators.dedup import (  # noqa: E402
+    incremental_lsh_oracle_sql as _incremental_lsh_oracle_sql,
+)
+from .operators.dedup import (  # noqa: E402
+    minhash_lsh_oracle_sql as _minhash_lsh_oracle_sql,
+)
+
+MINHASH_LSH_SQL = _minhash_lsh_oracle_sql()
+INCREMENTAL_LSH_SQL = _incremental_lsh_oracle_sql()
+
+# operators/similarity.py:hyperplane_lsh_topk (round 5): the plane
+# draws are data-independent xxhash64 constants (frozen in
+# operators/lsh_planes.py), so the oracle embeds them as VALUES
+# literals and states the multi-probe collision rule directly.
+from .operators.similarity import (  # noqa: E402
+    ann_lsh_oracle_sql as _ann_lsh_oracle_sql,
+)
+
+ANN_LSH_TOPK_SQL = _ann_lsh_oracle_sql()
+
 # operators/curation.py:sft_render_spans — turn chunking (256/0) +
 # per-doc prefix sum of rendered lengths; <|role|>text<|end|> framing
 # adds len(role) + 11 chars per turn.

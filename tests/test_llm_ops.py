@@ -1825,3 +1825,28 @@ def test_dedup_sentences_within_doc_planted(spark):
     assert out[1].clean_text == "buy now. real content here. more text."
     assert out[2].n_removed == 0
     assert out[3].n_sentences == 0 and out[3].clean_text == ""
+
+
+def test_lsh_plane_terms_match_live_spark(spark):
+    """The frozen plane terms (operators/lsh_planes.py, generated by
+    tools/gen_lsh_planes.py) must equal what the live Spark xxhash64
+    expressions derive — the ann_lsh_topk oracle embeds the frozen
+    copy, so drift here would silently decouple oracle and engine."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_lsh_planes import compute_terms_live
+
+    from stock_market_data_pipeline_v2_spark.operators.lsh_planes import (
+        DIM,
+        N_PLANES,
+        NNZ,
+        PLANE_TERMS,
+    )
+
+    assert (N_PLANES, NNZ, DIM) == (128, 8, 64)
+    live = compute_terms_live(spark)
+    assert [
+        [tuple(t) for t in plane] for plane in live
+    ] == [[tuple(t) for t in plane] for plane in PLANE_TERMS]
