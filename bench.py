@@ -49,6 +49,12 @@ HEADLINE = [
     "bilateral_trade",        # added round 4: Q7 shape (two-role dims)
     "disjunctive_brand_revenue",  # added round 4: Q19 shape
     "top_return_customers",   # added round 4: Q10 shape
+    "banded_discount_revenue",  # added round 5: Q6 shape (pushdown agg)
+    "nation_market_share",      # added round 5: Q8 shape (share of star)
+    "supplier_nation_profit",   # added round 5: Q9 shape (cost-proxy profit)
+    "customer_order_distribution",  # added round 5: Q13 shape (outer-join histogram)
+    "top_supplier_revenue",     # added round 5: Q15 shape (max with ties)
+    "part_supplier_counts",     # added round 5: Q16 shape (distinct-pair counts)
     "event_type_pivot",
     "top_volume_days",
     "return_correlations",
@@ -70,6 +76,10 @@ HEADLINE = [
     "large_volume_customers",  # added round 3: Q18 aggregate-then-broadcast shape
     "dedup_exact",
     "repeated_spans",     # added round 4: ExactSubstr passage-reuse stats
+    "repeated_spans_rolling",  # round 5: token-id rolling-hash production tier
+    "ann_filtered_topk",       # round 5: pre-filtered (same-label) exact search
+    "ngram_decontaminate",     # round 5: exact 13-gram benchmark decontamination
+    "temperature_mix",         # round 5: T=1/2 multinomial source budgets
     "dedup_clusters_star",     # added round 3 (late): log-round CC family row
     "dedup_keep_best",         # added round 3 (late): quality arbitration
     "dedup_incremental_lsh",   # added round 3 (late): LSH admission tier
@@ -118,7 +128,8 @@ HEADLINE = [
     "curation_pipeline",      # added round 3: integrated cleaning pass
     "corpus_stats_by_source", # added round 3: per-source corpus profile
     "source_drift_kl",        # added round 3: per-source KL drift monitor
-    "zorder_events",          # added round 3: scan-shaped Morton z-values
+    "zorder_events",
+    "hilbert_events",      # round 5: locality-preserving layout twin          # added round 3: scan-shaped Morton z-values
     "multimodal_decode",
     "audio_features",  # added round 3: REAL stdlib WAV/PCM codec tier
     "image_features",  # added round 3: REAL zlib/struct PNG codec tier

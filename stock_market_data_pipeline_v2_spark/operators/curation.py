@@ -1190,3 +1190,84 @@ def sft_render_spans(
         )
         .orderBy("doc_id", "turn_idx")
     )
+
+
+def temperature_mix(
+    documents: DataFrame,
+    total_budget: int = 50_000,
+    source_col: str = "source",
+    salt: str = "v1",
+) -> DataFrame:
+    """TEMPERATURE-WEIGHTED corpus mixing (round 5): per-source token
+    budgets ∝ (source token count)^T with T = 1/2, then the
+    :func:`mix_corpus` deterministic fill — the multinomial
+    temperature sampling every multilingual / multi-source LM mix
+    uses (Lample & Conneau 2019; GPT-3's data weights) to up-sample
+    small sources without letting head sources drown the mix.
+
+    T is FIXED at 1/2 so the oracle stays bit-exact: ``n^0.5`` is
+    IEEE-correctly-rounded ``sqrt`` in every engine, whereas a
+    general ``pow(n, T)`` routes through exp/ln whose last ulp is
+    libm-specific (the PERF.md sin() lesson). The weight algebra is
+    then INTEGER end-to-end: ``w_s = floor(sqrt(tokens_s)·10⁶)``,
+    ``budget_s = total_budget·w_s div Σw`` — exact in any engine and
+    any summation order, so the div boundary can never flip. A
+    different T only needs the sqrt swapped for pow plus a tolerance
+    gate; the plan shape is T-independent.
+
+    Plan: one token-count aggregate to the per-source weight table
+    (broadcast, sources are few), the scalar Σw broadcast back, and
+    the same single window-sort fill as mix_corpus. Output adds the
+    derived ``token_budget`` per row (auditable: the budget is data,
+    not config).
+    """
+    tok_count = F.size(
+        F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+    ).cast("long")
+    key = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    base = documents.withColumn("n_tokens", tok_count).withColumn("mix_key", key)
+    weights = (
+        base.groupBy(source_col)
+        .agg(F.sum("n_tokens").alias("__src_tokens"))
+        .withColumn(
+            "__w",
+            F.floor(F.sqrt(F.col("__src_tokens").cast("double")) * 1e6).cast(
+                "long"
+            ),
+        )
+    )
+    w_all = Window.partitionBy(single_partition_key(source_col)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    budgets = (
+        weights.withColumn("__wsum", F.sum("__w").over(w_all))
+        .withColumn(
+            "token_budget",
+            F.expr(f"CAST({int(total_budget)} AS BIGINT) * __w div __wsum").cast(
+                "long"
+            ),
+        )
+        .select(source_col, "token_budget")
+    )
+    w = Window.partitionBy(source_col).orderBy("mix_key")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        base.join(F.broadcast(budgets), source_col)
+        .withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w_cum), F.lit(0)).cast("long"),
+        )
+        .withColumn("mix_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("tokens_before") < F.col("token_budget"))
+        .select(
+            "doc_id",
+            source_col,
+            "n_tokens",
+            "token_budget",
+            "mix_rank",
+            "tokens_before",
+            "mix_key",
+        )
+    )

@@ -827,3 +827,268 @@ def monthly_revenue_growth(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def banded_discount_revenue(
+    lineitem: DataFrame,
+    min_discount: float = 0.05,
+    max_discount: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped: the "forecast revenue change" filter-agg —
+    revenue that would have been gained by eliminating a discount
+    band on small-quantity lines, per ship year. The simplest star
+    query there is, and the cleanest pushdown showcase: all three
+    predicates land in the parquet scan's PushedFilters and the agg
+    is one map-side-combined groupBy on year — zero joins, one
+    shuffle of a handful of year rows.
+
+    Exactness: gained revenue = Σ price·discount in DECIMAL (both
+    2-dp quantities), rounded once; the band compares the scanned
+    doubles against the same double literals in both engines.
+    """
+    gained = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_discount").cast("decimal(8,2)")
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_discount") >= min_discount)
+            & (F.col("l_discount") <= max_discount)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(gained, 2).cast("double").alias("gained_revenue"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def nation_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    target_region: str = "ASIA",
+    p_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8-shaped: the target nation's supplier market share of
+    a part type sold into a region, per order year — the group-share
+    pattern (conditional numerator over a common denominator) on top
+    of a five-dimension star with the nation dim in two roles.
+
+    Spark-first plan: every dimension chain (region→nation→customer
+    on the demand side, nation→supplier on the supply side, part on
+    the type filter) is broadcast — the ONLY big shuffle is
+    orders⋈lineitem on the orderkey, and the share is a conditional
+    aggregate in the same single groupBy pass (no second
+    denominator join; the Q11 nation_revenue_share precedent done
+    one better because the denominator is per-group, not global).
+
+    Exactness: numerator and denominator summed in DECIMAL, ratio
+    computed on the exact decimals cast double once, rounded 6 dp.
+    """
+    n_demand = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r_f = region.filter(F.col("r_name") == target_region).select(
+        F.col("r_regionkey").alias("c_rk")
+    )
+    cust = customer.join(F.broadcast(r_f.join(n_demand, "c_rk")), 
+                         customer.c_nationkey == F.col("c_nk")).select("c_custkey")
+    n_supply = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(n_supply), supplier.s_nationkey == F.col("s_nk")
+    ).select("s_suppkey", "supp_nation")
+    part_f = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,2)")
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == target_nation, rev).otherwise(
+            F.lit(0).cast("decimal(20,4)")
+        )
+    )
+    total_rev = F.sum(rev)
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(total_rev, 2).cast("double").alias("total_revenue"),
+            F.round(nation_rev, 2).cast("double").alias("nation_revenue"),
+            round_away(
+                (nation_rev.cast("double"))
+                / F.nullif(total_rev.cast("double"), F.lit(0.0)),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def supplier_nation_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    cost_fraction: str = "0.80",
+) -> DataFrame:
+    """TPC-H Q9-shaped: profit by supplier nation and ship year.
+    The synthetic schema has no partsupp/ps_supplycost, so unit cost
+    is proxied as ``cost_fraction`` of the part's retail price
+    (documented adaptation — the SHAPE is the point: a fact scan
+    against three broadcast dimension chains with a computed measure
+    aggregated on (nation, year)).
+
+    Exactness: amount = price·(1−disc) − cost·qty entirely in
+    DECIMAL (quantities are integral, prices 2-dp, the fraction a
+    2-dp literal), summed in any order exactly, rounded once.
+    """
+    n = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(n), supplier.s_nationkey == F.col("s_nk")
+    ).select("s_suppkey", "supp_nation")
+    cost = part.select(
+        "p_partkey",
+        (
+            F.col("p_retailprice").cast("decimal(18,2)")
+            * F.lit(cost_fraction).cast("decimal(3,2)")
+        ).alias("unit_cost"),
+    )
+    amount = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+        - F.col("unit_cost") * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return (
+        lineitem.join(F.broadcast(cost), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.round(amount, 2).cast("double").alias("profit"))
+        .orderBy("supp_nation", "ship_year")
+    )
+
+
+def customer_order_distribution(
+    orders: DataFrame,
+    customer: DataFrame,
+    excluded_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13-shaped: the distribution of customers by how many
+    (non-excluded) orders they placed — zero-order customers
+    included, which is the part naive inner-join rewrites get wrong.
+
+    Spark-first plan: aggregate orders to per-customer counts FIRST
+    (map-side combine collapses the fact before any join), then the
+    count table — one narrow row per ordering customer — joins LEFT
+    onto the customer spine and a second tiny groupBy builds the
+    histogram. The customer table is never shuffled: the per-customer
+    count frame is broadcast-sized post-aggregation.
+    """
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != excluded_priority)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    return (
+        customer.select("c_custkey")
+        .join(F.broadcast(per_cust), "c_custkey", "left")
+        .select(F.coalesce("__n", F.lit(0).cast("long")).alias("order_count"))
+        .groupBy("order_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("order_count"))
+    )
+
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    q_start: str = "1996-01-01",
+    q_end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped: the top supplier(s) by one quarter's shipped
+    revenue — ALL ties kept, the Q15 contract (the view + max
+    subquery form). The max is a one-row aggregate broadcast back
+    onto the per-supplier revenue frame (the small_qty_part_revenue
+    precedent for correlated-aggregate re-planning) — no global sort,
+    no window, no corpus-sized anything.
+
+    Exactness: per-supplier revenue is a DECIMAL sum rounded once to
+    2 dp and compared for the max on the ROUNDED value, so the tie
+    set is identical in any engine and any summation order.
+    """
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    )
+    srev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(q_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(q_end).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(rev, 2).cast("double").alias("total_revenue"))
+    )
+    mx = srev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        srev.join(F.broadcast(mx), srev.total_revenue == F.col("__mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def part_supplier_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excluded_brand: str = "Brand#1",
+    excluded_type_prefix: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 4, 7, 10, 13, 16, 19, 22, 25),
+) -> DataFrame:
+    """TPC-H Q16-shaped: how many distinct suppliers ship each
+    (brand, type, size) part group, excluding a brand, a type prefix
+    and suppliers in bad standing (negative account balance — the
+    NOT-IN-complaints adaptation; the synthetic schema has no
+    partsupp, so the lineitem fact IS the part↔supplier relation,
+    collapsed to DISTINCT pairs before counting).
+
+    Plan shape: the fact is projected to (partkey, suppkey) pairs and
+    distinct-collapsed map-side; the part-attribute filter and the
+    bad-supplier ANTI join are both broadcast; the count-distinct
+    groupBy runs on narrow attribute rows.
+    """
+    part_f = part.filter(
+        (F.col("p_brand") != excluded_brand)
+        & ~F.col("p_type").startswith(excluded_type_prefix)
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad_supp),
+            pairs.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )

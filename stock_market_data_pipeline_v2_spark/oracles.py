@@ -854,6 +854,12 @@ ZORDER_SPECS = [
 
 ZORDER_EVENTS_SQL = _zvalue_oracle_sql("events", "event_id", ZORDER_SPECS)
 
+# functions/hilbert.py — same generated-lockstep contract as zorder
+# (one stage template, two dialect spellings of xor).
+from .functions.hilbert import hvalue_oracle_sql as _hvalue_oracle_sql
+
+HILBERT_EVENTS_SQL = _hvalue_oracle_sql("events", "event_id", ZORDER_SPECS)
+
 # operators/bpe.py:bpe_token_counts — the DuckDB twin is GENERATED
 # from the same FIXED_MERGES literal by bpe_oracle_sql (one CTE block
 # per merge pass of the identical window algebra).
@@ -2931,4 +2937,228 @@ SELECT doc_id, n_tokens,
     round(score_raw, 6) AS gumbel_score,
     sample_rank
 FROM r WHERE sample_rank <= 100
+"""
+
+# --- round-5 TPC-H classic shapes over the available columns ---
+
+# operators/dims.py:banded_discount_revenue — Q6 shape, per ship year.
+BANDED_DISCOUNT_SQL = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(8,2))), 2) AS DOUBLE)
+           AS gained_revenue
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+GROUP BY 1 ORDER BY 1
+"""
+
+# operators/dims.py:nation_market_share — Q8 shape: NATION_3's share
+# of PROMO-part revenue sold to ASIA customers, per order year.
+NATION_MARKET_SHARE_SQL = """
+WITH f AS (
+    SELECT year(o.o_orderdate) AS order_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l.l_discount AS DECIMAL(8,2)) AS rev,
+           sn.n_name AS supp_nation
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+)
+SELECT CAST(order_year AS BIGINT) AS order_year,
+       CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue,
+       CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                           ELSE 0 END), 2) AS DOUBLE) AS nation_revenue,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                           ELSE 0 END) AS DOUBLE)
+             / nullif(CAST(sum(rev) AS DOUBLE), 0), 6) AS mkt_share
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+# operators/dims.py:supplier_nation_profit — Q9 shape with the
+# documented cost proxy (80% of retail; no partsupp in the schema).
+SUPPLIER_NATION_PROFIT_SQL = """
+SELECT sn.n_name AS supp_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(8,2))
+                      - CAST(p.p_retailprice AS DECIMAL(18,2))
+                        * CAST(0.80 AS DECIMAL(3,2))
+                        * CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# operators/dims.py:customer_order_distribution — Q13 shape
+# (zero-order customers included via the left join).
+CUSTOMER_ORDER_DIST_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_custkey
+)
+SELECT coalesce(n, 0) AS order_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+GROUP BY 1 ORDER BY custdist DESC, order_count DESC
+"""
+
+# operators/dims.py:top_supplier_revenue — Q15 shape (all ties kept;
+# the max compares ROUNDED 2-dp revenues, so the tie set is exact).
+TOP_SUPPLIER_REVENUE_SQL = """
+WITH srev AS (
+    SELECT l_suppkey,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(8,2))), 2)
+                AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, srev.total_revenue
+FROM srev JOIN supplier s ON srev.l_suppkey = s.s_suppkey
+WHERE srev.total_revenue = (SELECT max(total_revenue) FROM srev)
+ORDER BY s.s_suppkey
+"""
+
+# operators/dims.py:part_supplier_counts — Q16 shape (lineitem as
+# the part-supplier relation; negative-balance suppliers anti-joined).
+PART_SUPPLIER_COUNTS_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (
+    SELECT pairs.* FROM pairs
+    WHERE pairs.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ok JOIN part p ON ok.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+# operators/similarity.py:cosine_topk_filtered — pre-filtered vector
+# search (attribute-equality predicate), entry split vec_id % 4.
+ANN_FILTERED_TOPK_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 4 = 0),
+s AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, e.v) AS c
+    FROM e JOIN q ON e.label = q.label AND e.vec_id != q.vec_id
+),
+r AS (
+    SELECT query_id, neighbor_id, c,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, rank, round(c, 6) AS cosine
+FROM r WHERE rank <= 5
+"""
+
+# operators/dedup.py:ngram_decontaminate — GPT-3-style exact 13-gram
+# decontamination; reference = doc_id % 10 = 0 (entry split), corpus
+# = the rest. Same interval-union algebra as REPEATED_SPAN_SQL.
+NGRAM_DECONTAMINATE_SQL = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+ref    AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w,
+        CASE WHEN length(lower(trim(text))) > 0
+             THEN len(string_split_regex(lower(trim(text)), '\\s+'))
+             ELSE 0 END AS n_tokens
+    FROM corpus
+),
+g AS (
+    SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 12),
+                              i -> {'pos': i - 1,
+                                    'gram': array_to_string(w[i : i + 12], ' ')}))
+            AS z
+    FROM toks
+),
+grams AS (SELECT doc_id, z.pos AS pos, z.gram AS gram FROM g),
+rt AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM ref),
+rg AS (
+    SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 12),
+                                          i -> array_to_string(w[i : i + 12], ' ')))
+        AS gram
+    FROM rt
+),
+hits AS (
+    SELECT grams.doc_id, grams.pos, grams.pos + 13 AS e
+    FROM grams JOIN rg USING (gram)
+),
+cov AS (
+    SELECT doc_id, pos, e,
+        max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_e
+    FROM hits
+),
+agg AS (
+    SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_contaminated_spans,
+        CAST(sum(greatest(e - greatest(pos, coalesce(prev_e, 0)), 0))
+             AS BIGINT) AS covered
+    FROM cov GROUP BY 1
+)
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(a.n_contaminated_spans, 0) AS n_contaminated_spans,
+       coalesce(a.covered, 0)              AS contaminated_tokens,
+       round(CAST(coalesce(a.covered, 0) AS DOUBLE)
+             / nullif(t.n_tokens, 0), 6) AS contaminated_frac,
+       coalesce(CAST(coalesce(a.covered, 0) AS DOUBLE)
+                / nullif(t.n_tokens, 0) > 0.0, FALSE) AS "drop"
+FROM toks t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+# operators/curation.py:temperature_mix — T=1/2 temperature-weighted
+# budgets (integer weight algebra: floor(sqrt·1e6), budget = total·w
+# div ΣW — exact in any engine), then the mix_corpus fill.
+TEMPERATURE_MIX_SQL = """
+WITH d AS (
+    SELECT doc_id, source,
+        CAST(len(regexp_extract_all(lower(trim(text)),
+             '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+        md5('v1:' || CAST(doc_id AS VARCHAR))        AS mix_key
+    FROM documents
+),
+wts AS (
+    SELECT source,
+        CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1e6) AS BIGINT) AS w
+    FROM d GROUP BY source
+),
+b AS (
+    SELECT source, CAST(50000 * w // (SELECT sum(w) FROM wts) AS BIGINT)
+               AS token_budget
+    FROM wts
+),
+s AS (SELECT d.*, b.token_budget FROM d JOIN b USING (source)),
+r AS (
+    SELECT doc_id, source, n_tokens, token_budget, mix_key,
+        CAST(coalesce(sum(n_tokens) OVER (
+            PARTITION BY source ORDER BY mix_key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                                                                 AS tokens_before,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY mix_key) AS BIGINT)
+                                                                 AS mix_rank
+    FROM s
+)
+SELECT doc_id, source, n_tokens, token_budget, mix_rank, tokens_before, mix_key
+FROM r WHERE tokens_before < token_budget
 """

@@ -1850,3 +1850,38 @@ def test_lsh_plane_terms_match_live_spark(spark):
     assert [
         [tuple(t) for t in plane] for plane in live
     ] == [[tuple(t) for t in plane] for plane in PLANE_TERMS]
+
+
+def test_frozen_index_state_matches_live_build(spark):
+    """The IVF/PQ oracle SQL embeds the frozen per-SF index state
+    (index_state/*.json, written by tools/dump_index_state.py). The
+    round-5 trainers are deterministic functions of the sorted
+    sample, so a live rebuild must reproduce the frozen doubles
+    EXACTLY — any drift would silently decouple the oracles from the
+    engine's memoized index."""
+    from stock_market_data_pipeline_v2_spark.ann_state import (
+        compute_state,
+        load_state,
+    )
+
+    live = compute_state(spark, "/root/testdata/sf0.01")
+    frozen = load_state("sf0.01")
+    assert live["n_cells"] == frozen["n_cells"]
+    assert live["ivf_centroids"] == frozen["ivf_centroids"]
+    assert live["pq"]["codebook"] == frozen["pq"]["codebook"]
+
+
+def test_repeated_spans_rolling_bit_identity(spark):
+    """The rolling-polynomial tier must reproduce the md5 tier's
+    output EXACTLY (same grams matched → same interval unions →
+    same stats) — the gate VERDICT r4 #4 set for shipping the
+    PERF.md-documented production swap."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        repeated_span_stats,
+        repeated_span_stats_rolling,
+    )
+
+    docs = _docs(spark)
+    a = repeated_span_stats(docs).toPandas().reset_index(drop=True)
+    b = repeated_span_stats_rolling(docs).toPandas().reset_index(drop=True)
+    assert a.equals(b)

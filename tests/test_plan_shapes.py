@@ -386,6 +386,58 @@ def test_no_row_path_python_udfs_anywhere(spark):
         "dedup_embedding_ivf", "ann_cosine_topk_blas", "ann_pq_topk",
         "ann_ivfpq_topk", "prototypicality_prune", "ann_ivf_topk",
         "dedup_embedding", "ann_cosine_topk", "ann_lsh_topk",
+        # round 5: the documented rolling-polynomial gram kernel
+        # (sequential-carry recursion class — see its docstring)
+        "repeated_spans_rolling",
     }
     unexpected = set(arrow_kernels) - allowed
     assert not unexpected, f"undocumented Arrow kernels in: {sorted(unexpected)}"
+
+
+def test_no_unpartitioned_windows_in_registered_queries(spark):
+    """Global invariant (VERDICT r4 #3/#5): NO registered query may
+    plan a window with an empty partition spec. Bounded-by-design
+    global windows carry the non-foldable constant key from
+    functions/core.py:single_partition_key, so an empty spec in any
+    plan means a corpus-sized single-partition window crept back in —
+    the exact regression class importance_resample was flagged for."""
+    import __spark_entry__ as m
+
+    bad = []
+    for name, q in m.queries().items():
+        df = q(spark, SF)
+        stack = [df._jdf.queryExecution().sparkPlan()]
+        while stack:
+            node = stack.pop()
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+            cls = node.getClass().getSimpleName()
+            if "Window" in cls:
+                try:
+                    if node.partitionSpec().isEmpty():
+                        bad.append((name, cls))
+                except Exception:
+                    pass
+    assert not bad, f"unpartitioned windows: {sorted(set(bad))}"
+
+
+def test_round5_star_shapes_broadcast_only(spark):
+    """The round-5 TPC-H shapes (Q6/Q8/Q9/Q13/Q15/Q16 adaptations)
+    must keep every dimension join broadcast (no SortMergeJoin) and
+    push the Q6 band predicates into the scan."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    for name in [
+        "banded_discount_revenue",
+        "nation_market_share",
+        "supplier_nation_profit",
+        "customer_order_distribution",
+        "top_supplier_revenue",
+        "part_supplier_counts",
+    ]:
+        phys = qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in phys, name
+    plan = _plan(qs["banded_discount_revenue"](spark, SF))
+    assert "PushedFilters: [" in plan and "IsNotNull(l_discount)" in plan

@@ -150,3 +150,35 @@ def test_zvalue_rejects_sign_bit_overflow(spark):
     with pytest.raises(ValueError, match="overflows"):
         with_zvalue(df, specs4, bits=16)  # 64 bits hits the sign bit
     with_zvalue(df, specs4, bits=15)  # 60 bits: fine
+
+
+def test_hilbert_matches_reference_and_locality(spark):
+    """Both generated hilbert chains (Spark + oracle) are pinned to
+    the PUBLISHED xy2d algorithm via an independent Python reference,
+    exhaustively at bits=4; and the defining locality property holds:
+    consecutive Hilbert indexes are unit-step grid neighbors —
+    exactly the property Morton lacks (its worst adjacent-key jump
+    spans half the grid side)."""
+    from stock_market_data_pipeline_v2_spark.functions.hilbert import (
+        hilbert_xy2d_ref,
+        with_hvalue,
+    )
+
+    bits = 4
+    rows = [
+        (16 * x + y, x, y) for x in range(16) for y in range(16)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {
+        r["id"]: r["hval"]
+        for r in with_hvalue(df, [("x", 0, 15), ("y", 0, 15)], bits=bits).collect()
+    }
+    assert all(
+        out[i] == hilbert_xy2d_ref(bits, x, y) for i, x, y in rows
+    )
+    # bijection over the grid + unit-step locality
+    inv = {hilbert_xy2d_ref(bits, x, y): (x, y) for _, x, y in rows}
+    assert len(inv) == 256
+    for d in range(255):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, inv[d], inv[d + 1])

@@ -133,6 +133,12 @@ def main() -> int:
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
+    # the IVF/PQ oracles embed per-SF frozen index state — tell
+    # oracle_sql() which corpus this run reads (ann_state.py).
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = Path(args.sf).name
+
     import __spark_entry__ as entrymod
     from stock_market_data_pipeline_v2_spark.session import get_spark
 
