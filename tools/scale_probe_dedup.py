@@ -95,6 +95,7 @@ def main() -> None:
         incremental_dedup_decisions,
         minhash_lsh_pairs,
         repeated_span_stats,
+        repeated_span_stats_rolling,
         shingle_jaccard_pairs,
         simhash_pairs,
     )
@@ -190,6 +191,9 @@ def main() -> None:
         "repeated_spans": lambda: repeated_span_stats(docs).filter(
             "covered_tokens >= 0"
         ),
+        "repeated_spans_rolling": lambda: repeated_span_stats_rolling(
+            docs
+        ).filter("covered_tokens >= 0"),
         "dedup_simhash": lambda: simhash_pairs(docs, max_hamming=3),
         # batch-vs-corpus admission: batch is the fixed 10% slice, so
         # this row probes how admission cost scales with CORPUS size
