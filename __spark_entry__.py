@@ -920,6 +920,58 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lexical, semantic)
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of every approximate ANN tier against the brute
+    ground truth, as a REGISTERED oracle-gated query (round 5): the
+    tiers' recall contracts previously lived only in pytest — this
+    row makes them driver-visible evidence. All five result sets are
+    deterministic and individually oracle-gated, so the report is
+    exact algebra over exact inputs; the DuckDB twin composes the
+    SAME five generated SQL plans (oracles.ANN_RECALL_REPORT_SQL)."""
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.functions.core import round_away
+
+    embs = _embs(spark, sf_dir)
+    qs = _ann_queries(spark, sf_dir)
+    exact = cosine_topk(embs, qs, k=5).select("query_id", "neighbor_id")
+    tiers = {
+        "ivf": ivf_topk(None, qs, k=5, index=_ivf_index(spark, sf_dir)),
+        "ivfpq": ivfpq_adc_topk(
+            embs,
+            qs,
+            k=5,
+            ivf_index=_ivf_index(spark, sf_dir),
+            pq_index=_pq_index(spark, sf_dir),
+        ),
+        "lsh": hyperplane_lsh_topk(embs, qs, k=5),
+        "pq": pq_adc_topk(embs, qs, k=5, index=_pq_index(spark, sf_dir)),
+    }
+    reports = []
+    for tier, df in tiers.items():
+        approx = df.select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        total = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        reports.append(
+            hits.crossJoin(total).select(
+                F.lit(tier).alias("tier"),
+                "n_exact",
+                "n_hits",
+                round_away(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_exact").cast("double"),
+                    4,
+                ).alias("recall_at_5"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("tier")
+
+
 def q_asof_tick_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1225,10 +1277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontaminate": q_ngram_decontaminate,
         "temperature_mix": q_temperature_mix,
         "hilbert_events": q_hilbert_events,
+        "ann_recall_report": q_ann_recall_report,
         "daily_vwap": q_daily_vwap,
         "multi_grain_bars": q_multi_grain_bars,
         "forward_fill_bars": q_forward_fill_bars,
-        "top_revenue_orders": q_top_revenue_orders,
         "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
         "scd2_user_status": q_scd2_user_status,
@@ -1252,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_summary": q_daily_summary,
         "regional_customer_summary": q_regional_customer_summary,
         "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
         "windowed_analytics_range_join": q_windowed_analytics_range_join,
         "daily_returns": q_daily_returns,
         "rolling_indicators": q_rolling_indicators,
@@ -1485,6 +1538,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_decontaminate": oracles.NGRAM_DECONTAMINATE_SQL,
         "temperature_mix": oracles.TEMPERATURE_MIX_SQL,
         "hilbert_events": oracles.HILBERT_EVENTS_SQL,
+        "ann_recall_report": oracles.ann_recall_report_sql(),
         # dedup_embedding_blas is bit-identical to the exact op: same oracle.
         "dedup_embedding_blas": oracles.EMBEDDING_NEARDUP_SQL,
     }

@@ -3162,3 +3162,38 @@ r AS (
 SELECT doc_id, source, n_tokens, token_budget, mix_rank, tokens_before, mix_key
 FROM r WHERE tokens_before < token_budget
 """
+
+
+def ann_recall_report_sql() -> str:
+    """Recall@5 report oracle — composes the five generated/static
+    ANN plans as nested subqueries (each tier's SQL is itself the
+    per-tier oracle, so this is evidence ON TOP of evidence). Built
+    lazily like the IVF/PQ oracles (frozen state is per-SF)."""
+    from .ann_state import ann_ivf_oracle_sql, ann_ivfpq_oracle_sql, ann_pq_oracle_sql
+
+    tiers = {
+        "ivf": ann_ivf_oracle_sql(),
+        "ivfpq": ann_ivfpq_oracle_sql(),
+        "lsh": ANN_LSH_TOPK_SQL,
+        "pq": ann_pq_oracle_sql(),
+    }
+    blocks = []
+    for tier, sql in sorted(tiers.items()):
+        blocks.append(
+            f"""SELECT '{tier}' AS tier,
+       (SELECT count(*) FROM exact_tk) AS n_exact,
+       (SELECT count(*) FROM exact_tk e
+        JOIN ({sql.strip()}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+           AS n_hits"""
+        )
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""WITH exact_tk AS (
+    SELECT query_id, neighbor_id FROM ({ANN_COSINE_TOPK_SQL.strip()})
+)
+SELECT tier, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_exact, 4) AS recall_at_5
+FROM ({union})
+ORDER BY tier
+"""

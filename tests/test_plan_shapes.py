@@ -389,6 +389,8 @@ def test_no_row_path_python_udfs_anywhere(spark):
         # round 5: the documented rolling-polynomial gram kernel
         # (sequential-carry recursion class — see its docstring)
         "repeated_spans_rolling",
+        # round 5: composes the PQ/IVF-PQ ADC kernels it reports on
+        "ann_recall_report",
     }
     unexpected = set(arrow_kernels) - allowed
     assert not unexpected, f"undocumented Arrow kernels in: {sorted(unexpected)}"
