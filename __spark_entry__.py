@@ -167,6 +167,7 @@ from stock_market_data_pipeline_v2_spark.operators.stats import (
     cross_sectional_ranks,
     rolling_beta,
     sharpe_ratios,
+    similar_symbols_topk,
 )
 from stock_market_data_pipeline_v2_spark.operators.dims import (
     banded_discount_revenue,
@@ -972,6 +973,13 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("tier")
 
 
+def q_similar_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-symbol top-k most-correlated peers off the shared return mart
+    return similar_symbols_topk(
+        daily_returns(_clean_bars(spark, sf_dir)), k=3
+    )
+
+
 def q_asof_tick_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1278,10 +1286,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "hilbert_events": q_hilbert_events,
         "ann_recall_report": q_ann_recall_report,
+        "similar_symbols": q_similar_symbols,
         "daily_vwap": q_daily_vwap,
         "multi_grain_bars": q_multi_grain_bars,
         "forward_fill_bars": q_forward_fill_bars,
-        "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
         "scd2_user_status": q_scd2_user_status,
         "regional_supplier_revenue": q_regional_supplier_revenue,
@@ -1305,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_customer_summary": q_regional_customer_summary,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
+        "merge_upsert": q_merge_upsert,
         "windowed_analytics_range_join": q_windowed_analytics_range_join,
         "daily_returns": q_daily_returns,
         "rolling_indicators": q_rolling_indicators,
@@ -1539,6 +1548,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": oracles.TEMPERATURE_MIX_SQL,
         "hilbert_events": oracles.HILBERT_EVENTS_SQL,
         "ann_recall_report": oracles.ann_recall_report_sql(),
+        "similar_symbols": oracles.SIMILAR_SYMBOLS_SQL,
         # dedup_embedding_blas is bit-identical to the exact op: same oracle.
         "dedup_embedding_blas": oracles.EMBEDDING_NEARDUP_SQL,
     }

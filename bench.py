@@ -58,6 +58,7 @@ HEADLINE = [
     "event_type_pivot",
     "top_volume_days",
     "return_correlations",
+    "similar_symbols",         # round 5: per-symbol correlated-peer top-k
     "market_beta",            # added round 3 (late): CAPM factor mart
     "event_value_quantiles",  # added round 3 (late): ordered-set aggregates
     "walk_forward_splits",    # added round 3 (late): temporal CV folds

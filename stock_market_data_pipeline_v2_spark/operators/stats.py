@@ -332,3 +332,45 @@ def sharpe_ratios(returns: DataFrame, periods_per_year: int = 252) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def similar_symbols_topk(returns: DataFrame, k: int = 3) -> DataFrame:
+    """Per-symbol similarity search over return SERIES (round 5): each
+    symbol's ``k`` most-correlated peers — the interactive
+    "what moves with X" top-k that time-series similarity-search
+    systems serve (date-aligned Pearson correlation as the distance;
+    the EDBT'19/'20 streaming/interactive top-k similarity setting on
+    the engine's own return mart).
+
+    Composition of gated pieces: :func:`return_correlations` supplies
+    the half-matrix (symbol_a < symbol_b); symmetrizing it is a
+    union of projections (NO second correlation pass — the matrix is
+    computed once), and the per-symbol rank window runs over S−1
+    narrow rows per symbol. Ranking uses the 6-dp ROUNDED correlation
+    with a peer-symbol tiebreak, so the top-k set is bit-stable
+    cross-engine (unrounded corr differs in update-formula ulps
+    between engines; the rounded value is the shared contract).
+    """
+    pairs = return_correlations(returns).select(
+        "symbol_a", "symbol_b", "return_corr"
+    )
+    sym = pairs.select(
+        F.col("symbol_a").alias("symbol"),
+        F.col("symbol_b").alias("peer"),
+        "return_corr",
+    ).unionByName(
+        pairs.select(
+            F.col("symbol_b").alias("symbol"),
+            F.col("symbol_a").alias("peer"),
+            "return_corr",
+        )
+    )
+    w = Window.partitionBy("symbol").orderBy(
+        F.desc("return_corr"), F.asc("peer")
+    )
+    return (
+        sym.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select("symbol", "peer", "return_corr", "sim_rank")
+        .orderBy("symbol", "sim_rank")
+    )

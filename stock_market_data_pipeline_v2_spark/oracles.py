@@ -3197,3 +3197,35 @@ SELECT tier, CAST(n_exact AS BIGINT) AS n_exact,
 FROM ({union})
 ORDER BY tier
 """
+
+# operators/stats.py:similar_symbols_topk — per-symbol top-k peers by
+# 6-dp rounded correlation (the shared cross-engine contract), peer
+# tiebreak; symmetrized from the same half-matrix CTE chain.
+SIMILAR_SYMBOLS_SQL = with_ctes(
+    EVENTS_TICKS,
+    DAILY_BARS,
+    CLEAN_BARS,
+    DAILY_RETURNS,
+    select="""
+, half AS (
+    SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+           round(corr(a.daily_return_pct, b.daily_return_pct), 6) AS return_corr
+    FROM daily_returns a
+    JOIN daily_returns b ON a.trade_date = b.trade_date AND a.symbol < b.symbol
+    GROUP BY a.symbol, b.symbol
+),
+sym AS (
+    SELECT symbol_a AS symbol, symbol_b AS peer, return_corr FROM half
+    UNION ALL
+    SELECT symbol_b AS symbol, symbol_a AS peer, return_corr FROM half
+)
+SELECT symbol, peer, return_corr, sim_rank FROM (
+    SELECT symbol, peer, return_corr,
+           CAST(row_number() OVER (PARTITION BY symbol
+                                   ORDER BY return_corr DESC, peer ASC) AS BIGINT)
+               AS sim_rank
+    FROM sym
+) WHERE sim_rank <= 3
+ORDER BY symbol, sim_rank
+""",
+)
