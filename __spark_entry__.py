@@ -165,6 +165,7 @@ from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
 )
 from stock_market_data_pipeline_v2_spark.operators.stats import (
     cross_sectional_ranks,
+    pattern_match_topk,
     rolling_beta,
     sharpe_ratios,
     similar_symbols_topk,
@@ -980,6 +981,13 @@ def q_similar_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # z-normalized subsequence matching over the shared return mart
+    return pattern_match_topk(
+        daily_returns(_clean_bars(spark, sf_dir)), k=25, window=20
+    )
+
+
 def q_asof_tick_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1287,10 +1295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_events": q_hilbert_events,
         "ann_recall_report": q_ann_recall_report,
         "similar_symbols": q_similar_symbols,
+        "pattern_match": q_pattern_match,
         "daily_vwap": q_daily_vwap,
         "multi_grain_bars": q_multi_grain_bars,
         "forward_fill_bars": q_forward_fill_bars,
-        "snapshot_diff": q_snapshot_diff,
         "scd2_user_status": q_scd2_user_status,
         "regional_supplier_revenue": q_regional_supplier_revenue,
         "order_priority_rollup": q_order_priority_rollup,
@@ -1314,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "merge_upsert": q_merge_upsert,
+        "snapshot_diff": q_snapshot_diff,
         "windowed_analytics_range_join": q_windowed_analytics_range_join,
         "daily_returns": q_daily_returns,
         "rolling_indicators": q_rolling_indicators,
@@ -1549,6 +1558,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_events": oracles.HILBERT_EVENTS_SQL,
         "ann_recall_report": oracles.ann_recall_report_sql(),
         "similar_symbols": oracles.SIMILAR_SYMBOLS_SQL,
+        "pattern_match": oracles.PATTERN_MATCH_SQL,
         # dedup_embedding_blas is bit-identical to the exact op: same oracle.
         "dedup_embedding_blas": oracles.EMBEDDING_NEARDUP_SQL,
     }

@@ -374,3 +374,114 @@ def similar_symbols_topk(returns: DataFrame, k: int = 3) -> DataFrame:
         .select("symbol", "peer", "return_corr", "sim_rank")
         .orderBy("symbol", "sim_rank")
     )
+
+
+def _pattern_weights(window: int) -> list[float]:
+    """Population-z-normalized rising ramp: weight for LAG j (j=0 is
+    today, largest weight) — the 'momentum breakout' query pattern.
+    Irrational weights are fine: both engines get the IDENTICAL
+    double literals from this one list (repr round-trips exactly)."""
+    import math
+
+    mean_j = (window - 1) / 2
+    var = sum((j - mean_j) ** 2 for j in range(window)) / window
+    sd = math.sqrt(var)
+    return [((window - 1 - j) - mean_j) / sd for j in range(window)]
+
+
+def pattern_match_topk(returns: DataFrame, k: int = 25, window: int = 20) -> DataFrame:
+    """Z-NORMALIZED subsequence matching over return series (round
+    5): the global top-``k`` (symbol, day) windows whose trailing
+    ``window`` daily returns best match a fixed query pattern under
+    population z-normalization — UCR-suite-style whole-matching
+    (z-normalized Euclidean ⇔ Pearson correlation, the similarity
+    contract of the time-series search literature), the "find charts
+    that look like THIS" query.
+
+    Exactness design: NO windowed sums — sliding aggregates are the
+    one place engines legitimately differ in summation order (Spark
+    iterates the frame, DuckDB uses segment trees), so μ, Σr² and
+    the pattern cross-product are all EXPLICIT left-associative
+    ``window``-term chains over ``lag(ret, j)`` — bit-identical
+    operation order in both engines, from one weight list
+    (:func:`_pattern_weights` + :func:`pattern_match_select_sql`).
+    With Σq = 0 by construction, corr = (Σ qⱼ·r₋ⱼ) / (n·σ_pop).
+    Top-k via orderBy+limit (TakeOrderedAndProject — no global
+    sort), deterministic (symbol, date) tiebreak, rank over ≤ k
+    survivors.
+    """
+    from ..functions.core import round_away, single_partition_key
+
+    q = _pattern_weights(window)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    lags = [
+        F.col("daily_return_pct")
+        if j == 0
+        else F.lag("daily_return_pct", j).over(w)
+        for j in range(window)
+    ]
+
+    def chain(terms):
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    sum_r = chain(lags)
+    sum_r2 = chain([t * t for t in lags])
+    cross = chain([F.lit(q[j]) * lags[j] for j in range(window)])
+    mu = sum_r / window
+    var_pop = sum_r2 / window - mu * mu
+    sigma = F.sqrt(var_pop)
+    corr_raw = cross / F.nullif(sigma * window, F.lit(0.0))
+    rank_w = Window.partitionBy(single_partition_key("symbol")).orderBy(
+        F.desc("corr_raw"), F.asc("symbol"), F.asc("trade_date")
+    )
+    return (
+        returns.select("symbol", "trade_date", corr_raw.alias("corr_raw"))
+        .filter(F.col("corr_raw").isNotNull())
+        .orderBy(F.desc("corr_raw"), F.asc("symbol"), F.asc("trade_date"))
+        .limit(k)
+        .withColumn("match_rank", F.row_number().over(rank_w).cast("long"))
+        .select(
+            "symbol",
+            "trade_date",
+            round_away(F.col("corr_raw"), 6).alias("pattern_corr"),
+            "match_rank",
+        )
+    )
+
+
+def pattern_match_select_sql(k: int = 25, window: int = 20) -> str:
+    """The DuckDB SELECT fragment, generated from the SAME weight
+    list and the SAME chain order (oracles.py wraps it with the
+    daily_returns CTE chain)."""
+    q = _pattern_weights(window)
+
+    def lag(j):
+        return (
+            "daily_return_pct"
+            if j == 0
+            else f"lag(daily_return_pct, {j}) OVER "
+            "(PARTITION BY symbol ORDER BY trade_date)"
+        )
+
+    sum_r = " + ".join(f"({lag(j)})" for j in range(window))
+    sum_r2 = " + ".join(f"({lag(j)}) * ({lag(j)})" for j in range(window))
+    cross = " + ".join(f"{q[j]!r} * ({lag(j)})" for j in range(window))
+    return f"""
+, scored AS (
+    SELECT symbol, trade_date,
+           ({cross})
+           / nullif(sqrt((({sum_r2}) / {window})
+                         - (({sum_r}) / {window}) * (({sum_r}) / {window}))
+                    * {window}, 0.0) AS corr_raw
+    FROM daily_returns
+)
+SELECT symbol, trade_date, round(corr_raw, 6) AS pattern_corr,
+       CAST(row_number() OVER (ORDER BY corr_raw DESC, symbol, trade_date)
+            AS BIGINT) AS match_rank
+FROM scored WHERE corr_raw IS NOT NULL
+ORDER BY corr_raw DESC, symbol, trade_date
+LIMIT {k}
+"""

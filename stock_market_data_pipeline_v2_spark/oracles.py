@@ -3229,3 +3229,16 @@ SELECT symbol, peer, return_corr, sim_rank FROM (
 ORDER BY symbol, sim_rank
 """,
 )
+
+# operators/stats.py:pattern_match_topk — z-normalized subsequence
+# matching; the SELECT is GENERATED from the same weight list and
+# chain order as the Spark plan (no windowed sums — see docstring).
+from .operators.stats import pattern_match_select_sql as _pattern_match_select_sql
+
+PATTERN_MATCH_SQL = with_ctes(
+    EVENTS_TICKS,
+    DAILY_BARS,
+    CLEAN_BARS,
+    DAILY_RETURNS,
+    select=_pattern_match_select_sql(),
+)
