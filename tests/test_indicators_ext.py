@@ -152,3 +152,51 @@ def test_rolling_beta_planted(spark):
     for r in out:
         expected = round((2.0 if r.symbol == "A" else 1.0) / 1.5, 6)
         assert abs(r.beta_10d - expected) < 1e-9, r
+
+
+def test_pattern_match_short_series_empty(spark):
+    """Symbols with fewer than `window` return rows produce no
+    candidate windows (lag chain nulls filtered), not garbage."""
+    from pyspark.sql import Row
+
+    from stock_market_data_pipeline_v2_spark.operators.stats import (
+        pattern_match_topk,
+    )
+
+    import datetime
+
+    rows = [
+        Row(
+            symbol="A",
+            trade_date=datetime.date(2024, 1, d),
+            daily_return_pct=float(d),
+        )
+        for d in range(1, 11)
+    ]
+    out = pattern_match_topk(spark.createDataFrame(rows), k=5, window=20)
+    assert out.count() == 0
+
+
+def test_pattern_match_perfect_ramp_scores_one(spark):
+    """A symbol whose trailing 20 returns ARE the rising ramp matches
+    the pattern with correlation exactly 1 (z-normalization makes the
+    score scale-free)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from stock_market_data_pipeline_v2_spark.operators.stats import (
+        pattern_match_topk,
+    )
+
+    rows = [
+        Row(
+            symbol="RAMP",
+            trade_date=datetime.date(2024, 1, 1) + datetime.timedelta(days=j),
+            daily_return_pct=5.0 + 3.0 * j,  # affine ramp: corr is scale-free
+        )
+        for j in range(20)
+    ]
+    out = pattern_match_topk(spark.createDataFrame(rows), k=5, window=20).collect()
+    assert len(out) == 1
+    assert out[0]["pattern_corr"] == 1.0 and out[0]["match_rank"] == 1

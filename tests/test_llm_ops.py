@@ -1885,3 +1885,55 @@ def test_repeated_spans_rolling_bit_identity(spark):
     a = repeated_span_stats(docs).toPandas().reset_index(drop=True)
     b = repeated_span_stats_rolling(docs).toPandas().reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_temperature_mix_single_source_gets_full_budget(spark):
+    """Degenerate mixing: with one source, w/Σw = 1 exactly in the
+    integer algebra, so the whole budget lands on it."""
+    from stock_market_data_pipeline_v2_spark.operators.curation import (
+        temperature_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five", "en", "solo") for i in range(10)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = temperature_mix(docs, total_budget=12).collect()
+    assert all(r["token_budget"] == 12 for r in out)
+    # overflow-spill contract: budgets filled, first doc over is kept
+    assert sum(r["n_tokens"] for r in out) >= 12
+    assert max(r["tokens_before"] for r in out) < 12
+
+
+def test_ngram_decontaminate_empty_reference_keeps_all(spark):
+    """No benchmark grams → zero coverage, nothing dropped, and every
+    corpus doc still gets a row (left-join spine)."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    docs = _docs(spark).limit(20)
+    empty_ref = docs.filter("doc_id < 0")
+    out = ngram_decontaminate(docs, empty_ref).collect()
+    assert len(out) == 20
+    assert all(r["contaminated_tokens"] == 0 and not r["drop"] for r in out)
+
+
+def test_ngram_decontaminate_planted_contamination(spark):
+    """A corpus doc quoting a reference doc verbatim is fully
+    covered; an unrelated doc is untouched."""
+    from pyspark.sql import Row
+
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    quote = " ".join(f"tok{i}" for i in range(20))
+    other = " ".join(f"zzz{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=quote), Row(doc_id=2, text=other)]
+    )
+    ref = spark.createDataFrame([Row(doc_id=9, text=quote)])
+    out = {r["doc_id"]: r for r in ngram_decontaminate(corpus, ref, n=13).collect()}
+    assert out[1]["contaminated_tokens"] == 20 and out[1]["drop"]
+    assert out[2]["contaminated_tokens"] == 0 and not out[2]["drop"]

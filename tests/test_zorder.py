@@ -182,3 +182,17 @@ def test_hilbert_matches_reference_and_locality(spark):
     for d in range(255):
         (x1, y1), (x2, y2) = inv[d], inv[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, inv[d], inv[d + 1])
+
+
+def test_hilbert_guards(spark):
+    """Arity/width guards: the 2-D-only contract and the signed-long
+    index ceiling fail fast instead of silently misbinning."""
+    import pytest
+
+    from stock_market_data_pipeline_v2_spark.functions.hilbert import with_hvalue
+
+    df = spark.range(4).selectExpr("id AS x", "id AS y", "id AS z")
+    with pytest.raises(ValueError, match="2-D"):
+        with_hvalue(df, [("x", 0, 3), ("y", 0, 3), ("z", 0, 3)], bits=2)
+    with pytest.raises(ValueError, match="overflows"):
+        with_hvalue(df, [("x", 0, 3), ("y", 0, 3)], bits=32)

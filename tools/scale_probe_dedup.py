@@ -94,6 +94,7 @@ def main() -> None:
         embedding_neardup_pairs_ivf,
         incremental_dedup_decisions,
         minhash_lsh_pairs,
+        ngram_decontaminate,
         repeated_span_stats,
         repeated_span_stats_rolling,
         shingle_jaccard_pairs,
@@ -204,6 +205,13 @@ def main() -> None:
             threshold=0.5,
             max_shingle_freq=1000,
         ),
+        # round 5: exact 13-gram decontamination — reference is the
+        # fixed 10% slice, so the row probes corpus-side scaling of
+        # the broadcast gram join + interval union
+        "ngram_decontaminate": lambda: ngram_decontaminate(
+            docs.filter("doc_id % 10 != 0"),
+            docs.filter("doc_id % 10 = 0"),
+        ).filter("contaminated_tokens >= 0"),
         "ann_lsh_topk": lambda: hyperplane_lsh_topk(embs, qs, k=5),
         "dedup_embedding_blas": lambda: embedding_neardup_pairs_blas(
             embs, threshold=0.4
