@@ -164,7 +164,9 @@ from stock_market_data_pipeline_v2_spark.operators.indicators_ext import (
     stochastic_k,
 )
 from stock_market_data_pipeline_v2_spark.operators.stats import (
+    cohort_retention,
     cross_sectional_ranks,
+    funnel_conversion,
     pattern_match_topk,
     rolling_beta,
     sharpe_ratios,
@@ -988,6 +990,16 @@ def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
 def q_asof_tick_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1296,11 +1308,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": q_ann_recall_report,
         "similar_symbols": q_similar_symbols,
         "pattern_match": q_pattern_match,
+        "cohort_retention": q_cohort_retention,
+        "funnel_conversion": q_funnel_conversion,
         "daily_vwap": q_daily_vwap,
         "multi_grain_bars": q_multi_grain_bars,
         "forward_fill_bars": q_forward_fill_bars,
-        "scd2_user_status": q_scd2_user_status,
-        "regional_supplier_revenue": q_regional_supplier_revenue,
         "order_priority_rollup": q_order_priority_rollup,
         "promo_revenue_monthly": q_promo_revenue_monthly,
         "small_qty_part_revenue": q_small_qty_part_revenue,
@@ -1323,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
+        "scd2_user_status": q_scd2_user_status,
+        "regional_supplier_revenue": q_regional_supplier_revenue,
         "windowed_analytics_range_join": q_windowed_analytics_range_join,
         "daily_returns": q_daily_returns,
         "rolling_indicators": q_rolling_indicators,
@@ -1559,6 +1573,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_report": oracles.ann_recall_report_sql(),
         "similar_symbols": oracles.SIMILAR_SYMBOLS_SQL,
         "pattern_match": oracles.PATTERN_MATCH_SQL,
+        "cohort_retention": oracles.COHORT_RETENTION_SQL,
+        "funnel_conversion": oracles.FUNNEL_CONVERSION_SQL,
         # dedup_embedding_blas is bit-identical to the exact op: same oracle.
         "dedup_embedding_blas": oracles.EMBEDDING_NEARDUP_SQL,
     }

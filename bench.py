@@ -60,6 +60,8 @@ HEADLINE = [
     "return_correlations",
     "similar_symbols",         # round 5: per-symbol correlated-peer top-k
     "pattern_match",           # round 5: z-normalized subsequence matching
+    "cohort_retention",        # round 5: weekly first-activity cohorts
+    "funnel_conversion",       # round 5: ordered within-window funnel
     "market_beta",            # added round 3 (late): CAPM factor mart
     "event_value_quantiles",  # added round 3 (late): ordered-set aggregates
     "walk_forward_splits",    # added round 3 (late): temporal CV folds

@@ -485,3 +485,138 @@ FROM scored WHERE corr_raw IS NOT NULL
 ORDER BY corr_raw DESC, symbol, trade_date
 LIMIT {k}
 """
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly COHORT RETENTION over the event stream — the classic
+    product-analytics mart: users grouped by first-activity week,
+    tracked by how many are active 0, 1, 2… weeks later.
+    Output: (cohort_week, week_offset, cohort_size, n_active,
+    retention_rate) for every observed offset.
+
+    Plan shape: one aggregate to per-user first-activity weeks (the
+    cohort dim — users are small next to events, so it broadcasts
+    back), one distinct on (user, activity week) — map-side
+    collapsible since the input is already user-keyed rows — and one
+    narrow groupBy on (cohort, offset). Counts are exact integers;
+    the rate is one guarded divide rounded 6 dp.
+    """
+    from ..functions.core import round_away
+
+    week = F.date_trunc("week", F.col("ts"))
+    firsts = (
+        events.groupBy("user_id")
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    cohort_sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    active = events.select("user_id", week.alias("activity_week")).distinct()
+    offset = F.floor(
+        (F.col("activity_week").cast("long") - F.col("cohort_week").cast("long"))
+        / F.lit(7 * 24 * 3600)
+    ).cast("long")
+    return (
+        active.join(F.broadcast(firsts), "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            "n_active",
+            round_away(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    max_lag_seconds: int = 3600,
+) -> DataFrame:
+    """ORDERED funnel conversion — for each user, stage k counts only
+    if it happens strictly AFTER that user's stage k−1 AND within
+    ``max_lag_seconds`` of it (the event-sequence-within-window
+    contract product funnels mean, not mere set-membership). Output
+    one row per stage: (stage_idx, stage, n_users,
+    conversion_from_prev, conversion_from_first).
+
+    Plan shape: stage 1 is one filtered aggregate to a per-user
+    timestamp table; each later stage is one filtered aggregate
+    JOINED against the previous stage's (broadcast-sized, per-user)
+    table with the strictly-after predicate INSIDE the min — k−1
+    broadcast joins over per-user rows, the events fact scanned once
+    per stage with the stage filter pushed down. Counts exact;
+    ratios guarded and rounded 6 dp.
+    """
+    from ..functions.core import round_away
+
+    spark = events.sparkSession
+    prev = None
+    counts: list[tuple[int, str, DataFrame]] = []
+    for idx, stage in enumerate(stages):
+        ev = events.filter(F.col("event_type") == stage)
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("stage_ts"))
+        else:
+            cur = (
+                ev.join(
+                    F.broadcast(
+                        prev.select("user_id", F.col("stage_ts").alias("__prev_ts"))
+                    ),
+                    "user_id",
+                )
+                .filter(
+                    (F.col("ts") > F.col("__prev_ts"))
+                    & (
+                        F.col("ts")
+                        <= F.col("__prev_ts")
+                        + F.expr(f"INTERVAL {int(max_lag_seconds)} SECONDS")
+                    )
+                )
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("stage_ts"))
+            )
+        counts.append((idx, stage, cur))
+        prev = cur
+    rows = None
+    for idx, stage, cur in counts:
+        r = cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(idx + 1).cast("long").alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    w = Window.partitionBy(F.pmod(F.hash("stage_idx"), F.lit(1))).orderBy(
+        "stage_idx"
+    )
+    first_n = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    prev_n = F.lag("n_users").over(w)
+    return (
+        rows.withColumn(
+            "conversion_from_prev",
+            round_away(
+                F.col("n_users").cast("double")
+                / F.nullif(prev_n.cast("double"), F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "conversion_from_first",
+            round_away(
+                F.col("n_users").cast("double")
+                / F.nullif(first_n.cast("double"), F.lit(0.0)),
+                6,
+            ),
+        )
+        .orderBy("stage_idx")
+    )

@@ -3242,3 +3242,67 @@ PATTERN_MATCH_SQL = with_ctes(
     DAILY_RETURNS,
     select=_pattern_match_select_sql(),
 )
+
+# operators/stats.py:cohort_retention — weekly first-activity cohorts
+# over the raw event stream (ts handled by the same nanos→micros
+# conversion contract as every events consumer).
+COHORT_RETENTION_SQL = """
+WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+firsts AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id),
+sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM firsts GROUP BY cohort_week),
+active AS (SELECT DISTINCT user_id, wk AS activity_week FROM e),
+m AS (
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('second', f.cohort_week, a.activity_week)
+                      / (7 * 24 * 3600)) AS BIGINT) AS week_offset,
+           a.user_id
+    FROM active a JOIN firsts f USING (user_id)
+)
+SELECT m.cohort_week, m.week_offset, s.cohort_size,
+       CAST(count(DISTINCT m.user_id) AS BIGINT) AS n_active,
+       round(CAST(count(DISTINCT m.user_id) AS DOUBLE) / s.cohort_size, 6)
+           AS retention_rate
+FROM m JOIN sizes s USING (cohort_week)
+GROUP BY m.cohort_week, m.week_offset, s.cohort_size
+ORDER BY m.cohort_week, m.week_offset
+"""
+
+# operators/stats.py:funnel_conversion — strictly-ordered stage mins
+# (view -> click -> purchase).
+FUNNEL_CONVERSION_SQL = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        AND e.ts <= s1.t + INTERVAL 3600 SECOND
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        AND e.ts <= s2.t + INTERVAL 3600 SECOND
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+counts AS (
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / nullif(CAST(lag(n_users) OVER (ORDER BY stage_idx) AS DOUBLE),
+                      0), 6) AS conversion_from_prev,
+       round(CAST(n_users AS DOUBLE)
+             / nullif(CAST(first_value(n_users) OVER (ORDER BY stage_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS DOUBLE), 0), 6) AS conversion_from_first
+FROM counts
+ORDER BY stage_idx
+"""
