@@ -1937,3 +1937,23 @@ def test_ngram_decontaminate_planted_contamination(spark):
     out = {r["doc_id"]: r for r in ngram_decontaminate(corpus, ref, n=13).collect()}
     assert out[1]["contaminated_tokens"] == 20 and out[1]["drop"]
     assert out[2]["contaminated_tokens"] == 0 and not out[2]["drop"]
+
+
+def test_ann_state_env_selection(monkeypatch):
+    """oracle_sql() must expand the frozen index state for the corpus
+    the run reads: default (driver path, no env) is sf0.01; the env
+    override switches the literals. The centroid literals differ per
+    SF (22 vs 44 cells), so a wrong selection is a guaranteed red
+    row, not a subtle drift."""
+    from stock_market_data_pipeline_v2_spark import ann_state
+
+    monkeypatch.delenv("SPARK_GRAFT_ORACLE_SF", raising=False)
+    assert ann_state.oracle_sf_label() == "sf0.01"
+    s001 = ann_state.load_state()
+    assert s001["label"] == "sf0.01" and s001["n_cells"] == 22
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF", "sf0.1")
+    s01 = ann_state.load_state()
+    assert s01["label"] == "sf0.1" and s01["n_cells"] == 44
+    sql_small = ann_state.ann_ivf_oracle_sql(s001)
+    sql_big = ann_state.ann_ivf_oracle_sql(s01)
+    assert sql_small != sql_big

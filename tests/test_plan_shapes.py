@@ -443,3 +443,25 @@ def test_round5_star_shapes_broadcast_only(spark):
         assert "SortMergeJoin" not in phys, name
     plan = _plan(qs["banded_discount_revenue"](spark, SF))
     assert "PushedFilters: [" in plan and "IsNotNull(l_discount)" in plan
+
+
+def test_driver_window_entries_are_oracle_gated():
+    """The driver's correctness snapshot samples the FIRST 50
+    ``queries()`` entries; a window entry without an ``oracle_sql()``
+    twin burns a sampled slot on a rows-only record (the r1-r3
+    lesson). Only the two media-feature tiers are allowed to sit in
+    the window without an oracle — they are there by explicit
+    VERDICT-r4 request for driver rows."""
+    import __spark_entry__ as m
+
+    window = list(m.queries())[:50]
+    oracles_map = m.oracle_sql()
+    allowed_rows_only = {"audio_features", "image_features"}
+    missing = [
+        q for q in window if q not in oracles_map and q not in allowed_rows_only
+    ]
+    assert not missing, f"window entries without oracles: {missing}"
+    # and every oracle string is non-trivial SQL
+    for q in window:
+        if q in oracles_map:
+            assert "SELECT" in oracles_map[q].upper(), q
