@@ -1183,9 +1183,12 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # REAL codec tier (stdlib RIFF/WAVE + PCM16): rows-only — a WAV
-    # parse is not SQL-expressible; the analytic round-trip gate lives
-    # in tests/test_llm_ops.py::test_wav_codec_real_roundtrip.
+    # REAL codec tier (stdlib RIFF/WAVE + PCM16). Oracle-gated since
+    # round 6: the payload synth is a closed-form function of doc_id,
+    # so DuckDB recomputes every feature independently of the
+    # container (oracles.AUDIO_FEATURES_SQL); the byte-level
+    # round-trip gate stays in
+    # tests/test_llm_ops.py::test_wav_codec_real_roundtrip.
     return decode_wav_features(attach_wav_audio(_docs(spark, sf_dir)))
 
 
@@ -1247,87 +1250,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS EVIDENCE: the driver's correctness snapshot samples the
-    # FIRST 50 entries, so each round rotates the never-yet-sampled
-    # block to the front (VERDICT r3 #2). Round 4 leads with the
-    # dedup/ANN/retrieval/curation/multimodal layer (never in any
-    # driver artifact through r3) plus the re-fixed hash_embeddings;
-    # the market/star queries green in the r2/r3 snapshots move behind
-    # position 50, as do the two by-design rows-only entries
-    # (windowed_analytics_reagg, sector_activity_sketch) that were
-    # occupying sampled slots.
+    # FIRST 50 entries, so each round rotates stale evidence to the
+    # front (VERDICT r3 #2). Since r5 every query has been sampled at
+    # least once, so from r6 on the rotation key is staleness: the
+    # window holds the 50 oracle-gated queries whose last green driver
+    # row is oldest, and the freshest block sits at the tail.
     return {
-        # --- r5 driver window, slots 1-50 (CLAUDE.md: dict order is
-        # evidence; the snapshot samples the first 50 entries). Leads
-        # with the 15 queries never sampled in any round (VERDICT r4
-        # #1): the late round-4 star/mart shapes, then the approximate
-        # tiers — all but audio/image_features newly ORACLE-GATED this
-        # round (generated LSH SQL + frozen IVF/PQ index-state
-        # literals, ann_state.py), so rotating them in yields hash
-        # rows, not err:no_oracle. Then the r2-era multimodal trio
-        # (oracle-gated since r4 but last sampled r2 as no_oracle),
-        # then the least-recently-sampled r3 block (daily_bars ...
-        # lang_id, last green r3). ---
-        "balance_rich_dormant": q_balance_rich_dormant,
-        "min_cost_supplier": q_min_cost_supplier,
-        "nation_revenue_share": q_nation_revenue_share,
-        "bilateral_trade": q_bilateral_trade,
-        "disjunctive_brand_revenue": q_disjunctive_brand,
-        "top_return_customers": q_top_return_customers,
-        "sharpe_ratios": q_sharpe_ratios,
-        "monthly_revenue_growth": q_monthly_revenue_growth,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_incremental_lsh": q_dedup_incremental_lsh,
-        "dedup_embedding_ivf": q_dedup_embedding_ivf,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "prototypicality_prune": q_prototypicality_prune,
-        "audio_features": q_audio_features,
-        "image_features": q_image_features,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
-        # --- new round-5 surface (never sampled, all oracle-gated):
-        # the remaining TPC-H classic shapes the schema supports
-        # (Q6/Q8/Q9/Q13/Q15/Q16 adaptations) plus the ExactSubstr
-        # production tier. They take the slots of seven r1+r2+r3
-        # triple-green market queries (strongest existing evidence,
-        # cheapest to displace). ---
-        "banded_discount_revenue": q_banded_discount_revenue,
-        "nation_market_share": q_nation_market_share,
-        "supplier_nation_profit": q_supplier_nation_profit,
-        "customer_order_distribution": q_customer_order_distribution,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "part_supplier_counts": q_part_supplier_counts,
-        "repeated_spans_rolling": q_repeated_spans_rolling,
-        "ann_filtered_topk": q_ann_filtered_topk,
-        "ngram_decontaminate": q_ngram_decontaminate,
-        "temperature_mix": q_temperature_mix,
-        "hilbert_events": q_hilbert_events,
-        "ann_recall_report": q_ann_recall_report,
-        "similar_symbols": q_similar_symbols,
-        "pattern_match": q_pattern_match,
-        "cohort_retention": q_cohort_retention,
-        "funnel_conversion": q_funnel_conversion,
-        "daily_vwap": q_daily_vwap,
-        "multi_grain_bars": q_multi_grain_bars,
-        "forward_fill_bars": q_forward_fill_bars,
-        "order_priority_rollup": q_order_priority_rollup,
-        "promo_revenue_monthly": q_promo_revenue_monthly,
-        "small_qty_part_revenue": q_small_qty_part_revenue,
-        "large_volume_customers": q_large_volume_customers,
-        "returned_orders_by_priority": q_returned_orders_by_priority,
-        "dormant_customers": q_dormant_customers,
-        "exclusive_fault_suppliers": q_exclusive_fault_suppliers,
-        "event_type_pivot": q_event_type_pivot,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        # --- behind the window: sampled green in r3 (text/curation
-        # tail), the two by-design rows-only entries, and the full
-        # r4-sampled block (CORRECTNESS_r04 = 50/50 green). ---
-        # displaced from the window by the round-5 additions (each
-        # already green in the r1+r2+r3 snapshots):
+        # --- r6 driver window, slots 1-50 (CLAUDE.md: dict order is
+        # evidence; the snapshot samples the first 50 entries). Every
+        # query has now been sampled at least once (r5 closed that),
+        # so r6 rotates by STALENESS (VERDICT r5 #4): the 34
+        # oracle-gated queries last sampled in r1-r3 lead, then the 16
+        # oldest entries of the r4 block. The two by-design rows-only
+        # r3 entries (windowed_analytics_reagg, sector_activity_sketch)
+        # stay behind slot 50 per the registry invariant. ---
         "daily_bars": q_daily_bars,
         "daily_summary": q_daily_summary,
         "regional_customer_summary": q_regional_customer_summary,
@@ -1362,8 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket_batches": q_length_bucket_batches,
         "bpe_token_counts": q_bpe_token_counts,
         "sft_render_spans": q_sft_render_spans,
-        "windowed_analytics_reagg": q_windowed_analytics_reagg,
-        "sector_activity_sketch": q_sector_activity_sketch,
+        # --- the 16 oldest r4-sampled entries fill the window ---
         "hash_embeddings": q_hash_embeddings,
         "zorder_events": q_zorder_events,
         "ngram_containment": q_ngram_containment,
@@ -1380,6 +1315,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_cross": q_lm_perplexity_cross,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep_best": q_dedup_keep_best,
+        # --- behind the window: the two by-design rows-only r3
+        # entries, the rest of the r4 block, and the full r5-sampled
+        # block (CORRECTNESS_r05 = 48/48 oracle-gated rows green). ---
+        "windowed_analytics_reagg": q_windowed_analytics_reagg,
+        "sector_activity_sketch": q_sector_activity_sketch,
         "winnow_fingerprints": q_winnow_fingerprints,
         "passage_overlap": q_passage_overlap,
         "passage_clusters": q_passage_clusters,
@@ -1414,6 +1354,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_beta": q_rolling_beta,
         "cross_sectional_ranks": q_cross_sectional_ranks,
         "pmi_collocations": q_pmi_collocations,
+        # --- r5-sampled block (freshest evidence, CORRECTNESS_r05) ---
+        "balance_rich_dormant": q_balance_rich_dormant,
+        "min_cost_supplier": q_min_cost_supplier,
+        "nation_revenue_share": q_nation_revenue_share,
+        "bilateral_trade": q_bilateral_trade,
+        "disjunctive_brand_revenue": q_disjunctive_brand,
+        "top_return_customers": q_top_return_customers,
+        "sharpe_ratios": q_sharpe_ratios,
+        "monthly_revenue_growth": q_monthly_revenue_growth,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental_lsh": q_dedup_incremental_lsh,
+        "dedup_embedding_ivf": q_dedup_embedding_ivf,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "prototypicality_prune": q_prototypicality_prune,
+        "audio_features": q_audio_features,
+        "image_features": q_image_features,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "banded_discount_revenue": q_banded_discount_revenue,
+        "nation_market_share": q_nation_market_share,
+        "supplier_nation_profit": q_supplier_nation_profit,
+        "customer_order_distribution": q_customer_order_distribution,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "part_supplier_counts": q_part_supplier_counts,
+        "repeated_spans_rolling": q_repeated_spans_rolling,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "ngram_decontaminate": q_ngram_decontaminate,
+        "temperature_mix": q_temperature_mix,
+        "hilbert_events": q_hilbert_events,
+        "ann_recall_report": q_ann_recall_report,
+        "similar_symbols": q_similar_symbols,
+        "pattern_match": q_pattern_match,
+        "cohort_retention": q_cohort_retention,
+        "funnel_conversion": q_funnel_conversion,
+        "daily_vwap": q_daily_vwap,
+        "multi_grain_bars": q_multi_grain_bars,
+        "forward_fill_bars": q_forward_fill_bars,
+        "order_priority_rollup": q_order_priority_rollup,
+        "promo_revenue_monthly": q_promo_revenue_monthly,
+        "small_qty_part_revenue": q_small_qty_part_revenue,
+        "large_volume_customers": q_large_volume_customers,
+        "returned_orders_by_priority": q_returned_orders_by_priority,
+        "dormant_customers": q_dormant_customers,
+        "exclusive_fault_suppliers": q_exclusive_fault_suppliers,
+        "event_type_pivot": q_event_type_pivot,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
     }
 
 
@@ -1539,6 +1530,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": oracles.MULTIMODAL_DECODE_SQL,
         "multimodal_frames": oracles.MULTIMODAL_FRAMES_SQL,
         "multimodal_resize": oracles.MULTIMODAL_RESIZE_SQL,
+        # the WAV synth is a closed-form function of doc_id, so the
+        # REAL container round-trip is recomputable engine-independently
+        # (round 6 — previously rows-only).
+        "audio_features": oracles.AUDIO_FEATURES_SQL,
         "asof_tick_bar": oracles.ASOF_TICK_BAR_SQL,
         "session_windows": oracles.SESSION_WINDOWS_SQL,
         "symbols_both_halves": oracles.SYMBOLS_BOTH_HALVES_SQL,

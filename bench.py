@@ -132,8 +132,8 @@ HEADLINE = [
     "curation_pipeline",      # added round 3: integrated cleaning pass
     "corpus_stats_by_source", # added round 3: per-source corpus profile
     "source_drift_kl",        # added round 3: per-source KL drift monitor
-    "zorder_events",
-    "hilbert_events",      # round 5: locality-preserving layout twin          # added round 3: scan-shaped Morton z-values
+    "zorder_events",          # added round 3: scan-shaped Morton z-values
+    "hilbert_events",         # round 5: locality-preserving layout twin
     "multimodal_decode",
     "audio_features",  # added round 3: REAL stdlib WAV/PCM codec tier
     "image_features",  # added round 3: REAL zlib/struct PNG codec tier
@@ -171,6 +171,12 @@ def main() -> None:
         release_cached_inputs,
     )
 
+    # Host-steal forensics (VERDICT r5 #7): stamp the 1/5/15-min load
+    # average before and after the suite so a noisy record is
+    # distinguishable from a clean one after the fact. BASELINE.md
+    # documents the discount rule: discount any cross-round comparison
+    # whose loadavg_start[0] exceeds ~2× the CPU count.
+    la_start = [round(x, 2) for x in os.getloadavg()]
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
@@ -189,6 +195,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg_start": la_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     # Full-name record on disk: the driver's stdout tail capture is
     # 2000 chars, which an 80+-query full-name line overflows (r3's
@@ -210,6 +218,7 @@ def main() -> None:
             "queries": {short[n]: round(t, 2) for n, t in timings.items()},
             "sf": sf,
             "n": len(timings),
+            "la": full["loadavg_start"][0],
         },
         separators=(",", ":"),
     )

@@ -495,10 +495,14 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     retention_rate) for every observed offset.
 
     Plan shape: one aggregate to per-user first-activity weeks (the
-    cohort dim — users are small next to events, so it broadcasts
-    back), one distinct on (user, activity week) — map-side
+    cohort dim), one distinct on (user, activity week) — map-side
     collapsible since the input is already user-keyed rows — and one
-    narrow groupBy on (cohort, offset). Counts are exact integers;
+    narrow groupBy on (cohort, offset). The per-user ``firsts`` frame
+    grows with the data, so it joins WITHOUT a broadcast hint — AQE
+    still picks a broadcast at small scale, while at 100× the join
+    degrades gracefully to a shuffle on user_id instead of OOMing the
+    driver. Only ``cohort_sizes`` (one row per calendar week — truly
+    bounded) keeps an explicit broadcast. Counts are exact integers;
     the rate is one guarded divide rounded 6 dp.
     """
     from ..functions.core import round_away
@@ -517,7 +521,7 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         / F.lit(7 * 24 * 3600)
     ).cast("long")
     return (
-        active.join(F.broadcast(firsts), "user_id")
+        active.join(firsts, "user_id")
         .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("n_active"))
         .join(F.broadcast(cohort_sizes), "cohort_week")
@@ -550,15 +554,17 @@ def funnel_conversion(
 
     Plan shape: stage 1 is one filtered aggregate to a per-user
     timestamp table; each later stage is one filtered aggregate
-    JOINED against the previous stage's (broadcast-sized, per-user)
-    table with the strictly-after predicate INSIDE the min — k−1
-    broadcast joins over per-user rows, the events fact scanned once
-    per stage with the stage filter pushed down. Counts exact;
-    ratios guarded and rounded 6 dp.
+    JOINED against the previous stage's per-user table with the
+    strictly-after predicate inside the min — k−1 equi-joins keyed on
+    user_id, the events fact scanned once per stage with the stage
+    filter pushed down. The per-user stage tables grow with the data
+    (stage 1 is every user who ever did "view"), so no broadcast hint
+    is forced: AQE broadcasts when the table fits and shuffles on
+    user_id when it doesn't. Counts exact; ratios guarded and rounded
+    6 dp.
     """
     from ..functions.core import round_away
 
-    spark = events.sparkSession
     prev = None
     counts: list[tuple[int, str, DataFrame]] = []
     for idx, stage in enumerate(stages):
@@ -568,9 +574,7 @@ def funnel_conversion(
         else:
             cur = (
                 ev.join(
-                    F.broadcast(
-                        prev.select("user_id", F.col("stage_ts").alias("__prev_ts"))
-                    ),
+                    prev.select("user_id", F.col("stage_ts").alias("__prev_ts")),
                     "user_id",
                 )
                 .filter(

@@ -1617,6 +1617,52 @@ SELECT doc_id, media_format,
 FROM b
 """
 
+# operators/multimodal.py:decode_wav_features — the WAV tier is REAL
+# (stdlib RIFF/WAVE container round-trip) but the payload synth is a
+# deterministic pure function of doc_id (16 tone classes, 400 PCM16
+# frames: trunc(sin(2π·f·i/8000)·20000) with f = 220+55·(doc_id%16)),
+# so an independent engine can recompute every feature without ever
+# seeing the container: DuckDB regenerates the 16 sample vectors from
+# the same closed form and folds rms/peak/zero-crossings with integer
+# algebra (sum of int squares < 2^53 is EXACT in float64, so the
+# summation order can't flip a bit; sqrt is IEEE-exact; the rms
+# values sit ~0.3 from every rounding tie — measured, round 6). The
+# sin→int16 truncation was verified bit-identical numpy-vs-DuckDB for
+# all 6400 distinct samples before this oracle was registered
+# (round 6 — previously rows-only). Spark still exercises the REAL
+# path: wave-writer synthesis → binary column → wave-reader parse →
+# numpy decode; the oracle gates that whole round-trip end-to-end.
+AUDIO_FEATURES_SQL = """
+WITH samp AS (
+    SELECT k, i,
+        CAST(trunc(sin(2 * pi() * (220.0 + 55.0 * k) * (i / 8000.0))
+                   * 20000.0) AS INTEGER) AS v
+    FROM (SELECT unnest(generate_series(0, 15)) AS k),
+         (SELECT unnest(generate_series(0, 399)) AS i)
+),
+s2 AS (
+    SELECT k, v, lead(v) OVER (PARTITION BY k ORDER BY i) AS nv
+    FROM samp
+),
+feat AS (
+    SELECT k,
+        CAST(round(sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE)
+                        / 400.0)) AS BIGINT) AS rms,
+        CAST(max(abs(v)) AS BIGINT) AS peak,
+        CAST(sum(CASE WHEN nv IS NOT NULL AND ((v < 0) != (nv < 0))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM s2 GROUP BY k
+)
+SELECT d.doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT)    AS n_channels,
+       CAST(2 AS BIGINT)    AS sample_width,
+       CAST(400 AS BIGINT)  AS n_frames,
+       CAST(50 AS BIGINT)   AS duration_ms,
+       f.rms, f.peak, f.zero_crossings
+FROM documents d JOIN feat f ON d.doc_id % 16 = f.k
+"""
+
 # operators/joins.py:as_of_join oracle — DuckDB native ASOF JOIN.
 # Ticks joined backward to the latest daily bar at-or-before the tick.
 ASOF_TICK_BAR_SQL = """
