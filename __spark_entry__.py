@@ -90,6 +90,7 @@ from stock_market_data_pipeline_v2_spark.operators.dedup import (
     dedup_clusters_star,
     dedup_exact,
     dedup_keep_best,
+    dedup_sorted_neighborhood,
     embedding_neardup_pairs,
     incremental_dedup_decisions,
     incremental_dedup_lsh,
@@ -364,6 +365,23 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_type_pivot(load_table(spark, sf_dir, "events"))
 
 
+def q_hll_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Engine-neutral HyperLogLog (round 6): unlike the native
+    # approx_count_distinct behind sector_activity_sketch (rows-only
+    # by necessity), this sketch's register state and estimate are
+    # bit-reproducible in DuckDB, so the approximate answer itself is
+    # hash-gated. p=5 keeps the no-ln raw estimator in its unbiased
+    # regime for this corpus's cardinalities (see sketches.py).
+    from stock_market_data_pipeline_v2_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    configure_runtime(spark)
+    return hll_distinct(
+        load_table(spark, sf_dir, "events"), ["event_type"], "user_id", p=5
+    )
+
+
 def q_sector_activity_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -401,6 +419,63 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return load_table(spark, sf_dir, "embeddings")
+
+
+def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 6: blocked Levenshtein entity resolution over the DISTINCT
+    # name dimension (fuzzy match never touches fact rows).
+    from stock_market_data_pipeline_v2_spark.operators.linkage import (
+        fuzzy_name_pairs,
+    )
+
+    configure_runtime(spark)
+    return fuzzy_name_pairs(
+        load_table(spark, sf_dir, "part"), "p_name", "p_partkey", max_dist=4
+    )
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 6: one-pass dbt-style column profiler (nulls, exact
+    # distincts, typed min/max; timestamps as epoch — TZ-proof).
+    from stock_market_data_pipeline_v2_spark.operators.profiling import (
+        LINEITEM_PROFILE_SPEC,
+        profile_table,
+    )
+
+    configure_runtime(spark)
+    return profile_table(load_table(spark, sf_dir, "lineitem"), LINEITEM_PROFILE_SPEC)
+
+
+def q_order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 6: ntile/percent_rank/cume_dist decile mart per segment.
+    from stock_market_data_pipeline_v2_spark.operators.stats import (
+        order_value_distribution,
+    )
+
+    configure_runtime(spark)
+    return order_value_distribution(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+def q_type_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 6: per-source lexical profile (TTR, hapax, Zipf head).
+    from stock_market_data_pipeline_v2_spark.operators.text import (
+        type_token_stats,
+    )
+
+    return type_token_stats(_docs(spark, sf_dir))
+
+
+def q_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 6: mean pairwise cosine per label via the norm-of-sum
+    # identity — O(n·dim) where the naive mart is O(n²·dim); decimal
+    # coordinate sums keep it order-free (hostile-session-proof).
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        embedding_diversity,
+    )
+
+    return embedding_diversity(_embs(spark, sf_dir))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,6 +843,15 @@ _SHINGLE_DF_CAP = 1000
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_jaccard_pairs(
         _docs(spark, sf_dir), n=3, threshold=0.5, max_shingle_freq=_SHINGLE_DF_CAP
+    )
+
+
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 6: sort-based candidate generation (two-pass SNM), exact
+    # shingle-Jaccard verification — same metric/threshold family as
+    # dedup_ngram_jaccard, data-independent O(n·w) comparison cost.
+    return dedup_sorted_neighborhood(
+        _docs(spark, sf_dir), window_size=10, n=3, threshold=0.5
     )
 
 
@@ -1405,6 +1489,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        # --- round-6 surface (appended at the tail: new entries wait
+        # their turn; the window belongs to the stalest evidence) ---
+        "hll_event_users": q_hll_event_users,
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        "embedding_diversity": q_embedding_diversity,
+        "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
+        "profile_lineitem": q_profile_lineitem,
+        "order_value_distribution": q_order_value_distribution,
+        "type_token_stats": q_type_token_stats,
     }
 
 
@@ -1414,8 +1507,30 @@ def oracle_sql() -> dict[str, str]:
     # literals differ per corpus, selected by SPARK_GRAFT_ORACLE_SF
     # (default sf0.01 — the scale the driver's gate runs at).
     from stock_market_data_pipeline_v2_spark import ann_state
+    from stock_market_data_pipeline_v2_spark.operators import sketches
+    from stock_market_data_pipeline_v2_spark.operators import dedup as _dedup_mod
+    from stock_market_data_pipeline_v2_spark.operators import similarity as _sim_mod
+    from stock_market_data_pipeline_v2_spark.operators import linkage as _linkage_mod
+    from stock_market_data_pipeline_v2_spark.operators import profiling as _profiling_mod
+    from stock_market_data_pipeline_v2_spark.operators import stats as _stats_mod
+    from stock_market_data_pipeline_v2_spark.operators import text as _text_mod
 
     return {
+        "hll_event_users": sketches.hll_oracle_sql(
+            "events", ["event_type"], "user_id", p=5
+        ),
+        "dedup_sorted_neighborhood": _dedup_mod.snm_oracle_sql(
+            window_size=10, n=3, threshold=0.5
+        ),
+        "embedding_diversity": _sim_mod.embedding_diversity_oracle_sql(dim=64),
+        "part_name_fuzzy_pairs": _linkage_mod.fuzzy_name_oracle_sql(
+            "part", "p_name", max_dist=4
+        ),
+        "profile_lineitem": _profiling_mod.profile_oracle_sql(
+            "lineitem", _profiling_mod.LINEITEM_PROFILE_SPEC
+        ),
+        "order_value_distribution": _stats_mod.ORDER_VALUE_DISTRIBUTION_SQL,
+        "type_token_stats": _text_mod.TYPE_TOKEN_STATS_SQL,
         "ann_ivf_topk": ann_state.ann_ivf_oracle_sql(),
         "ann_pq_topk": ann_state.ann_pq_oracle_sql(),
         "ann_ivfpq_topk": ann_state.ann_ivfpq_oracle_sql(),

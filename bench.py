@@ -137,6 +137,13 @@ HEADLINE = [
     "multimodal_decode",
     "audio_features",  # added round 3: REAL stdlib WAV/PCM codec tier
     "image_features",  # added round 3: REAL zlib/struct PNG codec tier
+    "hll_event_users",          # added round 6: cross-engine HLL sketch
+    "dedup_sorted_neighborhood",  # added round 6: sort-based SNM dedup tier
+    "embedding_diversity",      # added round 6: O(n) norm-of-sum diversity
+    "part_name_fuzzy_pairs",    # added round 6: blocked Levenshtein linkage
+    "profile_lineitem",         # added round 6: one-pass column profiler
+    "order_value_distribution", # added round 6: ntile/percent_rank deciles
+    "type_token_stats",         # added round 6: per-source lexical profile
 ]
 
 

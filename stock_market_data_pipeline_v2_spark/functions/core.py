@@ -76,3 +76,21 @@ def single_partition_key(col: Column | str) -> Column:
     if isinstance(col, str):
         col = F.col(col)
     return F.pmod(F.hash(col), F.lit(1))
+
+
+def widen_if_narrow(df):  # type: ignore[no-untyped-def]
+    """Repartition ``df`` to the session default parallelism ONLY when
+    the scan yields fewer splits than that. At bench scale a few-MB
+    table reads as 1-3 splits, which serializes every downstream
+    CPU-heavy stage (Expand aggregates, Arrow kernels, gram passes);
+    a 100 TB scan already yields thousands of splits and must NOT be
+    gratuitously reshuffled (VERDICT r5 #2 — the repartition is
+    conditional, never a fixed plan step). ``getNumPartitions()`` is
+    plan metadata — no job runs. Shared by the dedup gram passes,
+    the column profiler, and any operator whose per-row cost dwarfs
+    one narrow-row shuffle.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

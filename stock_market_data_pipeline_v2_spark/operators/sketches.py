@@ -1,0 +1,271 @@
+"""Deterministic, cross-engine-verifiable distinct-count sketches.
+
+The reference pipeline's sketch surface (``sector_activity_sketch``)
+uses Spark's native ``approx_count_distinct`` — a HyperLogLog++ whose
+register updates are engine-internal, so it can only ever be
+rows-only-checked against another engine. This module implements the
+sketch itself — classic HyperLogLog (Flajolet et al. 2007, the
+public algorithm) — from engine-neutral primitives (md5, integer
+shifts, max), so the SAME register state and the SAME estimate fall
+out of Spark and DuckDB bit-for-bit, and the sketch query can join
+the hash-gated oracle set instead of the rows-only set.
+
+Determinism analysis (why the estimate hash-matches):
+- hash: first 8 hex chars of ``md5(cast(key as string))`` → a 32-bit
+  integer. Both engines agree on md5 of identical bytes.
+- register index = top ``p`` bits; rank = leading zeros of the
+  remaining ``32-p`` bits + 1, computed via the LENGTH OF THE BINARY
+  STRING (``bin()`` is unpadded in both engines) — integer algebra,
+  no floats.
+- register state = ``max(rank)`` per (group, index): integer max is
+  order-free, so the state is partitioning-independent — and the
+  same ``groupBy().max()`` IS the distributed merge (map-side
+  combinable; sketch state is m rows per group, never the raw keys).
+- indicator sum S = Σ 2^-M over the m registers (absent registers
+  contribute 2^0): every term is a dyadic rational with at most
+  ``32-p+1`` fractional bits, so the float64 sum is EXACT regardless
+  of addition order (needs ≤ p + 33 < 53 bits of significand) —
+  the one place a naive float implementation would be
+  order-sensitive, closed by construction. ``2^-M`` is built as
+  ``1.0 / shiftleft(1, M)`` (exact), never ``pow`` (libm).
+- estimate = alpha_m·m²/S: one multiply and one divide on identical
+  operands — deterministic. The small-range ``m·ln(m/V)`` linear-
+  counting correction is deliberately OMITTED: ``ln`` pits
+  java.lang.Math.log (Spark, fdlibm lineage) against glibc log
+  (DuckDB) — a cross-engine ulp gamble this repo refuses on
+  principle (PERF.md lesson: pow/ln/exp never cross the oracle
+  boundary). Consequence: the estimator needs n ≳ 2.5·m to be
+  unbiased, so ``p`` is a PARAMETER chosen per deployment — small
+  for this corpus's cardinalities, 12–14 on a real cluster — and
+  the registered query reports the exact count beside the estimate
+  so the bias is visible, not hidden.
+
+100 TB design: the input scan reduces to ``groups × m`` register
+rows in one map-side-combinable aggregate — the whole point of a
+sketch; nothing downstream touches raw keys. Registers are
+mergeable across days/partitions by the same ``max``, which is how
+an incremental rollup composes (union register tables, re-max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import round_away
+
+
+def _alpha(m: int) -> float:
+    """Standard HLL bias constant 0.7213/(1 + 1.079/m), evaluated
+    ONCE here and inlined as the identical float64 literal into both
+    the Spark plan and the generated SQL (two engines evaluating the
+    division themselves is a needless 1-ulp risk)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hash32(key: Column) -> Column:
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_register_table(
+    df: DataFrame, group_cols: list[str], key: str, p: int
+) -> DataFrame:
+    """(group, register index, max rank) — the mergeable sketch state."""
+    rest_bits = 32 - p
+    h = _hash32(F.col(key))
+    idx = F.shiftright(h, rest_bits)
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rank = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.select(*group_cols, idx.alias("reg_idx"), rank.alias("rank"))
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("rank").cast("long").alias("reg"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], key: str, p: int = 5
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate beside the exact count.
+
+    Output: group cols, ``n_registers`` (occupied), ``hll_estimate``
+    (raw HLL, rounded 4 dp), ``exact_distinct``, ``rel_error``
+    (rounded 6 dp) — the estimate/exact pair makes the sketch's
+    accuracy a first-class, oracle-checked output rather than a
+    claim. The exact count is kept ONLY as the accuracy reference —
+    a production rollup drops it and with it the expensive
+    count-distinct; the sketch side alone never shuffles more than
+    group×2^p register rows.
+    """
+    m = 1 << p
+    regs = hll_register_table(df, group_cols, key, p)
+    # Σ 2^-reg over occupied registers, exact dyadic arithmetic.
+    # (SQL form: the Python shiftleft binding takes only a literal
+    # bit count, the SQL function accepts a column.)
+    ind = F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), reg)")
+    sketch = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(ind).alias("occupied_sum"),
+    )
+    # absent registers contribute 2^0 = 1 each
+    s = F.col("occupied_sum") + (F.lit(m) - F.col("n_registers")).cast(
+        "double"
+    )
+    est = F.lit(_alpha(m)) * F.lit(float(m * m)) / s
+    exact = df.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(key)).alias("exact_distinct")
+    )
+    return (
+        sketch.join(exact, group_cols)
+        .select(
+            *group_cols,
+            "n_registers",
+            round_away(est, 4).alias("hll_estimate"),
+            "exact_distinct",
+            round_away(
+                (est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def hll_oracle_sql(
+    table: str, group_cols: list[str], key: str, p: int = 5
+) -> str:
+    """DuckDB twin generated from the SAME literals as the Spark plan
+    (the zvalue_oracle_sql / bpe_oracle_sql pattern: one source of
+    truth, never two hand-maintained copies)."""
+    m = 1 << p
+    g = ", ".join(group_cols)
+    rest_bits = 32 - p
+    mask = (1 << rest_bits) - 1
+    est = (
+        f"CAST({_alpha(m)!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+        f" / (sk.occupied_sum + CAST({m} - sk.n_registers AS DOUBLE))"
+    )
+    return f"""
+WITH h AS (
+    SELECT {g},
+        CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+    FROM {table}
+),
+r AS (
+    SELECT {g},
+        h32 >> {rest_bits} AS reg_idx,
+        CASE WHEN (h32 & {mask}) = 0 THEN {rest_bits + 1}
+             ELSE {rest_bits + 1} - length(bin(h32 & {mask})) END AS rank
+    FROM h
+),
+regs AS (
+    SELECT {g}, reg_idx, CAST(max(rank) AS BIGINT) AS reg
+    FROM r GROUP BY {g}, reg_idx
+),
+sk AS (
+    SELECT {g},
+        CAST(count(*) AS BIGINT) AS n_registers,
+        sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << reg)) AS occupied_sum
+    FROM regs GROUP BY {g}
+),
+ex AS (
+    SELECT {g}, CAST(count(DISTINCT {key}) AS BIGINT) AS exact_distinct
+    FROM {table} GROUP BY {g}
+)
+SELECT {', '.join('sk.' + c for c in group_cols)}, sk.n_registers,
+    round({est}, 4) AS hll_estimate,
+    ex.exact_distinct,
+    round(({est} - CAST(ex.exact_distinct AS DOUBLE))
+          / CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_error
+FROM sk JOIN ex USING ({g})
+ORDER BY {g}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the membership sketch, same cross-engine contract as
+# the HLL above: register (bit) state and every probe are integer/md5
+# algebra both engines reproduce exactly, so a query BUILT ON the
+# sketch can be hash-gated rather than rows-only-checked.
+#
+# Hash family: md5-seeded double hashing (Kirsch–Mitzenmacher 2006),
+# the exact family the MinHash tier uses (dedup.py:_signatures_from):
+# a = first md5 word, step = 2·(second md5 word)+1 (odd), probe i at
+# bit (a + i·step) mod m. Bits pack into 32-bit words (BIGINT-held)
+# so neither engine ever left-shifts past bit 31 — DuckDB's BIGINT
+# << 63 is an overflow error, Spark's wraps; both stay far away.
+#
+# 100 TB design: the built filter is FIXED SIZE — ceil(m/32) word
+# rows regardless of how many keys went in (the reason to prefer it
+# over a broadcast distinct-key set once the reference side outgrows
+# executor memory) — and the build is one map-side-combinable
+# ``bit_or`` aggregate, mergeable across partitions/days by the same
+# ``bit_or`` (union = OR, the Bloom composition law).
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(key: Column, i: int, m_bits: int) -> Column:
+    """Bit position of probe ``i`` for ``key`` (string column)."""
+    h = F.md5(key)
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    step = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") * 2 + 1
+    return F.pmod(a + i * step, F.lit(m_bits))
+
+
+def bloom_build_words(
+    keys: DataFrame, key_col: str, m_bits: int, k: int
+) -> DataFrame:
+    """OR-fold the keys' probe bits into (word_idx, bits) rows —
+    the filter's full state, ``ceil(m_bits/32)`` rows max."""
+    pos = F.explode(
+        F.array(*[_bloom_pos(F.col(key_col), i, m_bits) for i in range(k)])
+    )
+    return (
+        keys.select(pos.alias("__pos"))
+        .select(
+            F.shiftright(F.col("__pos"), 5).alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))"
+            ).alias("__mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_membership(
+    candidates: DataFrame,
+    key_col: str,
+    words: DataFrame,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Append ``in_bloom`` to ``candidates``: true iff ALL ``k`` probe
+    bits are set. The filter side is fixed-size → broadcast; probes
+    LEFT-join it (an absent word row means no bit in that word was
+    ever set)."""
+    probe = F.explode(
+        F.array(*[_bloom_pos(F.col(key_col), i, m_bits) for i in range(k)])
+    )
+    probed = candidates.select("*", probe.alias("__pos")).select(
+        "*",
+        F.shiftright(F.col("__pos"), 5).alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))"
+        ).alias("__mask"),
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__mask")) != 0
+    ).cast("int")
+    group_cols = [c for c in candidates.columns]
+    return (
+        probed.join(F.broadcast(words), "word_idx", "left")
+        .select(*group_cols, hit.alias("__set"))
+        .groupBy(*group_cols)
+        .agg((F.sum("__set") == F.lit(k)).alias("in_bloom"))
+    )

@@ -624,3 +624,86 @@ def funnel_conversion(
         )
         .orderBy("stage_idx")
     )
+
+
+def order_value_distribution(
+    orders: DataFrame, customer: DataFrame, n_tiles: int = 10
+) -> DataFrame:
+    """Per-market-segment order-value DECILE profile — the ranking-
+    window breadth mart (ntile / percent_rank / cume_dist, the three
+    distribution windows nothing else in the registry exercises).
+    Rows are ranked within segment by (o_totalprice, o_orderkey) —
+    the unique tiebreak makes every rank function deterministic —
+    and aggregated per decile: counts, price range, DECIMAL-summed
+    revenue (the money-sum lesson: pennies must not flip at half-cent
+    boundaries), and the decile's boundary cume_dist / percent_rank.
+
+    100 TB design: the customer→segment map is a PER-CUSTOMER frame
+    — it grows with the data, so it carries NO forced broadcast hint
+    (the r5 lesson from cohort_retention/funnel_conversion: size-based
+    planning/AQE broadcasts it while it fits, and degrades to a
+    shuffle join instead of an executor OOM when it doesn't). After
+    the join: one window shuffle on segment (the same partitioning
+    the decile aggregate then reuses), nothing else. A skewed segment
+    sorts in parallel within its partition's range — at true scale
+    swap the window for the two-level rank (quality_decile_bins
+    pattern); at dim-bounded segment counts the plain window is the
+    simpler correct plan.
+    """
+    seg = customer.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    w = Window.partitionBy("segment").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        orders.join(seg, "o_custkey")
+        .select(
+            "segment",
+            "o_totalprice",
+            "o_orderkey",
+            F.ntile(n_tiles).over(w).cast("long").alias("decile"),
+            F.percent_rank().over(w).alias("__pr"),
+            F.cume_dist().over(w).alias("__cd"),
+        )
+    )
+    return (
+        ranked.groupBy("segment", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            round_away(F.min("o_totalprice"), 2).alias("min_price"),
+            round_away(F.max("o_totalprice"), 2).alias("max_price"),
+            round_away(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_price"),
+            round_away(F.max("__pr"), 6).alias("max_pct_rank"),
+            round_away(F.max("__cd"), 6).alias("cum_frac"),
+        )
+        .orderBy("segment", "decile")
+    )
+
+
+ORDER_VALUE_DISTRIBUTION_SQL = """
+WITH ranked AS (
+    SELECT c.c_mktsegment AS segment, o.o_totalprice, o.o_orderkey,
+        CAST(ntile(10) OVER win AS BIGINT) AS decile,
+        percent_rank() OVER win AS pr,
+        cume_dist() OVER win AS cd
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WINDOW win AS (PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice, o.o_orderkey)
+)
+SELECT segment, decile,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    round(min(o_totalprice), 2) AS min_price,
+    round(max(o_totalprice), 2) AS max_price,
+    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        AS sum_price,
+    round(max(pr), 6) AS max_pct_rank,
+    round(max(cd), 6) AS cum_frac
+FROM ranked
+GROUP BY segment, decile
+ORDER BY segment, decile
+"""

@@ -653,3 +653,92 @@ def dedup_sentences_within_doc(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def type_token_stats(documents: DataFrame) -> DataFrame:
+    """Per-source LEXICAL profile: the type/token statistics a corpus
+    audit reads before choosing tokenizer and mixing weights —
+    total tokens, vocabulary size (types), type-token ratio, hapax
+    legomena (freq 1) and dis legomena (freq 2) counts, and the top
+    token's frequency share (a Zipf-head proxy; a share far above
+    1/rank signals boilerplate).
+
+    Shape: explode → (source, token) counts with map-side combine →
+    one source-grain fold; shuffle volume is O(distinct tokens per
+    partition), the ``token_frequency`` argument. The doc-count side
+    is a separate source-grain aggregate joined at model size.
+    """
+    toks = documents.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(_norm(), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("token"),
+    )
+    tok_counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per_source = tok_counts.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        F.count_if(F.col("cnt") == 1).cast("long").alias("hapax_tokens"),
+        F.count_if(F.col("cnt") == 2).cast("long").alias("dis_tokens"),
+        F.max("cnt").cast("long").alias("top_token_count"),
+    )
+    docs = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    ttr = F.col("distinct_tokens").cast("double") / F.col(
+        "total_tokens"
+    ).cast("double")
+    share = F.col("top_token_count").cast("double") / F.col(
+        "total_tokens"
+    ).cast("double")
+    return (
+        per_source.join(docs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "distinct_tokens",
+            round_away(ttr, 6).alias("type_token_ratio"),
+            "hapax_tokens",
+            "dis_tokens",
+            "top_token_count",
+            round_away(share, 6).alias("top_token_share"),
+        )
+        .orderBy("source")
+    )
+
+
+TYPE_TOKEN_STATS_SQL = """
+WITH toks AS (
+    SELECT source, unnest(regexp_extract_all(lower(trim(text)),
+        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+    FROM documents
+),
+tc AS (
+    SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY source, token
+),
+ps AS (
+    SELECT source,
+        CAST(sum(cnt) AS BIGINT) AS total_tokens,
+        CAST(count(*) AS BIGINT) AS distinct_tokens,
+        CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens,
+        CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis_tokens,
+        CAST(max(cnt) AS BIGINT) AS top_token_count
+    FROM tc GROUP BY source
+),
+d AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+)
+SELECT ps.source, d.n_docs, ps.total_tokens, ps.distinct_tokens,
+    round(CAST(ps.distinct_tokens AS DOUBLE) / ps.total_tokens, 6)
+        AS type_token_ratio,
+    ps.hapax_tokens, ps.dis_tokens, ps.top_token_count,
+    round(CAST(ps.top_token_count AS DOUBLE) / ps.total_tokens, 6)
+        AS top_token_share
+FROM ps JOIN d ON ps.source = d.source
+ORDER BY ps.source
+"""
