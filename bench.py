@@ -144,6 +144,12 @@ HEADLINE = [
     "profile_lineitem",         # added round 6: one-pass column profiler
     "order_value_distribution", # added round 6: ntile/percent_rank deciles
     "type_token_stats",         # added round 6: per-source lexical profile
+    "bloom_decontaminate",      # added round 6: fixed-size Bloom decontamination tier
+    "event_value_quantile_sketch",  # added round 6: cross-engine histogram quantiles
+    "event_transitions",        # added round 6: Markov transition matrix
+    "part_pagerank",            # added round 6: fixed-point K-step PageRank
+    "dedup_prefix_filter",      # added round 6: lossless ppjoin prefix tier
+    "lineitem_profile_drift",   # added round 6: two-slice profile diff
 ]
 
 

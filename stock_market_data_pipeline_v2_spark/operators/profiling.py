@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.core import widen_if_narrow
+from ..functions.core import round_away, widen_if_narrow
 
 # (column, kind): num → min/max as double; str → min/max lexicographic;
 # ts → min/max as formatted NTZ wall-time strings.
@@ -127,3 +127,109 @@ FROM {table}"""
     return "\n".join(
         [" UNION ALL\n".join(branches), "ORDER BY column_name"]
     )
+
+
+def profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    spec: list[tuple[str, str]],
+) -> DataFrame:
+    """Column-profile DRIFT between two slices of the same table —
+    the check a warehouse team runs between yesterday's load and
+    today's (schema-stable, distribution-shifting): per column, both
+    slices' null fractions and distinct counts plus their deltas, and
+    a ``range_moved`` flag when a numeric column's observed [min,max]
+    envelope shifted. Composes :func:`profile_table` (one scan per
+    slice — the same single-Expand plan), joins at spec size.
+
+    100 TB design: two scans total regardless of spec width; the diff
+    itself is |spec| rows. For date-partitioned tables each slice scan
+    prunes to its partitions (the usual incremental-audit shape).
+    """
+    pa = profile_table(df_a, spec).select(
+        "column_name",
+        F.col("n_rows").alias("rows_a"),
+        F.col("n_null").alias("null_a"),
+        F.col("n_distinct").alias("nd_a"),
+        F.col("min_num").alias("min_a"),
+        F.col("max_num").alias("max_a"),
+    )
+    pb = profile_table(df_b, spec).select(
+        "column_name",
+        F.col("n_rows").alias("rows_b"),
+        F.col("n_null").alias("null_b"),
+        F.col("n_distinct").alias("nd_b"),
+        F.col("min_num").alias("min_b"),
+        F.col("max_num").alias("max_b"),
+    )
+    null_frac_a = F.col("null_a").cast("double") / F.col("rows_a").cast("double")
+    null_frac_b = F.col("null_b").cast("double") / F.col("rows_b").cast("double")
+    return (
+        pa.join(pb, "column_name")
+        .select(
+            "column_name",
+            "rows_a",
+            "rows_b",
+            round_away(null_frac_a, 6).alias("null_frac_a"),
+            round_away(null_frac_b, 6).alias("null_frac_b"),
+            round_away(null_frac_b - null_frac_a, 6).alias("null_frac_delta"),
+            "nd_a",
+            "nd_b",
+            (F.col("nd_b") - F.col("nd_a")).alias("nd_delta"),
+            (
+                # coalesce each comparison: non-numeric columns carry
+                # NULL min/max and must read as "not widened", matching
+                # the oracle's coalesce(…, FALSE)
+                F.coalesce(F.col("min_b") < F.col("min_a"), F.lit(False))
+                | F.coalesce(F.col("max_b") > F.col("max_a"), F.lit(False))
+            ).alias("range_widened"),
+        )
+        .orderBy("column_name")
+    )
+
+
+def profile_drift_oracle_sql(
+    table: str,
+    spec: list[tuple[str, str]],
+    pred_a: str,
+    pred_b: str,
+) -> str:
+    """DuckDB twin of :func:`profile_drift` over two predicates of the
+    same table, generated from the SAME spec (single-source)."""
+
+    def side(pred: str, tag: str) -> str:
+        branches = []
+        for c, kind in spec:
+            if kind == "num":
+                mn = f"CAST(min({c}) AS DOUBLE)"
+                mx = f"CAST(max({c}) AS DOUBLE)"
+            else:
+                mn = mx = "CAST(NULL AS DOUBLE)"
+            branches.append(
+                f"""SELECT '{c}' AS column_name,
+    CAST(count(*) AS BIGINT) AS rows_{tag},
+    CAST(count(*) - count({c}) AS BIGINT) AS null_{tag},
+    CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{tag},
+    {mn} AS min_{tag}, {mx} AS max_{tag}
+FROM {table} WHERE {pred}"""
+            )
+        return " UNION ALL\n".join(branches)
+
+    return f"""
+WITH pa AS (
+{side(pred_a, 'a')}
+),
+pb AS (
+{side(pred_b, 'b')}
+)
+SELECT pa.column_name, pa.rows_a, pb.rows_b,
+    round(CAST(pa.null_a AS DOUBLE) / pa.rows_a, 6) AS null_frac_a,
+    round(CAST(pb.null_b AS DOUBLE) / pb.rows_b, 6) AS null_frac_b,
+    round(CAST(pb.null_b AS DOUBLE) / pb.rows_b
+          - CAST(pa.null_a AS DOUBLE) / pa.rows_a, 6) AS null_frac_delta,
+    pa.nd_a, pb.nd_b, pb.nd_b - pa.nd_a AS nd_delta,
+    coalesce(pb.min_b < pa.min_a, FALSE)
+        OR coalesce(pb.max_b > pa.max_a, FALSE) AS range_widened
+FROM pa JOIN pb USING (column_name)
+ORDER BY pa.column_name
+"""

@@ -269,3 +269,182 @@ def bloom_membership(
         .groupBy(*group_cols)
         .agg((F.sum("__set") == F.lit(k)).alias("in_bloom"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — the third classic sketch beside HLL
+# (distinct counts) and Bloom (membership): approximate quantiles
+# whose state is bin-grain, with the same cross-engine contract. The
+# native tier (approx_percentile in sector_activity_sketch) is
+# rows-only by necessity; this one's estimate is bit-reproducible, so
+# the approximate answer itself joins the hash-gated oracle set with
+# the exact percentile_disc beside it as the accuracy reference.
+#
+# Determinism analysis: bin width = (max−min)/nbins and bin index =
+# floor((v−min)/width) are the SAME IEEE-754 double operations in
+# both engines (one subtract, one divide, one floor — no libm); bin
+# counts and the cumulative crossing ceil(q·n) are integer algebra;
+# the reported edge min + (bin+1)·width is one fused chain both
+# engines evaluate identically. Error bound: the upper-edge estimator
+# sits within one bin width above the exact quantile — (max−min)/
+# nbins, an a-priori bound the err_* columns make visible per group.
+#
+# 100 TB design: two scans (min/max/count, then bin counts), both
+# map-side-combinable; sketch state is ≤ groups×nbins rows and is
+# mergeable across partitions/days by summing bin counts (fixed bins
+# — unlike t-digest/GK, the merge is a plain aggregate). The exact
+# percentile_disc branch is the ground-truth reference a production
+# rollup drops.
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    nbins: int = 64,
+    qs: tuple[tuple[str, float], ...] = (
+        ("p50", 0.5),
+        ("p90", 0.9),
+        ("p99", 0.99),
+    ),
+) -> DataFrame:
+    """Per-group approximate quantiles from a fixed-bin histogram,
+    beside the exact ``percentile_disc`` values and the signed error.
+    Output: group cols, n_values, bin_width, then per q:
+    ``approx_{q}``, ``exact_{q}``, ``err_{q}``."""
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    v = F.col(value_col)
+    stats = df.groupBy(*g).agg(
+        F.min(v).alias("__mn"),
+        F.max(v).alias("__mx"),
+        F.count(v).cast("long").alias("n_values"),
+    )
+    sdf = stats.withColumn(
+        "__w", (F.col("__mx") - F.col("__mn")) / F.lit(float(nbins))
+    )
+    binned = df.join(F.broadcast(sdf), g).select(
+        *g,
+        F.when(F.col("__w") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor((v - F.col("__mn")) / F.col("__w")),
+                F.lit(nbins - 1).cast("long"),
+            )
+        )
+        .alias("__bin"),
+    )
+    bc = binned.groupBy(*g, "__bin").agg(
+        F.count(F.lit(1)).cast("long").alias("__bn")
+    )
+    wcum = (
+        Window.partitionBy(*g)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bc.withColumn("__cum", F.sum("__bn").over(wcum)).join(
+        F.broadcast(sdf), g
+    )
+    edge = F.col("__mn") + (F.col("__bin") + 1).cast("double") * F.col("__w")
+    sk = cum.groupBy(*g).agg(
+        F.max("n_values").alias("n_values"),
+        F.max("__w").alias("__width"),
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.ceil(F.lit(q) * F.col("n_values")),
+                    edge,
+                )
+            ).alias(f"__ap_{name}")
+            for name, q in qs
+        ],
+    )
+    exact = df.groupBy(*g).agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias(f"__ex_{name}")
+            for name, q in qs
+        ]
+    )
+    out_cols = [*g, "n_values", round_away(F.col("__width"), 6).alias("bin_width")]
+    for name, _q in qs:
+        out_cols.append(round_away(F.col(f"__ap_{name}"), 6).alias(f"approx_{name}"))
+        out_cols.append(F.col(f"__ex_{name}").alias(f"exact_{name}"))
+        out_cols.append(
+            round_away(
+                F.col(f"__ap_{name}") - F.col(f"__ex_{name}"), 6
+            ).alias(f"err_{name}")
+        )
+    return sk.join(exact, g).select(*out_cols).orderBy(*g)
+
+
+def histogram_quantile_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    nbins: int = 64,
+    qs: tuple[tuple[str, float], ...] = (
+        ("p50", 0.5),
+        ("p90", 0.9),
+        ("p99", 0.99),
+    ),
+) -> str:
+    """DuckDB twin of :func:`histogram_quantile_sketch`, generated
+    from the same literals (single-source pattern)."""
+    g = ", ".join(group_cols)
+    v = value_col
+    ap_exprs = ",\n        ".join(
+        f"min(CASE WHEN c.cum >= ceil({q!r} * s.n_values)"
+        f" THEN s.mn + (c.bin + 1) * s.w END) AS ap_{name}"
+        for name, q in qs
+    )
+    ex_exprs = ", ".join(
+        f"quantile_disc({v}, {q!r}) AS ex_{name}" for name, q in qs
+    )
+    out_exprs = ", ".join(
+        f"round(sk.ap_{name}, 6) AS approx_{name}, ex.ex_{name} AS exact_{name}, "
+        f"round(sk.ap_{name} - ex.ex_{name}, 6) AS err_{name}"
+        for name, _q in qs
+    )
+    sg = ", ".join("sk." + c for c in group_cols)
+    return f"""
+WITH stats AS (
+    SELECT {g}, min({v}) AS mn, max({v}) AS mx,
+        CAST(count({v}) AS BIGINT) AS n_values,
+        (max({v}) - min({v})) / CAST({nbins} AS DOUBLE) AS w
+    FROM {table} GROUP BY {g}
+),
+binned AS (
+    SELECT t.*, CASE WHEN s.w = 0 THEN 0
+        ELSE CAST(least(floor(({v} - s.mn) / s.w), {nbins - 1}) AS BIGINT)
+        END AS bin
+    FROM {table} t JOIN stats s USING ({g})
+),
+bc AS (
+    SELECT {g}, bin, CAST(count(*) AS BIGINT) AS bn
+    FROM binned GROUP BY {g}, bin
+),
+cum AS (
+    SELECT {g}, bin,
+        sum(bn) OVER (PARTITION BY {g} ORDER BY bin) AS cum
+    FROM bc
+),
+sk AS (
+    SELECT c.{group_cols[0] if len(group_cols) == 1 else g},
+        max(s.n_values) AS n_values,
+        max(s.w) AS width,
+        {ap_exprs}
+    FROM cum c JOIN stats s USING ({g})
+    GROUP BY c.{group_cols[0] if len(group_cols) == 1 else g}
+),
+ex AS (
+    SELECT {g}, {ex_exprs} FROM {table} GROUP BY {g}
+)
+SELECT {sg}, sk.n_values, round(sk.width, 6) AS bin_width, {out_exprs}
+FROM sk JOIN ex USING ({g})
+ORDER BY {g}
+"""

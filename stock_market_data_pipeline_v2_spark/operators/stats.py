@@ -707,3 +707,70 @@ FROM ranked
 GROUP BY segment, decile
 ORDER BY segment, decile
 """
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-analytics mart beside the cohort /
+    funnel pair: for every (prev → next) event-type pair, the
+    transition count and its row-normalized probability. Sequences
+    are per-user by (ts, event_id) — the unique tiebreak keeps the
+    lag deterministic when two events share a timestamp.
+
+    100 TB design: ONE shuffle (the per-user lag window; users hash
+    evenly), then everything is event-type² grain — the transition
+    matrix is model-sized no matter the fact-table scale, and the
+    probability normalization joins matrix-sized frames. The exact
+    same window partitioning serves funnel/session ops, so a shared
+    pre-sort on user_id amortizes across the mart family.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n_transitions").cast("long").alias("__total")
+    )
+    return (
+        counts.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            round_away(
+                F.col("n_transitions").cast("double")
+                / F.col("__total").cast("double"),
+                6,
+            ).alias("p_transition"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT event_type AS next_type,
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+),
+totals AS (
+    SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS total
+    FROM counts GROUP BY prev_type
+)
+SELECT c.prev_type, c.next_type, c.n_transitions,
+    round(CAST(c.n_transitions AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+        AS p_transition
+FROM counts c JOIN totals t USING (prev_type)
+ORDER BY c.prev_type, c.next_type
+"""

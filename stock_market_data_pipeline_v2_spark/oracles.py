@@ -3352,3 +3352,30 @@ SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_users,
 FROM counts
 ORDER BY stage_idx
 """
+
+# operators/dedup.py:jaccard_prefix_filter_pairs — prefix filtering
+# is LOSSLESS (ppjoin lemma), so its oracle is the UNCAPPED exact
+# all-pairs join: same shingle CTE as NGRAM_JACCARD_SQL, no df-cap
+# QUALIFY. The prefix machinery exists only on the engine side —
+# the whole point is that it cannot change the answer.
+PREFIX_JACCARD_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks
+),
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (x.c + y.c - i), 4) AS jaccard
+FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.c + y.c - i) >= 0.5
+"""

@@ -164,3 +164,138 @@ def test_type_token_stats_invariants(spark):
         assert 0.0 < r.type_token_ratio <= 1.0
         assert r.top_token_count * r.n_docs >= r.top_token_count
         assert 0.0 < r.top_token_share <= 1.0
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """A Bloom filter can only over-report membership: per doc,
+    bloom hits >= exact hits (zero false negatives), fp >= 0, and
+    the drop verdict covers every exactly-contaminated doc."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        bloom_decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    rows = bloom_decontaminate(
+        docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0")
+    ).collect()
+    assert rows
+    exact_contaminated = 0
+    for r in rows:
+        assert r.n_bloom_hits >= r.n_exact_hits
+        assert r.n_false_positives >= 0
+        assert r.drop == (r.n_bloom_hits > 0)
+        if r.n_exact_hits > 0:
+            exact_contaminated += 1
+            assert r.drop
+    assert exact_contaminated > 0  # the split must actually overlap
+
+
+def test_bloom_state_is_fixed_size(spark):
+    """The filter's word table is bounded by ceil(m/32) rows no
+    matter how many keys were inserted — the property that makes it
+    broadcastable when the exact key set is not."""
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.operators.sketches import (
+        bloom_build_words,
+    )
+
+    m_bits, k = 1 << 10, 5
+    keys = spark.range(100000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    words = bloom_build_words(keys, "key", m_bits, k)
+    assert words.count() <= m_bits // 32
+
+
+def test_histogram_quantile_error_within_one_bin(spark):
+    """Upper-edge estimator contract: exact quantile lies inside the
+    crossing bin, so 0 <= approx - exact <= bin width (+6dp slack)."""
+    from stock_market_data_pipeline_v2_spark.operators.sketches import (
+        histogram_quantile_sketch,
+    )
+    import __spark_entry__ as m
+
+    events = m.queries()["event_value_quantile_sketch"](spark, SF01)
+    for r in events.collect():
+        for q in ("p50", "p90", "p99"):
+            err = getattr(r, f"err_{q}")
+            assert -1e-6 <= err <= r.bin_width + 1e-6, (r, q)
+
+
+def test_event_transitions_rows_normalize(spark):
+    from stock_market_data_pipeline_v2_spark.operators.stats import (
+        event_transitions,
+    )
+    from stock_market_data_pipeline_v2_spark.session import configure_runtime
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    configure_runtime(spark)
+    rows = event_transitions(load_table(spark, SF01, "events")).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert r.n_transitions > 0
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p_transition
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_pagerank_matches_pure_python_fixed_point(spark):
+    """The integer micro-unit PageRank must match an INDEPENDENT
+    pure-Python big-int reimplementation exactly — the property that
+    makes K chained iterations oracle-gateable at all."""
+    from stock_market_data_pipeline_v2_spark.operators.graph import (
+        SCALE,
+        copurchase_edges,
+        pagerank_copurchase,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        release_cached_inputs,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    got_df = pagerank_copurchase(li, iters=5)
+    got = {r.l_partkey: r.pagerank_scaled for r in got_df.collect()}
+
+    edges = [(r.src, r.dst) for r in copurchase_edges(li).collect()]
+    release_cached_inputs(got_df)
+    nodes = sorted({r.l_partkey for r in li.select("l_partkey").distinct().collect()})
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    r = {p: SCALE // n for p in nodes}
+    for _ in range(5):
+        sums = {p: 0 for p in nodes}
+        for s, ds in out.items():
+            c = r[s] // len(ds)
+            for d in ds:
+                sums[d] += c
+        r = {p: (15 * SCALE) // (100 * n) + (85 * sums[p]) // 100 for p in nodes}
+    assert got == r
+    # mass sanity: total stays within N dropped remainders per step
+    assert abs(sum(r.values()) - SCALE) < 6 * n + SCALE * 15 // 100
+
+
+def test_prefix_filter_is_lossless(spark):
+    """The ppjoin prefix lemma: prefix-filtered candidates must
+    reproduce the UNCAPPED exact all-pairs result EXACTLY — same
+    pairs, same jaccard values (unlike df-cap or SNM, no recall
+    trade at all)."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        release_cached_inputs,
+        shingle_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    exact_df = shingle_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_freq=10**9
+    )
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in exact_df.collect()}
+    release_cached_inputs(exact_df)
+    pref_df = jaccard_prefix_filter_pairs(docs, n=3, threshold=0.5)
+    pref = {(r.doc_a, r.doc_b): r.jaccard for r in pref_df.collect()}
+    release_cached_inputs(pref_df)
+    assert pref == exact and len(pref) > 0

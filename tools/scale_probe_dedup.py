@@ -89,6 +89,7 @@ def main() -> None:
     ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
 
+    from stock_market_data_pipeline_v2_spark.operators import dedup as _r6_dedup
     from stock_market_data_pipeline_v2_spark.operators.dedup import (
         embedding_neardup_pairs_blas,
         embedding_neardup_pairs_ivf,
@@ -221,6 +222,21 @@ def main() -> None:
         "dedup_embedding_ivf": lambda: embedding_neardup_pairs_ivf(
             embs, threshold=0.4, index=idx
         ),
+        # round 6: the lossless prefix-filter tier vs the capped
+        # inverted index above — same metric, rare-tail candidate cost
+        "dedup_prefix_filter": lambda: _r6_dedup.jaccard_prefix_filter_pairs(
+            docs, n=3, threshold=0.5
+        ),
+        # round 6: data-independent O(n·w) SNM candidate generation
+        "dedup_snm": lambda: _r6_dedup.dedup_sorted_neighborhood(
+            docs, window_size=10
+        ),
+        # round 6: fixed-size Bloom decontamination (reference = the
+        # 10% slice; the filter words table is m/32 rows at ANY mult)
+        "bloom_decontaminate": lambda: _r6_dedup.bloom_decontaminate(
+            docs.filter("doc_id % 10 != 0"),
+            docs.filter("doc_id % 10 = 0"),
+        ).filter("n_grams >= 0"),
     }
     if args.queries:
         probes = {k: v for k, v in probes.items() if k in args.queries}
