@@ -398,6 +398,27 @@ def q_event_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 6: per-day HLL registers merged to event_type grain; the
+    # merge-exactness identity (merged == direct, the property that
+    # makes per-day sketch tables answer range queries without fact
+    # rescans) is an oracle-checked output column.
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.operators.sketches import (
+        hll_rollup,
+    )
+
+    configure_runtime(spark)
+    return hll_rollup(
+        load_table(spark, sf_dir, "events"),
+        ["event_type"],
+        F.to_date(F.col("ts")),
+        "user_id",
+        p=5,
+    )
+
+
 def q_sector_activity_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -1615,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pagerank": q_part_pagerank,
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "lineitem_profile_drift": q_lineitem_profile_drift,
+        "hll_daily_rollup": q_hll_daily_rollup,
     }
 
 
@@ -1636,6 +1658,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "hll_event_users": sketches.hll_oracle_sql(
             "events", ["event_type"], "user_id", p=5
+        ),
+        "hll_daily_rollup": sketches.hll_rollup_oracle_sql(
+            "events", ["event_type"], "CAST(ts AS DATE)", "user_id", p=5
         ),
         "event_value_quantile_sketch": sketches.histogram_quantile_oracle_sql(
             "events", ["event_type"], "value"

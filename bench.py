@@ -150,6 +150,7 @@ HEADLINE = [
     "part_pagerank",            # added round 6: fixed-point K-step PageRank
     "dedup_prefix_filter",      # added round 6: lossless ppjoin prefix tier
     "lineitem_profile_drift",   # added round 6: two-slice profile diff
+    "hll_daily_rollup",         # added round 6: mergeable sketch rollup
 ]
 
 

@@ -448,3 +448,145 @@ SELECT {sg}, sk.n_values, round(sk.width, 6) AS bin_width, {out_exprs}
 FROM sk JOIN ex USING ({g})
 ORDER BY {g}
 """
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    rollup_col: Column,
+    key: str,
+    p: int = 5,
+) -> DataFrame:
+    """The 100 TB HLL pattern made driver-visible: registers built at
+    the FINE grain (group × rollup unit, e.g. per day), then merged to
+    the coarse grain by the same integer ``max`` — and the merged
+    estimate compared against the estimate computed directly on the
+    raw data. The two are IDENTICAL by construction (max is
+    associative/commutative — the Bloom ``bit_or`` composition law's
+    HLL twin), which is what lets a warehouse keep tiny per-day
+    sketch tables and answer any date-range distinct query without
+    rescanning facts; here the identity is an ORACLE-CHECKED output
+    (``merged_minus_direct`` = 0 for every group), not a docstring
+    claim.
+
+    Output: group cols, n_units (fine-grain units merged),
+    n_registers, merged_estimate, direct_estimate,
+    merged_minus_direct.
+    """
+    m = 1 << p
+    fine = hll_register_table(
+        df.withColumn("__unit", rollup_col), [*group_cols, "__unit"], key, p
+    )
+    merged = (
+        fine.groupBy(*group_cols, "reg_idx")
+        .agg(F.max("reg").alias("reg"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_registers"),
+            F.sum(
+                F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), reg)")
+            ).alias("__occ"),
+        )
+    )
+    units = (
+        fine.select(*group_cols, "__unit")
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_units"))
+    )
+    direct = hll_register_table(df, group_cols, key, p).groupBy(
+        *group_cols
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__nr_d"),
+        F.sum(
+            F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), reg)")
+        ).alias("__occ_d"),
+    )
+
+    def est(occ: Column, nr: Column) -> Column:
+        s = occ + (F.lit(m) - nr).cast("double")
+        return F.lit(_alpha(m)) * F.lit(float(m * m)) / s
+
+    e_m = est(F.col("__occ"), F.col("n_registers"))
+    e_d = est(F.col("__occ_d"), F.col("__nr_d"))
+    return (
+        merged.join(units, group_cols)
+        .join(direct, group_cols)
+        .select(
+            *group_cols,
+            "n_units",
+            "n_registers",
+            round_away(e_m, 4).alias("merged_estimate"),
+            round_away(e_d, 4).alias("direct_estimate"),
+            round_away(e_m - e_d, 6).alias("merged_minus_direct"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def hll_rollup_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    rollup_expr: str,
+    key: str,
+    p: int = 5,
+) -> str:
+    """DuckDB twin of :func:`hll_rollup`, generated from the same
+    literals (single-source pattern)."""
+    m = 1 << p
+    g = ", ".join(group_cols)
+    rest_bits = 32 - p
+    mask = (1 << rest_bits) - 1
+    alpha = f"CAST({_alpha(m)!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+    return f"""
+WITH h AS (
+    SELECT {g}, {rollup_expr} AS unit,
+        CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+    FROM {table}
+),
+r AS (
+    SELECT {g}, unit,
+        h32 >> {rest_bits} AS reg_idx,
+        CASE WHEN (h32 & {mask}) = 0 THEN {rest_bits + 1}
+             ELSE {rest_bits + 1} - length(bin(h32 & {mask})) END AS rank
+    FROM h
+),
+fine AS (
+    SELECT {g}, unit, reg_idx, CAST(max(rank) AS BIGINT) AS reg
+    FROM r GROUP BY {g}, unit, reg_idx
+),
+mrg AS (
+    SELECT {g}, reg_idx, CAST(max(reg) AS BIGINT) AS reg
+    FROM fine GROUP BY {g}, reg_idx
+),
+msk AS (
+    SELECT {g},
+        CAST(count(*) AS BIGINT) AS n_registers,
+        sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << reg)) AS occ
+    FROM mrg GROUP BY {g}
+),
+units AS (
+    SELECT {g}, CAST(count(DISTINCT unit) AS BIGINT) AS n_units
+    FROM fine GROUP BY {g}
+),
+dreg AS (
+    SELECT {g}, reg_idx, CAST(max(rank) AS BIGINT) AS reg
+    FROM r GROUP BY {g}, reg_idx
+),
+dsk AS (
+    SELECT {g},
+        CAST(count(*) AS BIGINT) AS nr_d,
+        sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << reg)) AS occ_d
+    FROM dreg GROUP BY {g}
+)
+SELECT {', '.join('msk.' + c for c in group_cols)}, units.n_units, msk.n_registers,
+    round({alpha} / (msk.occ + CAST({m} - msk.n_registers AS DOUBLE)), 4)
+        AS merged_estimate,
+    round({alpha} / (dsk.occ_d + CAST({m} - dsk.nr_d AS DOUBLE)), 4)
+        AS direct_estimate,
+    round({alpha} / (msk.occ + CAST({m} - msk.n_registers AS DOUBLE))
+          - {alpha} / (dsk.occ_d + CAST({m} - dsk.nr_d AS DOUBLE)), 6)
+        AS merged_minus_direct
+FROM msk JOIN units USING ({g}) JOIN dsk USING ({g})
+ORDER BY {g}
+"""

@@ -299,3 +299,29 @@ def test_prefix_filter_is_lossless(spark):
     pref = {(r.doc_a, r.doc_b): r.jaccard for r in pref_df.collect()}
     release_cached_inputs(pref_df)
     assert pref == exact and len(pref) > 0
+
+
+def test_hll_rollup_merge_identity(spark):
+    """Registers merged from the fine grain must produce EXACTLY the
+    direct estimate (max is associative) — the identity the rollup
+    query also oracle-checks per group."""
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.operators.sketches import (
+        hll_rollup,
+    )
+    from stock_market_data_pipeline_v2_spark.session import configure_runtime
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    configure_runtime(spark)
+    rows = hll_rollup(
+        load_table(spark, SF01, "events"),
+        ["event_type"],
+        F.to_date(F.col("ts")),
+        "user_id",
+        p=5,
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.merged_minus_direct == 0.0, r
+        assert r.n_units > 1  # the merge actually merged something
