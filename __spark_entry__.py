@@ -419,6 +419,30 @@ def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 6: count-min sketch heavy-hitter check — frequency joins
+    # distinct/membership/quantiles in the oracle-gated sketch family;
+    # overestimate >= 0 is structural and hash-checked per token.
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.operators.sketches import (
+        cms_token_frequency,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.text import (
+        TOKEN_PATTERN,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.trim(F.col("text"))), F.lit(TOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("token")
+    )
+    return cms_token_frequency(toks, "token", depth=4, width=1024, top_k=20)
+
+
 def q_sector_activity_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -1637,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "lineitem_profile_drift": q_lineitem_profile_drift,
         "hll_daily_rollup": q_hll_daily_rollup,
+        "cms_token_frequency": q_cms_token_frequency,
     }
 
 
@@ -1658,6 +1683,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "hll_event_users": sketches.hll_oracle_sql(
             "events", ["event_type"], "user_id", p=5
+        ),
+        "cms_token_frequency": sketches.cms_token_frequency_oracle_sql(
+            depth=4, width=1024, top_k=20
         ),
         "hll_daily_rollup": sketches.hll_rollup_oracle_sql(
             "events", ["event_type"], "CAST(ts AS DATE)", "user_id", p=5

@@ -151,6 +151,7 @@ HEADLINE = [
     "dedup_prefix_filter",      # added round 6: lossless ppjoin prefix tier
     "lineitem_profile_drift",   # added round 6: two-slice profile diff
     "hll_daily_rollup",         # added round 6: mergeable sketch rollup
+    "cms_token_frequency",      # added round 6: count-min heavy hitters
 ]
 
 

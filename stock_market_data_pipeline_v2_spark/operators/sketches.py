@@ -590,3 +590,176 @@ SELECT {', '.join('msk.' + c for c in group_cols)}, units.n_units, msk.n_registe
 FROM msk JOIN units USING ({g}) JOIN dsk USING ({g})
 ORDER BY {g}
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the FREQUENCY sketch, completing the family
+# (HLL = distinct counts, Bloom = membership, histogram = quantiles,
+# CMS = frequencies). Same cross-engine contract: counters are
+# integer sums over md5 double-hashed positions, so the whole state
+# and every point estimate replay exactly in DuckDB. CMS never
+# underestimates (estimates = min over d counters, each ≥ the true
+# count), so `overestimate ≥ 0` is a structural invariant the oracle
+# checks per key alongside the values themselves.
+#
+# 100 TB design: the counter table is ≤ depth·width rows no matter
+# the stream size — one map-side-combinable count aggregate builds
+# it, plain SUM merges shards/days (the linear-sketch property), and
+# point queries broadcast-join the fixed-size state.
+# ---------------------------------------------------------------------------
+
+
+def _cms_pos(key: Column, row: int, width: int) -> Column:
+    h = F.md5(key.cast("string"))
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    step = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") * 2 + 1
+    return F.pmod(a + row * step, F.lit(width))
+
+
+def cms_counter_table(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """(row_idx, pos, cnt) — the sketch state, ≤ depth·width rows."""
+    probe = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row_idx"),
+                    _cms_pos(F.col(key_col), j, width).alias("pos"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(probe.alias("__p"))
+        .select(F.col("__p.row_idx").alias("row_idx"), F.col("__p.pos").alias("pos"))
+        .groupBy("row_idx", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    keys: DataFrame,
+    key_col: str,
+    counters: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Append ``cms_estimate`` = min over the d probed counters."""
+    probe = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row_idx"),
+                    _cms_pos(F.col(key_col), j, width).alias("pos"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    probed = keys.select("*", probe.alias("__p")).select(
+        "*",
+        F.col("__p.row_idx").alias("row_idx"),
+        F.col("__p.pos").alias("pos"),
+    ).drop("__p")
+    group_cols = keys.columns
+    return (
+        probed.join(F.broadcast(counters), ["row_idx", "pos"], "left")
+        .groupBy(*group_cols)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cms_estimate")
+        )
+    )
+
+
+def cms_token_frequency(
+    toks: DataFrame,
+    key_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter check: the exact top-``top_k`` keys by frequency
+    (deterministic tiebreak) with their CMS estimates and the
+    guaranteed-nonnegative overestimate. ``n_total`` rides along so
+    the ε·N error budget (ε ≈ e/width) is visible in the output.
+    """
+    counters = cms_counter_table(toks, key_col, depth, width)
+    exact = toks.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    # TakeOrderedAndProject (the importance_resample lesson): a
+    # distributed top-k, never a single-partition rank window.
+    top = exact.orderBy(F.desc("exact_count"), F.asc(key_col)).limit(top_k)
+    n_total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    est = cms_point_estimates(top, key_col, counters, depth, width)
+    return (
+        est.crossJoin(F.broadcast(n_total))
+        .select(
+            key_col,
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+            "n_total",
+        )
+        .orderBy(F.desc("exact_count"), F.asc(key_col))
+    )
+
+
+def cms_token_frequency_oracle_sql(
+    depth: int = 4, width: int = 1024, top_k: int = 20
+) -> str:
+    """DuckDB twin of :func:`cms_token_frequency` over the documents
+    token stream, generated from the same literals."""
+    probes = f"generate_series(0, {depth - 1})"
+    return f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(trim(text)),
+        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+    FROM documents
+),
+h AS (
+    SELECT token,
+        CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS a,
+        CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) * 2 + 1 AS step
+    FROM toks
+),
+cnts AS (
+    SELECT t.j AS row_idx, (a + t.j * step) % {width} AS pos,
+        CAST(count(*) AS BIGINT) AS cnt
+    FROM h, {probes} AS t(j)
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+    FROM toks GROUP BY token
+),
+top AS (
+    SELECT token, exact_count FROM exact
+    ORDER BY exact_count DESC, token ASC LIMIT {top_k}
+),
+tp AS (
+    SELECT top.token, top.exact_count, t.j AS row_idx,
+        (CAST(('0x' || substr(md5(top.token), 1, 8)) AS BIGINT)
+         + t.j * (CAST(('0x' || substr(md5(top.token), 9, 8)) AS BIGINT) * 2 + 1))
+            % {width} AS pos
+    FROM top, {probes} AS t(j)
+),
+est AS (
+    SELECT token, exact_count,
+        CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate
+    FROM tp LEFT JOIN cnts c USING (row_idx, pos)
+    GROUP BY 1, 2
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+SELECT est.token, est.exact_count, est.cms_estimate,
+    est.cms_estimate - est.exact_count AS overestimate,
+    nt.n_total
+FROM est CROSS JOIN nt
+ORDER BY est.exact_count DESC, est.token ASC
+"""

@@ -325,3 +325,35 @@ def test_hll_rollup_merge_identity(spark):
     for r in rows:
         assert r.merged_minus_direct == 0.0, r
         assert r.n_units > 1  # the merge actually merged something
+
+
+def test_cms_counters_merge_by_sum(spark):
+    """CMS is a LINEAR sketch: counters built on two disjoint halves
+    and SUMMED must equal counters built in one pass — the property
+    that merges shard/day sketches without touching raw keys. Also:
+    estimates never underestimate."""
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.operators.sketches import (
+        cms_counter_table,
+        cms_point_estimates,
+    )
+
+    events = spark.read.parquet(f"{SF01}/events.parquet").select(
+        F.col("user_id").cast("string").alias("k"), "event_id"
+    )
+    full = cms_counter_table(events, "k", depth=4, width=256)
+    h1 = cms_counter_table(events.filter("event_id % 2 = 0"), "k", 4, 256)
+    h2 = cms_counter_table(events.filter("event_id % 2 = 1"), "k", 4, 256)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row_idx", "pos")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    a = {(r.row_idx, r.pos): r.cnt for r in full.collect()}
+    b = {(r.row_idx, r.pos): r.cnt for r in merged.collect()}
+    assert a == b
+    exact = events.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    est = cms_point_estimates(exact, "k", full, depth=4, width=256)
+    for r in est.collect():
+        assert r.cms_estimate >= r.c, r
