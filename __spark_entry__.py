@@ -867,6 +867,16 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(load_table(spark, sf_dir, "events"))
 
 
+def q_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 6: skewness/excess-kurtosis mart via exact integer power
+    # sums (int128-class) + engine-shared formula strings.
+    from stock_market_data_pipeline_v2_spark.operators.stats import (
+        moment_stats,
+    )
+
+    return moment_stats(daily_returns(_clean_bars(spark, sf_dir)))
+
+
 def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return event_value_quantiles(load_table(spark, sf_dir, "events"))
@@ -1312,6 +1322,21 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 6: degree-ordered triangle counting + local clustering
+    # coefficients on the co-purchase graph (integer counts — exact
+    # cross-engine; the orientation bounds the wedge join at E^1.5).
+    from stock_market_data_pipeline_v2_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    configure_runtime(spark)
+    return triangle_stats(
+        load_table(spark, sf_dir, "lineitem"),
+        graph=_copurchase_graph(spark, sf_dir),
+    )
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 6: fixed-size Bloom-filter tier of ngram_decontaminate —
     # the path for reference sets too big to broadcast as a distinct
@@ -1662,6 +1687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_profile_drift": q_lineitem_profile_drift,
         "hll_daily_rollup": q_hll_daily_rollup,
         "cms_token_frequency": q_cms_token_frequency,
+        "part_triangles": q_part_triangles,
+        "return_moments": q_return_moments,
     }
 
 
@@ -1694,6 +1721,10 @@ def oracle_sql() -> dict[str, str]:
             "events", ["event_type"], "value"
         ),
         "part_pagerank": _graph_mod.pagerank_oracle_sql(iters=5),
+        "part_triangles": _graph_mod.TRIANGLE_STATS_SQL,
+        "return_moments": _stats_mod.moment_stats_oracle_sql(
+            oracles.DAILY_RETURNS_SQL
+        ),
         "bloom_decontaminate": _dedup_mod.bloom_decontaminate_oracle_sql(
             n=13, m_bits=1 << 22, k=5
         ),

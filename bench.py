@@ -152,6 +152,8 @@ HEADLINE = [
     "lineitem_profile_drift",   # added round 6: two-slice profile diff
     "hll_daily_rollup",         # added round 6: mergeable sketch rollup
     "cms_token_frequency",      # added round 6: count-min heavy hitters
+    "part_triangles",           # added round 6: degree-ordered triangles
+    "return_moments",           # added round 6: integer-power-sum skew/kurt
 ]
 
 

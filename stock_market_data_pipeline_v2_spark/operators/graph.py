@@ -188,3 +188,149 @@ SELECT part AS l_partkey, r AS pagerank_scaled,
 FROM r{iters}
 ORDER BY part
 """
+
+
+def triangle_stats(
+    lineitem: DataFrame,
+    graph: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients on
+    the co-purchase graph — the standard degree-ordered algorithm
+    (Chiba–Nishizeki / "compact-forward"): orient every undirected
+    edge from the lower (degree, id) endpoint to the higher, build
+    wedges only from each node's ORIENTED out-edges, and close them
+    against the oriented edge set. The orientation bounds out-degree
+    by O(√E), so the wedge join is Σ outdeg² ≲ E^1.5 instead of
+    Σ deg² — the difference between a plan that survives heavy-hub
+    graphs and one that doesn't. Every count is an integer (exact
+    cross-engine); the clustering coefficient 2T/(d(d−1)) is one
+    division + 6-dp rounding.
+
+    Output: (l_partkey, degree, triangles, clustering_coef) for every
+    vertex, NULL coefficient where degree < 2.
+
+    ``graph``: the same prebuilt :func:`build_copurchase_graph` pair
+    PageRank takes — (src, dst, __deg) IS the edge+degree layout this
+    algorithm needs, so the expensive distinct-edge build amortizes
+    across both graph queries via one session memo.
+    """
+    if graph is not None:
+        deg_edges, nodes_in = graph
+        e = deg_edges.select("src", "dst")
+        deg = deg_edges.select(
+            "src", F.col("__deg").alias("deg")
+        ).distinct()
+    else:
+        e = copurchase_edges(lineitem)  # both directions, distinct
+        deg = e.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+    # rank-carrying edge list: (src, dst, deg_src, deg_dst)
+    ed = (
+        e.join(deg, "src")
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("deg").alias("__degd")
+            ),
+            "dst",
+        )
+        .select("src", "dst", F.col("deg").alias("__degs"), "__degd")
+    )
+    lower = (F.col("__degs") < F.col("__degd")) | (
+        (F.col("__degs") == F.col("__degd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = ed.filter(lower).select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("__degd").alias("__dv"),
+    )
+    o1 = oriented.select("u", F.col("v").alias("a"), F.col("__dv").alias("__da"))
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("b"), F.col("__dv").alias("__db")
+    )
+    wedges = o1.join(o2, "u").filter(
+        (F.col("__da") < F.col("__db"))
+        | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    tri = wedges.join(closing, ["a", "b"]).select("u", "a", "b")
+    per_node = (
+        tri.select(F.explode(F.array("u", "a", "b")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    nodes = lineitem.select(F.col("l_partkey").alias("part")).distinct()
+    d = deg.select(F.col("src").alias("part"), F.col("deg"))
+    coef = (
+        F.lit(2.0)
+        * F.col("triangles").cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+    )
+    return (
+        nodes.join(d, "part", "left")
+        .join(per_node, "part", "left")
+        .select(
+            F.col("part").alias("l_partkey"),
+            F.coalesce("deg", F.lit(0).cast("long")).alias("degree"),
+            F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles"),
+        )
+        .select(
+            "l_partkey",
+            "degree",
+            "triangles",
+            F.when(F.col("degree") >= 2, round_away(coef, 6)).alias(
+                "clustering_coef"
+            ),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+TRIANGLE_STATS_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+e AS (
+    SELECT DISTINCT a.part AS src, b.part AS dst
+    FROM li a JOIN li b USING (ok) WHERE a.part <> b.part
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+ed AS (
+    SELECT e.src, e.dst, ds.deg AS degs, dd.deg AS degd
+    FROM e JOIN deg ds ON ds.src = e.src JOIN deg dd ON dd.src = e.dst
+),
+oriented AS (
+    SELECT src AS u, dst AS v, degd AS dv
+    FROM ed
+    WHERE degs < degd OR (degs = degd AND src < dst)
+),
+wedges AS (
+    SELECT o1.u, o1.v AS a, o2.v AS b
+    FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+    WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)
+),
+tri AS (
+    SELECT w.u, w.a, w.b
+    FROM wedges w JOIN oriented c ON c.u = w.a AND c.v = w.b
+),
+pn AS (
+    SELECT t.part, CAST(count(*) AS BIGINT) AS triangles
+    FROM (
+        SELECT u AS part FROM tri
+        UNION ALL SELECT a FROM tri
+        UNION ALL SELECT b FROM tri
+    ) t GROUP BY t.part
+),
+nodes AS (SELECT DISTINCT l_partkey AS part FROM lineitem)
+SELECT n.part AS l_partkey,
+    coalesce(d.deg, 0)       AS degree,
+    coalesce(pn.triangles, 0) AS triangles,
+    CASE WHEN coalesce(d.deg, 0) >= 2
+         THEN round(2.0 * coalesce(pn.triangles, 0)
+                    / (d.deg * (d.deg - 1)), 6)
+    END AS clustering_coef
+FROM nodes n
+LEFT JOIN deg d ON d.src = n.part
+LEFT JOIN pn ON pn.part = n.part
+ORDER BY n.part
+"""

@@ -774,3 +774,156 @@ SELECT c.prev_type, c.next_type, c.n_transitions,
 FROM counts c JOIN totals t USING (prev_type)
 ORDER BY c.prev_type, c.next_type
 """
+
+
+# Shared skew/kurtosis formula text (single source: the Spark side
+# runs these through F.expr, the DuckDB oracle embeds them verbatim,
+# so the float operation ORDER is identical by construction). Inputs
+# s1..s4/n are exact integers (micro-return power sums) cast to
+# double; everything after is a fixed, small chain of IEEE ops —
+# sqrt included (IEEE-exact) — so cross-engine equality is structural.
+_MOMENT_EXPRS = {
+    "mean_k": "s1 / n",
+    "m2": "s2 / n - (s1 / n) * (s1 / n)",
+    "m3": (
+        "s3 / n - 3.0 * (s1 / n) * (s2 / n)"
+        " + 2.0 * (s1 / n) * (s1 / n) * (s1 / n)"
+    ),
+    "m4": (
+        "s4 / n - 4.0 * (s1 / n) * (s3 / n)"
+        " + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)"
+        " - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)"
+    ),
+}
+
+
+def moment_stats(returns: DataFrame, quant: int = 4) -> DataFrame:
+    """Per-symbol return-distribution MOMENTS — skewness and excess
+    kurtosis, the tail-risk mart beside mean/stddev. Cross-engine
+    exactness is the hard part (one-pass co-moment aggregates differ
+    by algorithm AND by summation order): returns quantize to exact
+    integer micro-units (``round_away`` at ``quant`` dp × 10^quant —
+    the temperature_mix integer-algebra move applied to higher
+    moments), power sums Σk..Σk⁴ accumulate in DECIMAL(38,0) (exact,
+    order-free; k⁴ ≤ 1.6e21 needs int128-class arithmetic — BIGINT
+    would overflow), and the final skew/kurt formulas are a FIXED
+    shared expression string both engines evaluate in the identical
+    order (see ``_MOMENT_EXPRS``). Skew/kurt are scale-invariant, so
+    the micro-unit factor cancels; mean/stddev divide it back out.
+
+    100 TB design: one map-side-combinable aggregate per symbol —
+    moment sketches are the canonical mergeable state (sum the power
+    sums to merge shards/days).
+    """
+    scale = 10**quant
+    # quantize with explicit floor(x·scale + 0.5) algebra — NOT
+    # round-then-cast: Spark's double→long cast TRUNCATES while
+    # DuckDB's CAST rounds, so the only safe integerization is one
+    # whose result is already integral before the cast. (floor is
+    # exact; the ±branch is round-half-away.)
+    r = F.col("daily_return_pct")
+    scaled = r * F.lit(float(scale))
+    k = (
+        F.when(r >= 0, F.floor(scaled + F.lit(0.5)))
+        .otherwise(-F.floor(-scaled + F.lit(0.5)))
+        .cast("decimal(38,0)")
+    )
+    base = returns.filter(F.col("daily_return_pct").isNotNull()).select(
+        "symbol", k.alias("__k")
+    )
+    sums = base.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__k").cast("double").alias("s1"),
+        F.sum(F.col("__k") * F.col("__k")).cast("double").alias("s2"),
+        F.sum(F.col("__k") * F.col("__k") * F.col("__k"))
+        .cast("double")
+        .alias("s3"),
+        F.sum(F.col("__k") * F.col("__k") * F.col("__k") * F.col("__k"))
+        .cast("double")
+        .alias("s4"),
+    )
+    e = _MOMENT_EXPRS
+    return (
+        sums.select(
+            "symbol",
+            F.col("n").cast("long").alias("n_days"),
+            F.expr(e["mean_k"]).alias("__mk"),
+            F.expr(e["m2"]).alias("__m2"),
+            F.expr(e["m3"]).alias("__m3"),
+            F.expr(e["m4"]).alias("__m4"),
+        )
+        .select(
+            "symbol",
+            "n_days",
+            round_away(F.col("__mk") / F.lit(float(scale)), 6).alias(
+                "mean_return"
+            ),
+            round_away(
+                F.sqrt(F.col("__m2")) / F.lit(float(scale)), 6
+            ).alias("stddev_return"),
+            F.when(
+                (F.col("n_days") >= 2) & (F.col("__m2") > 0),
+                round_away(
+                    F.col("__m3")
+                    / (F.col("__m2") * F.sqrt(F.col("__m2"))),
+                    6,
+                ),
+            ).alias("skewness"),
+            F.when(
+                (F.col("n_days") >= 2) & (F.col("__m2") > 0),
+                round_away(
+                    F.col("__m4") / (F.col("__m2") * F.col("__m2"))
+                    - F.lit(3.0),
+                    6,
+                ),
+            ).alias("excess_kurtosis"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def moment_stats_oracle_sql(returns_cte: str, quant: int = 4) -> str:
+    """DuckDB twin of :func:`moment_stats`: HUGEINT power sums (the
+    int128 twin of Spark's DECIMAL(38,0)), then the SAME formula
+    strings from ``_MOMENT_EXPRS`` verbatim."""
+    scale = 10**quant
+    e = _MOMENT_EXPRS
+    return f"""
+WITH returns AS ({returns_cte}),
+q AS (
+    SELECT symbol,
+        CASE WHEN daily_return_pct >= 0
+             THEN CAST(floor(daily_return_pct * {float(scale)!r} + 0.5)
+                  AS HUGEINT)
+             ELSE -CAST(floor(-daily_return_pct * {float(scale)!r} + 0.5)
+                  AS HUGEINT)
+        END AS k
+    FROM returns WHERE daily_return_pct IS NOT NULL
+),
+sums AS (
+    SELECT symbol,
+        CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(k) AS DOUBLE) AS s1,
+        CAST(sum(k * k) AS DOUBLE) AS s2,
+        CAST(sum(k * k * k) AS DOUBLE) AS s3,
+        CAST(sum(k * k * k * k) AS DOUBLE) AS s4
+    FROM q GROUP BY symbol
+),
+m AS (
+    SELECT symbol, CAST(n AS BIGINT) AS n_days,
+        {e['mean_k']} AS mk,
+        {e['m2']} AS m2,
+        {e['m3']} AS m3,
+        {e['m4']} AS m4
+    FROM sums
+)
+SELECT symbol, n_days,
+    round(mk / {float(scale)!r}, 6) AS mean_return,
+    round(sqrt(m2) / {float(scale)!r}, 6) AS stddev_return,
+    CASE WHEN n_days >= 2 AND m2 > 0
+         THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+    CASE WHEN n_days >= 2 AND m2 > 0
+         THEN round(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
+FROM m
+ORDER BY symbol
+"""

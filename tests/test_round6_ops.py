@@ -357,3 +357,60 @@ def test_cms_counters_merge_by_sum(spark):
     est = cms_point_estimates(exact, "k", full, depth=4, width=256)
     for r in est.collect():
         assert r.cms_estimate >= r.c, r
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    """Degree-ordered counting must agree with a brute-force python
+    triangle count on the sf0.001 graph."""
+    from itertools import combinations
+
+    from stock_market_data_pipeline_v2_spark.operators.graph import (
+        copurchase_edges,
+        triangle_stats,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    got = {
+        r.l_partkey: (r.degree, r.triangles)
+        for r in triangle_stats(li).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for r in copurchase_edges(li).collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+    tri = {p: 0 for p in got}
+    for u, nbrs in adj.items():
+        for a, b in combinations(sorted(nbrs), 2):
+            if b in adj.get(a, ()):  # noqa: SIM110
+                tri[u] += 1
+    for p, (deg, t) in got.items():
+        assert deg == len(adj.get(p, ())), p
+        assert t == tri.get(p, 0), (p, t, tri.get(p))
+
+
+def test_return_moments_match_numpy(spark):
+    """The integer-power-sum skew/kurt must agree with numpy's
+    population moments on the quantized micro-returns to well under
+    the 6-dp output rounding."""
+    import numpy as np
+
+    import __spark_entry__ as m
+
+    got = {
+        r.symbol: r for r in m.queries()["return_moments"](spark, SF01).collect()
+    }
+    rets = m.queries()["daily_returns"](spark, SF01).select(
+        "symbol", "daily_return_pct"
+    ).collect()
+    by_sym: dict[str, list[float]] = {}
+    for r in rets:
+        if r.daily_return_pct is not None:
+            by_sym.setdefault(r.symbol, []).append(r.daily_return_pct)
+    for sym, vals in by_sym.items():
+        k = np.array([round(v * 1e4) for v in vals], dtype=np.float64)
+        m2 = ((k - k.mean()) ** 2).mean()
+        m3 = ((k - k.mean()) ** 3).mean()
+        m4 = ((k - k.mean()) ** 4).mean()
+        g = got[sym]
+        assert abs(g.skewness - m3 / m2**1.5) < 1e-4, sym
+        assert abs(g.excess_kurtosis - (m4 / m2**2 - 3)) < 1e-4, sym
+        assert g.n_days == len(vals)
