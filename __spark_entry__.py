@@ -877,6 +877,16 @@ def q_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moment_stats(daily_returns(_clean_bars(spark, sf_dir)))
 
 
+def q_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 6: robust MAD outlier days (median/MAD have a 50%%
+    # breakdown point where z-scores drag with the outliers).
+    from stock_market_data_pipeline_v2_spark.operators.stats import (
+        return_outliers,
+    )
+
+    return return_outliers(daily_returns(_clean_bars(spark, sf_dir)), k=5.0)
+
+
 def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return event_value_quantiles(load_table(spark, sf_dir, "events"))
@@ -1689,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_frequency": q_cms_token_frequency,
         "part_triangles": q_part_triangles,
         "return_moments": q_return_moments,
+        "return_outliers": q_return_outliers,
     }
 
 
@@ -1724,6 +1735,9 @@ def oracle_sql() -> dict[str, str]:
         "part_triangles": _graph_mod.TRIANGLE_STATS_SQL,
         "return_moments": _stats_mod.moment_stats_oracle_sql(
             oracles.DAILY_RETURNS_SQL
+        ),
+        "return_outliers": _stats_mod.return_outliers_oracle_sql(
+            oracles.DAILY_RETURNS_SQL, k=5.0
         ),
         "bloom_decontaminate": _dedup_mod.bloom_decontaminate_oracle_sql(
             n=13, m_bits=1 << 22, k=5

@@ -154,6 +154,7 @@ HEADLINE = [
     "cms_token_frequency",      # added round 6: count-min heavy hitters
     "part_triangles",           # added round 6: degree-ordered triangles
     "return_moments",           # added round 6: integer-power-sum skew/kurt
+    "return_outliers",          # added round 6: MAD robust anomaly days
 ]
 
 

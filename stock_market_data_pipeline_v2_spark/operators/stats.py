@@ -927,3 +927,87 @@ SELECT symbol, n_days,
 FROM m
 ORDER BY symbol
 """
+
+
+def return_outliers(returns: DataFrame, k: float = 5.0) -> DataFrame:
+    """Robust per-symbol outlier days via MEDIAN ABSOLUTE DEVIATION —
+    the anomaly mart z-scores get wrong on fat-tailed returns (mean
+    and stddev are themselves dragged by the outliers they're meant
+    to find; median/MAD have a 50% breakdown point). Two exact
+    ``percentile_disc`` passes (the convention already verified
+    cross-engine in event_value_quantiles): per-symbol median return,
+    then the median of |r − med|; a day is flagged when
+    |r − med| > k·MAD. Every comparison runs on unrounded doubles
+    built from exact data elements by the same IEEE ops in both
+    engines.
+
+    100 TB design: two grouped ordered-set aggregates over the same
+    symbol partitioning + one broadcast-sized join back (the stats
+    frame is symbol-grain). Exact rank medians buffer per-group
+    values — fine at symbol-bounded cardinality; corpus-scale groups
+    would swap in the histogram sketch tier.
+    """
+    r = F.col("daily_return_pct")
+    base = returns.filter(r.isNotNull()).select(
+        "symbol", "trade_date", "daily_return_pct"
+    )
+    med = base.groupBy("symbol").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY daily_return_pct)"
+        ).alias("__med")
+    )
+    dev = base.join(F.broadcast(med), "symbol").withColumn(
+        "__adev", F.abs(r - F.col("__med"))
+    )
+    mad = dev.groupBy("symbol").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __adev)").alias(
+            "__mad"
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "symbol")
+        .filter(F.col("__adev") > F.lit(k) * F.col("__mad"))
+        .select(
+            "symbol",
+            "trade_date",
+            round_away(r, 4).alias("daily_return_pct"),
+            round_away(F.col("__med"), 6).alias("median_return"),
+            round_away(F.col("__mad"), 6).alias("mad"),
+            round_away(F.col("__adev") / F.col("__mad"), 6).alias(
+                "mad_ratio"
+            ),
+        )
+        .orderBy("symbol", "trade_date")
+    )
+
+
+def return_outliers_oracle_sql(returns_cte: str, k: float = 5.0) -> str:
+    """DuckDB twin of :func:`return_outliers` (same two quantile_disc
+    passes, same unrounded comparison)."""
+    return f"""
+WITH returns AS ({returns_cte}),
+base AS (
+    SELECT symbol, trade_date, daily_return_pct
+    FROM returns WHERE daily_return_pct IS NOT NULL
+),
+med AS (
+    SELECT symbol, quantile_disc(daily_return_pct, 0.5) AS med
+    FROM base GROUP BY symbol
+),
+dev AS (
+    SELECT b.*, m.med, abs(b.daily_return_pct - m.med) AS adev
+    FROM base b JOIN med m USING (symbol)
+),
+mad AS (
+    SELECT symbol, quantile_disc(adev, 0.5) AS mad
+    FROM dev GROUP BY symbol
+)
+SELECT d.symbol, d.trade_date,
+    round(d.daily_return_pct, 4) AS daily_return_pct,
+    round(d.med, 6) AS median_return,
+    round(md.mad, 6) AS mad,
+    round(d.adev / md.mad, 6) AS mad_ratio
+FROM dev d JOIN mad md USING (symbol)
+WHERE d.adev > {k!r} * md.mad
+ORDER BY d.symbol, d.trade_date
+"""

@@ -414,3 +414,23 @@ def test_return_moments_match_numpy(spark):
         assert abs(g.skewness - m3 / m2**1.5) < 1e-4, sym
         assert abs(g.excess_kurtosis - (m4 / m2**2 - 3)) < 1e-4, sym
         assert g.n_days == len(vals)
+
+
+def test_return_outliers_robustness_invariants(spark):
+    """Flagged days must genuinely exceed k·MAD, and the flagged set
+    must be a strict minority (MAD breaks down only past 50%
+    contamination)."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["return_outliers"](spark, SF01).collect()
+    assert rows
+    all_rets = m.queries()["daily_returns"](spark, SF01).filter(
+        "daily_return_pct IS NOT NULL"
+    ).count()
+    # MAD guarantees the flagged set is a minority (50% breakdown
+    # point); the synthetic corpus is fat-tailed enough that a tight
+    # "rare" bound would test the data, not the operator.
+    assert len(rows) < 0.5 * all_rets
+    for r in rows:
+        assert r.mad_ratio > 5.0, r
+        assert abs(r.daily_return_pct - r.median_return) > 0, r
