@@ -497,7 +497,9 @@ def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 6: one-pass dbt-style column profiler (nulls, exact
-    # distincts, typed min/max; timestamps as epoch — TZ-proof).
+    # distincts, typed min/max; timestamp extrema emitted as formatted
+    # NTZ wall-time STRINGS in min_str/max_str — session-TZ-independent
+    # because l_shipdate is TIMESTAMP_NTZ, wall time with no zone).
     from stock_market_data_pipeline_v2_spark.operators.profiling import (
         LINEITEM_PROFILE_SPEC,
         profile_table,

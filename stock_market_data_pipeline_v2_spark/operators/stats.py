@@ -973,9 +973,13 @@ def return_outliers(returns: DataFrame, k: float = 5.0) -> DataFrame:
             round_away(r, 4).alias("daily_return_pct"),
             round_away(F.col("__med"), 6).alias("median_return"),
             round_away(F.col("__mad"), 6).alias("mad"),
-            round_away(F.col("__adev") / F.col("__mad"), 6).alias(
-                "mad_ratio"
-            ),
+            # try_divide: a symbol where >=50% of days share one return
+            # has MAD=0 yet deviating days survive the filter; ANSI
+            # double/0.0 would abort while DuckDB emits NULL — a NULL
+            # ratio mirrors the oracle on such data.
+            round_away(
+                F.try_divide(F.col("__adev"), F.col("__mad")), 6
+            ).alias("mad_ratio"),
         )
         .orderBy("symbol", "trade_date")
     )
@@ -983,7 +987,8 @@ def return_outliers(returns: DataFrame, k: float = 5.0) -> DataFrame:
 
 def return_outliers_oracle_sql(returns_cte: str, k: float = 5.0) -> str:
     """DuckDB twin of :func:`return_outliers` (same two quantile_disc
-    passes, same unrounded comparison)."""
+    passes, same unrounded comparison). MAD=0 divide: DuckDB double
+    ``/0.0`` is NULL natively, matching Spark's ``try_divide``."""
     return f"""
 WITH returns AS ({returns_cte}),
 base AS (

@@ -1621,37 +1621,49 @@ FROM b
 # (stdlib RIFF/WAVE container round-trip) but the payload synth is a
 # deterministic pure function of doc_id (16 tone classes, 400 PCM16
 # frames: trunc(sin(2π·f·i/8000)·20000) with f = 220+55·(doc_id%16)),
-# so an independent engine can recompute every feature without ever
-# seeing the container: DuckDB regenerates the 16 sample vectors from
-# the same closed form and folds rms/peak/zero-crossings with integer
-# algebra (sum of int squares < 2^53 is EXACT in float64, so the
-# summation order can't flip a bit; sqrt is IEEE-exact; the rms
-# values sit ~0.3 from every rounding tie — measured, round 6). The
-# sin→int16 truncation was verified bit-identical numpy-vs-DuckDB for
-# all 6400 distinct samples before this oracle was registered
-# (round 6 — previously rows-only). Spark still exercises the REAL
-# path: wave-writer synthesis → binary column → wave-reader parse →
-# numpy decode; the oracle gates that whole round-trip end-to-end.
-AUDIO_FEATURES_SQL = """
-WITH samp AS (
-    SELECT k, i,
-        CAST(trunc(sin(2 * pi() * (220.0 + 55.0 * k) * (i / 8000.0))
-                   * 20000.0) AS INTEGER) AS v
-    FROM (SELECT unnest(generate_series(0, 15)) AS k),
-         (SELECT unnest(generate_series(0, 399)) AS i)
-),
-s2 AS (
-    SELECT k, v, lead(v) OVER (PARTITION BY k ORDER BY i) AS nv
-    FROM samp
-),
-feat AS (
-    SELECT k,
-        CAST(round(sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE)
-                        / 400.0)) AS BIGINT) AS rms,
-        CAST(max(abs(v)) AS BIGINT) AS peak,
-        CAST(sum(CASE WHEN nv IS NOT NULL AND ((v < 0) != (nv < 0))
-                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-    FROM s2 GROUP BY k
+# so the 16 per-class feature rows are a fixed, finite ground truth.
+# Round 7 hardening (ADVICE r6): the r6 oracle recomputed sin() in
+# DuckDB and relied on DuckDB's libm bit-matching numpy's inside a
+# trunc(·*20000) — a transcendental crossing the oracle boundary,
+# exactly what PERF.md's pow/ln/exp lesson forbids. The per-class
+# features are now FROZEN LITERALS (generated once from the same
+# numpy synth the Spark path uses — _synth_wav_bytes →
+# _decode_wav_batch), so no transcendental is ever evaluated on the
+# DuckDB side. tests/test_llm_ops.py::test_audio_frozen_features
+# re-derives the table from the real kernel and asserts equality, so
+# a platform/libm drift surfaces as a pytest failure with a clear
+# message, never as a silent oracle flip. Spark still exercises the
+# REAL path: wave-writer synthesis → binary column → wave-reader
+# parse → numpy decode; the oracle gates that round-trip end-to-end.
+AUDIO_CLASS_FEATURES: list[tuple[int, int, int, int]] = [
+    # (k, rms, peak, zero_crossings) for tone class k = doc_id % 16
+    (0, 14142, 20000, 21),
+    (1, 14124, 20000, 27),
+    (2, 14142, 20000, 32),
+    (3, 14124, 19999, 38),
+    (4, 14142, 20000, 43),
+    (5, 14124, 19999, 49),
+    (6, 14142, 20000, 54),
+    (7, 14124, 19999, 60),
+    (8, 14142, 20000, 65),
+    (9, 14124, 19999, 71),
+    (10, 14142, 20000, 76),
+    (11, 14124, 20000, 82),
+    (12, 14142, 20000, 87),
+    (13, 14124, 19999, 93),
+    (14, 14142, 20000, 98),
+    (15, 14124, 19999, 104),
+]
+
+_AUDIO_FEATURE_VALUES = ",\n        ".join(
+    f"({k}, {rms}, {peak}, {zc})"
+    for k, rms, peak, zc in AUDIO_CLASS_FEATURES
+)
+
+AUDIO_FEATURES_SQL = f"""
+WITH feat(k, rms, peak, zero_crossings) AS (
+    VALUES
+        {_AUDIO_FEATURE_VALUES}
 )
 SELECT d.doc_id,
        CAST(8000 AS BIGINT) AS sample_rate,

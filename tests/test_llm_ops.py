@@ -1282,6 +1282,46 @@ def test_wav_codec_real_roundtrip(spark):
     assert all(v[:4] == b"RIFF" and v[8:12] == b"WAVE" for v in p1.values())
 
 
+def test_audio_frozen_features():
+    """The oracle's frozen per-class feature table
+    (oracles.AUDIO_CLASS_FEATURES) must equal what the REAL kernel
+    computes on this host. Rationale (ADVICE r6): the r6 oracle
+    recomputed sin() inside DuckDB, betting DuckDB's libm bit-matches
+    numpy's at int16 truncation boundaries — true here, not portable.
+    Freezing the 16 rows keeps transcendentals out of the oracle
+    boundary; if numpy/libm ever drifts, THIS test fails loudly
+    instead of the driver's hash gate flipping silently."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from stock_market_data_pipeline_v2_spark import oracles
+    from stock_market_data_pipeline_v2_spark.operators.multimodal import (
+        _decode_wav_batch,
+        _synth_wav_bytes,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(16)),
+         "payload": [_synth_wav_bytes(k) for k in range(16)]}
+    )
+    out = _decode_wav_batch(pdf)
+    got = [
+        (int(r.doc_id), int(r.rms), int(r.peak), int(r.zero_crossings))
+        for r in out.itertuples()
+    ]
+    assert got == oracles.AUDIO_CLASS_FEATURES, (
+        "numpy/libm produced different audio features than the frozen "
+        "oracle table — regenerate oracles.AUDIO_CLASS_FEATURES from "
+        "this kernel output and re-verify the oracle gate"
+    )
+    # no sin()/pi() may cross the oracle boundary
+    low = oracles.AUDIO_FEATURES_SQL.lower()
+    assert "sin(" not in low and "pi()" not in low
+
+
 def test_png_codec_real_roundtrip_and_filters(spark):
     """REAL image codec: decoded pixels equal the synth formula
     exactly, and the decoder handles every PNG scanline filter, not
