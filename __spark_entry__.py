@@ -513,6 +513,25 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(load_table(spark, sf_dir, "lineitem"), LINEITEM_PROFILE_SPEC)
 
 
+def q_profile_lineitem_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 7 (VERDICT r6 #2): the profiler's 100 TB tier — the 11
+    # exact count-distincts (the exact tier's full-width Expand, the
+    # suite's slowest family) replaced by the oracle-gated HLL from
+    # operators/sketches.py. Two plain scans, zero Expand,
+    # register-sized shuffle state; the exact tier above stays as
+    # ground truth. Plan shape pinned by
+    # tests/test_plan_shapes.py::test_profile_sketch_no_expand.
+    from stock_market_data_pipeline_v2_spark.operators.profiling import (
+        LINEITEM_PROFILE_SPEC,
+        profile_table_sketch,
+    )
+
+    configure_runtime(spark)
+    return profile_table_sketch(
+        load_table(spark, sf_dir, "lineitem"), LINEITEM_PROFILE_SPEC, p=8
+    )
+
+
 def q_lineitem_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 6: column-profile drift between the pre/post-1998-06-01
     # shipdate halves — the incremental-load audit shape (two pruned
@@ -1706,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangles": q_part_triangles,
         "return_moments": q_return_moments,
         "return_outliers": q_return_outliers,
+        "profile_lineitem_sketch": q_profile_lineitem_sketch,
     }
 
 
@@ -1776,6 +1796,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "profile_lineitem": _profiling_mod.profile_oracle_sql(
             "lineitem", _profiling_mod.LINEITEM_PROFILE_SPEC
+        ),
+        "profile_lineitem_sketch": _profiling_mod.profile_sketch_oracle_sql(
+            "lineitem", _profiling_mod.LINEITEM_PROFILE_SPEC, p=8
         ),
         "order_value_distribution": _stats_mod.ORDER_VALUE_DISTRIBUTION_SQL,
         "type_token_stats": _text_mod.TYPE_TOKEN_STATS_SQL,

@@ -87,6 +87,33 @@ def hll_register_table(
     )
 
 
+def hll_estimate_only(
+    df: DataFrame, group_cols: list[str], key: str, p: int = 5
+) -> DataFrame:
+    """Per-group HLL estimate WITHOUT the exact-count reference —
+    the production shape for scales where the exact count-distinct is
+    the cost being avoided (the profiler sketch tier). Output: group
+    cols, ``n_registers``, ``hll_estimate`` (4 dp). Same register and
+    estimator algebra as :func:`hll_distinct` (shared helpers), so
+    the same cross-engine exactness argument applies."""
+    m = 1 << p
+    regs = hll_register_table(df, group_cols, key, p)
+    ind = F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), reg)")
+    sketch = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(ind).alias("occupied_sum"),
+    )
+    s = F.col("occupied_sum") + (F.lit(m) - F.col("n_registers")).cast(
+        "double"
+    )
+    est = F.lit(_alpha(m)) * F.lit(float(m * m)) / s
+    return sketch.select(
+        *group_cols,
+        "n_registers",
+        round_away(est, 4).alias("hll_estimate"),
+    )
+
+
 def hll_distinct(
     df: DataFrame, group_cols: list[str], key: str, p: int = 5
 ) -> DataFrame:
@@ -136,12 +163,14 @@ def hll_distinct(
     )
 
 
-def hll_oracle_sql(
+def hll_sql_parts(
     table: str, group_cols: list[str], key: str, p: int = 5
-) -> str:
-    """DuckDB twin generated from the SAME literals as the Spark plan
-    (the zvalue_oracle_sql / bpe_oracle_sql pattern: one source of
-    truth, never two hand-maintained copies)."""
+) -> tuple[str, str]:
+    """The generated HLL SQL core shared by every oracle that embeds
+    the sketch: (CTE chain ``h, r, regs, sk``, estimate expression
+    over ``sk``). Single source for the hash/rank/estimator literals
+    — :func:`hll_oracle_sql` and the profiler sketch oracle both
+    splice THIS, never a second hand-maintained copy."""
     m = 1 << p
     g = ", ".join(group_cols)
     rest_bits = 32 - p
@@ -150,8 +179,7 @@ def hll_oracle_sql(
         f"CAST({_alpha(m)!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
         f" / (sk.occupied_sum + CAST({m} - sk.n_registers AS DOUBLE))"
     )
-    return f"""
-WITH h AS (
+    chain = f"""h AS (
     SELECT {g},
         CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
     FROM {table}
@@ -172,7 +200,20 @@ sk AS (
         CAST(count(*) AS BIGINT) AS n_registers,
         sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << reg)) AS occupied_sum
     FROM regs GROUP BY {g}
-),
+)"""
+    return chain, est
+
+
+def hll_oracle_sql(
+    table: str, group_cols: list[str], key: str, p: int = 5
+) -> str:
+    """DuckDB twin generated from the SAME literals as the Spark plan
+    (the zvalue_oracle_sql / bpe_oracle_sql pattern: one source of
+    truth, never two hand-maintained copies)."""
+    g = ", ".join(group_cols)
+    chain, est = hll_sql_parts(table, group_cols, key, p)
+    return f"""
+WITH {chain},
 ex AS (
     SELECT {g}, CAST(count(DISTINCT {key}) AS BIGINT) AS exact_distinct
     FROM {table} GROUP BY {g}

@@ -1,0 +1,69 @@
+"""Round-7 operator tests: the profiler's HLL sketch tier (no-Expand
+plan contract + estimate sanity), the k-core peel over the
+co-purchase graph, and the frozen-weight quality classifier.
+Oracle hash-parity is covered by tools/verify_oracles.py; these pin
+the algorithmic/plan claims."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_profile_sketch_no_expand(spark):
+    """The sketch tier exists to kill the exact tier's full-width
+    multi-count-distinct Expand (VERDICT r6 #1/#2): its physical plan
+    must contain NO Expand operator and no distinct aggregate — the
+    explode into (column, key) pairs is a Generate, and the register
+    fold is a plain map-side-combinable agg."""
+    import __spark_entry__ as m
+
+    df = m.queries()["profile_lineitem_sketch"](spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in phys
+    assert "distinct" not in phys.lower()
+    # two scans by design (stats pass + sketch pass), never per-column
+    assert phys.count("FileScan") <= 2
+
+
+def test_profile_sketch_estimates_vs_exact(spark):
+    """Sketch-tier accuracy contract, checked against the exact tier:
+    identical stats columns; high-cardinality columns inside the
+    3-sigma raw-HLL band (m=256 → 19.5%); tiny-cardinality columns
+    readable via n_registers (collision-free whp for n << m)."""
+    import __spark_entry__ as m
+
+    exact = {
+        r.column_name: r
+        for r in m.queries()["profile_lineitem"](spark, SF01).collect()
+    }
+    sk = {
+        r.column_name: r
+        for r in m.queries()["profile_lineitem_sketch"](spark, SF01).collect()
+    }
+    assert set(exact) == set(sk)
+    m_regs = 256
+    band = 3 * 1.04 / m_regs**0.5
+    for c, e in exact.items():
+        s = sk[c]
+        # the non-distinct statistics are identical by construction
+        assert (s.n_rows, s.n_null) == (e.n_rows, e.n_null)
+        assert (s.min_num, s.max_num) == (e.min_num, e.max_num)
+        assert (s.min_str, s.max_str) == (e.min_str, e.max_str)
+        if e.n_distinct >= int(2.5 * m_regs) + 1:
+            rel = abs(s.hll_estimate - e.n_distinct) / e.n_distinct
+            assert rel < band, (c, s.hll_estimate, e.n_distinct)
+        elif e.n_distinct <= m_regs // 4:
+            # raw estimator saturates here by documented design;
+            # n_registers tracks the birthday-occupancy expectation
+            # m·(1−(1−1/m)^n) — near-exact for n ≪ m, readable with a
+            # 1-line inversion otherwise
+            expect = m_regs * (1 - (1 - 1 / m_regs) ** e.n_distinct)
+            assert abs(s.n_registers - expect) <= max(2, 0.15 * expect), (
+                c,
+                s.n_registers,
+                e.n_distinct,
+                expect,
+            )
