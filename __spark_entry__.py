@@ -1372,6 +1372,26 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 7 (VERDICT r6 #6): R-round k-peel (k=80, 8 rounds —
+    # fixpoint reached by round 6 at every tested SF, pytest-pinned)
+    # — the third consumer of the shared _copurchase_graph memo;
+    # integer-only algebra, oracle is 8 unrolled generated CTE peel
+    # stages (a recursive-closure oracle would be O(V^2) on this
+    # near-dense graph).
+    from stock_market_data_pipeline_v2_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    configure_runtime(spark)
+    return kcore_peel(
+        load_table(spark, sf_dir, "lineitem"),
+        k=80,
+        iters=8,
+        graph=_copurchase_graph(spark, sf_dir),
+    )
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 6: fixed-size Bloom-filter tier of ngram_decontaminate —
     # the path for reference sets too big to broadcast as a distinct
@@ -1726,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "return_moments": q_return_moments,
         "return_outliers": q_return_outliers,
         "profile_lineitem_sketch": q_profile_lineitem_sketch,
+        "part_kcore": q_part_kcore,
     }
 
 
@@ -1772,6 +1793,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "part_pagerank": _graph_mod.pagerank_oracle_sql(iters=5),
         "part_triangles": _graph_mod.TRIANGLE_STATS_SQL,
+        "part_kcore": _graph_mod.kcore_oracle_sql(k=80, iters=8),
         "return_moments": _stats_mod.moment_stats_oracle_sql(
             oracles.DAILY_RETURNS_SQL
         ),

@@ -67,3 +67,50 @@ def test_profile_sketch_estimates_vs_exact(spark):
                 e.n_distinct,
                 expect,
             )
+
+
+def test_kcore_python_parity_and_fixpoint(spark):
+    """kcore_peel must equal a pure-Python peel of the same graph
+    (independent reimplementation, the pagerank-parity pattern), and
+    the registered (k=80, iters=8) form must be AT its fixpoint by
+    round 8 — i.e. the output is the true k-core, not a truncated
+    peel."""
+    from collections import defaultdict
+
+    from stock_market_data_pipeline_v2_spark.operators.graph import (
+        copurchase_edges,
+        kcore_peel,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    edges = copurchase_edges(li)
+    adj = defaultdict(set)
+    for r in edges.collect():
+        adj[r.src].add(r.dst)
+
+    def py_peel(k, iters):
+        surv = set(adj)
+        deg = {}
+        for _ in range(iters):
+            deg = {u: len(adj[u] & surv) for u in adj}
+            surv = {u for u, d in deg.items() if d >= k}
+        return {u: deg[u] for u in surv}
+
+    for k in (10, 60, 80):
+        got = {
+            r.l_partkey: r.core_degree
+            for r in kcore_peel(li, k=k, iters=8).collect()
+        }
+        assert got == py_peel(k, 8), f"k={k}"
+    # fixpoint of the registered form at the driver's gate scale:
+    # one extra round changes nothing
+    li01 = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    r8 = {
+        (r.l_partkey, r.core_degree)
+        for r in kcore_peel(li01, k=80, iters=8).collect()
+    }
+    r9 = {
+        (r.l_partkey, r.core_degree)
+        for r in kcore_peel(li01, k=80, iters=9).collect()
+    }
+    assert r8 == r9 and len(r8) > 0
