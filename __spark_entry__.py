@@ -605,6 +605,20 @@ def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 7 (VERDICT r6 #7): frozen-weight linear quality model
+    # over the hash-trick embeddings (tools/train_quality_weights.py
+    # distills the oracle-pinned heuristic into 65 frozen literals).
+    # The LOGIT is hash-gated via an unrolled fixed-order chain; the
+    # sigmoid is monotone display math and never crosses the oracle
+    # boundary.
+    from stock_market_data_pipeline_v2_spark.operators.classifier import (
+        quality_classifier,
+    )
+
+    return quality_classifier(_docs(spark, sf_dir))
+
+
 def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_prefix_stats(_docs(spark, sf_dir), k=5, threshold=0.2)
 
@@ -1747,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "return_outliers": q_return_outliers,
         "profile_lineitem_sketch": q_profile_lineitem_sketch,
         "part_kcore": q_part_kcore,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -1758,6 +1773,9 @@ def oracle_sql() -> dict[str, str]:
     import os as _os
 
     from stock_market_data_pipeline_v2_spark import ann_state
+    from stock_market_data_pipeline_v2_spark.operators import (
+        classifier as _classifier_mod,
+    )
     from stock_market_data_pipeline_v2_spark.operators import dims as _dims_mod
     from stock_market_data_pipeline_v2_spark.operators import sketches
     from stock_market_data_pipeline_v2_spark.operators import dedup as _dedup_mod
@@ -1794,6 +1812,9 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank": _graph_mod.pagerank_oracle_sql(iters=5),
         "part_triangles": _graph_mod.TRIANGLE_STATS_SQL,
         "part_kcore": _graph_mod.kcore_oracle_sql(k=80, iters=8),
+        "quality_classifier": (
+            _classifier_mod.quality_classifier_oracle_sql()
+        ),
         "return_moments": _stats_mod.moment_stats_oracle_sql(
             oracles.DAILY_RETURNS_SQL
         ),

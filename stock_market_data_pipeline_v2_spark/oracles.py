@@ -2683,8 +2683,12 @@ FROM base b JOIN bp USING (source, prefix) JOIN bs USING (source)
 # driver's pandas canonicalizer (VERDICT r3 #1); the array form stays
 # the internal API the dense stack consumes. raw[pos+1]: DuckDB lists
 # are 1-indexed.
-HASH_EMBED_SQL = """
-WITH tk AS (
+# The hashing-trick embedding CTE chain (tk..n: token → signed bucket
+# → integer bucket sums → raw 64-vector + norm), shared by
+# HASH_EMBED_SQL and the frozen-weight quality-classifier oracle
+# (operators/classifier.py) — single source for the md5/bucket/sign
+# algebra.
+HASH_EMBED_CTES = """tk AS (
     SELECT doc_id,
         unnest(regexp_extract_all(lower(trim(text)),
                '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
@@ -2715,7 +2719,10 @@ n AS (
         sqrt(list_reduce(list_transform(raw, x -> x * x),
                          (a, b) -> a + b)) AS nrm
     FROM v
-)
+)"""
+
+HASH_EMBED_SQL = f"""
+WITH {HASH_EMBED_CTES}
 SELECT doc_id, CAST(p.pos AS INTEGER) AS pos,
        CASE WHEN nrm > 0 THEN round(raw[p.pos + 1] / nrm, 6)
             ELSE raw[p.pos + 1] END AS value

@@ -114,3 +114,33 @@ def test_kcore_python_parity_and_fixpoint(spark):
         for r in kcore_peel(li01, k=80, iters=9).collect()
     }
     assert r8 == r9 and len(r8) > 0
+
+
+def test_quality_classifier_separation_out_of_sample(spark):
+    """The frozen weights were distilled from the heuristic
+    quality_score on sf0.01; they must SEPARATE out-of-sample — AUC of
+    quality_logit against top-30%-vs-bottom-30% heuristic labels on
+    sf0.001 (never seen in training) well above chance — and the
+    decision flag must be the logit's own sign."""
+    import bisect
+
+    from stock_market_data_pipeline_v2_spark.operators.classifier import (
+        quality_classifier,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.text import text_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    logits = {r.doc_id: r for r in quality_classifier(docs).collect()}
+    scored = sorted(
+        (r.quality_score, r.doc_id) for r in text_stats(docs).collect()
+    )
+    k = int(0.3 * len(scored))
+    neg = sorted(logits[d].quality_logit for _, d in scored[:k])
+    pos = [logits[d].quality_logit for _, d in scored[-k:]]
+    wins = sum(bisect.bisect_left(neg, s) for s in pos)
+    auc = wins / (len(pos) * len(neg))
+    assert auc > 0.85, auc
+    for r in logits.values():
+        assert r.predicted_high_quality == (r.quality_logit > 0) or (
+            r.quality_logit == 0
+        )
