@@ -443,6 +443,22 @@ def q_cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_token_frequency(toks, "token", depth=4, width=1024, top_k=20)
 
 
+def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 7: HLL set algebra — per event-type pair, union estimate
+    # via register max-merge and inclusion–exclusion intersection
+    # estimate beside the exact intersection; the estimator's known
+    # variance on small intersections is an oracle-checked rel_error
+    # column, not a claim.
+    from stock_market_data_pipeline_v2_spark.operators.sketches import (
+        hll_set_overlap,
+    )
+
+    configure_runtime(spark)
+    return hll_set_overlap(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id", p=5
+    )
+
+
 def q_sector_activity_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r7 re-base (VERDICT r6 #3): composes the in-house cross-engine
     # HLL + histogram-quantile sketches instead of Spark-native
@@ -1590,70 +1606,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window holds the 50 oracle-gated queries whose last green driver
     # row is oldest, and the freshest block sits at the tail.
     return {
-        # --- r6 driver window, slots 1-50 (CLAUDE.md: dict order is
-        # evidence; the snapshot samples the first 50 entries). Every
-        # query has now been sampled at least once (r5 closed that),
-        # so r6 rotates by STALENESS (VERDICT r5 #4): the 34
-        # oracle-gated queries last sampled in r1-r3 lead, then the 16
-        # oldest entries of the r4 block. The two by-design rows-only
-        # r3 entries (windowed_analytics_reagg, sector_activity_sketch)
-        # stay behind slot 50 per the registry invariant. ---
-        "daily_bars": q_daily_bars,
-        "daily_summary": q_daily_summary,
-        "regional_customer_summary": q_regional_customer_summary,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "merge_upsert": q_merge_upsert,
-        "snapshot_diff": q_snapshot_diff,
-        "scd2_user_status": q_scd2_user_status,
-        "regional_supplier_revenue": q_regional_supplier_revenue,
-        "windowed_analytics_range_join": q_windowed_analytics_range_join,
-        "daily_returns": q_daily_returns,
-        "rolling_indicators": q_rolling_indicators,
-        "stock_performance": q_stock_performance,
-        "window_agg_15m": q_window_agg_15m,
-        "windowed_analytics": q_windowed_analytics,
-        "realtime_signals": q_realtime_signals,
-        "doc_fingerprint": q_doc_fingerprint,
-        "lm_perplexity": q_lm_perplexity,
-        "boilerplate_prefixes": q_boilerplate_prefixes,
-        "winsorize_ticks": q_winsorize_ticks,
-        "pii_scrub": q_pii_scrub,
-        "strip_html": q_strip_html,
-        "split_sentences": q_split_sentences,
-        "gopher_filter": q_gopher_filter,
-        "repetition_filter": q_repetition_filter,
-        "mix_corpus": q_mix_corpus,
-        "chunk_documents": q_chunk_documents,
-        "token_frequency": q_token_frequency,
-        "stratified_sample": q_stratified_sample,
-        "shuffle_corpus": q_shuffle_corpus,
-        "source_drift_kl": q_source_drift_kl,
-        "length_bucket_batches": q_length_bucket_batches,
-        "bpe_token_counts": q_bpe_token_counts,
-        "sft_render_spans": q_sft_render_spans,
-        # --- the 16 oldest r4-sampled entries fill the window ---
-        "hash_embeddings": q_hash_embeddings,
-        "zorder_events": q_zorder_events,
-        "ngram_containment": q_ngram_containment,
-        "leakage_safe_split": q_leakage_safe_split,
-        "importance_weights": q_importance_weights,
-        "importance_resample": q_importance_resample,
-        "pack_sequences": q_pack_sequences,
-        "quality_decile_bins": q_quality_decile_bins,
-        "curation_pipeline": q_curation_pipeline,
-        "corpus_stats_by_source": q_corpus_stats_by_source,
-        "dedup_exact": q_dedup_exact,
-        "repeated_spans": q_repeated_spans,
-        "dedup_sentences": q_dedup_sentences,
-        "lm_perplexity_cross": q_lm_perplexity_cross,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_keep_best": q_dedup_keep_best,
-        # --- behind the window: the two by-design rows-only r3
-        # entries, the rest of the r4 block, and the full r5-sampled
-        # block (CORRECTNESS_r05 = 48/48 oracle-gated rows green). ---
-        "windowed_analytics_reagg": q_windowed_analytics_reagg,
+        # --- r7 driver window, slots 1-50 (CLAUDE.md: dict order is
+        # evidence; the snapshot samples the first 50 entries). Per
+        # VERDICT r6 #1 the window leads with the 18 r6 queries that
+        # had never been driver-sampled, then the 4 new/re-based r7
+        # entries (sector_activity_sketch — oracle-gated since r7 and
+        # r3-stale — profile_lineitem_sketch, part_kcore,
+        # quality_classifier), then fills with the stalest r4 block.
+        # Slots 51+ are ordered by staleness (r4 remainder, r5 block,
+        # r6-sampled block) so the r8 rotation reads straight off the
+        # head of the tail; the two by-design rows-only entries
+        # (windowed_analytics_reagg, image_features) stay behind slot
+        # 50 per the registry invariant. ---
+        "hll_event_users": q_hll_event_users,
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        "embedding_diversity": q_embedding_diversity,
+        "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
+        "profile_lineitem": q_profile_lineitem,
+        "order_value_distribution": q_order_value_distribution,
+        "type_token_stats": q_type_token_stats,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "event_value_quantile_sketch": q_event_value_quantile_sketch,
+        "event_transitions": q_event_transitions,
+        "part_pagerank": q_part_pagerank,
+        "dedup_prefix_filter": q_dedup_prefix_filter,
+        "lineitem_profile_drift": q_lineitem_profile_drift,
+        "hll_daily_rollup": q_hll_daily_rollup,
+        "cms_token_frequency": q_cms_token_frequency,
+        "part_triangles": q_part_triangles,
+        "return_moments": q_return_moments,
+        "return_outliers": q_return_outliers,
         "sector_activity_sketch": q_sector_activity_sketch,
+        "profile_lineitem_sketch": q_profile_lineitem_sketch,
+        "part_kcore": q_part_kcore,
+        "quality_classifier": q_quality_classifier,
         "winnow_fingerprints": q_winnow_fingerprints,
         "passage_overlap": q_passage_overlap,
         "passage_clusters": q_passage_clusters,
@@ -1682,13 +1668,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "return_correlations": q_return_correlations,
         "bollinger_bands": q_bollinger,
         "stochastic_k": q_stochastic_k,
+        # --- slots 51+: stalest-first tail (r8 window source) ---
+        "windowed_analytics_reagg": q_windowed_analytics_reagg,
         "macd": q_macd,
         "atr_obv": q_atr_obv,
         "drawdown": q_drawdown,
         "rolling_beta": q_rolling_beta,
         "cross_sectional_ranks": q_cross_sectional_ranks,
         "pmi_collocations": q_pmi_collocations,
-        # --- r5-sampled block (freshest evidence, CORRECTNESS_r05) ---
         "balance_rich_dormant": q_balance_rich_dormant,
         "min_cost_supplier": q_min_cost_supplier,
         "nation_revenue_share": q_nation_revenue_share,
@@ -1739,29 +1726,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        # --- round-6 surface (appended at the tail: new entries wait
-        # their turn; the window belongs to the stalest evidence) ---
-        "hll_event_users": q_hll_event_users,
-        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
-        "embedding_diversity": q_embedding_diversity,
-        "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
-        "profile_lineitem": q_profile_lineitem,
-        "order_value_distribution": q_order_value_distribution,
-        "type_token_stats": q_type_token_stats,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "event_value_quantile_sketch": q_event_value_quantile_sketch,
-        "event_transitions": q_event_transitions,
-        "part_pagerank": q_part_pagerank,
-        "dedup_prefix_filter": q_dedup_prefix_filter,
-        "lineitem_profile_drift": q_lineitem_profile_drift,
-        "hll_daily_rollup": q_hll_daily_rollup,
-        "cms_token_frequency": q_cms_token_frequency,
-        "part_triangles": q_part_triangles,
-        "return_moments": q_return_moments,
-        "return_outliers": q_return_outliers,
-        "profile_lineitem_sketch": q_profile_lineitem_sketch,
-        "part_kcore": q_part_kcore,
-        "quality_classifier": q_quality_classifier,
+        "daily_bars": q_daily_bars,
+        "daily_summary": q_daily_summary,
+        "regional_customer_summary": q_regional_customer_summary,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "merge_upsert": q_merge_upsert,
+        "snapshot_diff": q_snapshot_diff,
+        "scd2_user_status": q_scd2_user_status,
+        "regional_supplier_revenue": q_regional_supplier_revenue,
+        "windowed_analytics_range_join": q_windowed_analytics_range_join,
+        "daily_returns": q_daily_returns,
+        "rolling_indicators": q_rolling_indicators,
+        "stock_performance": q_stock_performance,
+        "window_agg_15m": q_window_agg_15m,
+        "windowed_analytics": q_windowed_analytics,
+        "realtime_signals": q_realtime_signals,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lm_perplexity": q_lm_perplexity,
+        "boilerplate_prefixes": q_boilerplate_prefixes,
+        "winsorize_ticks": q_winsorize_ticks,
+        "pii_scrub": q_pii_scrub,
+        "strip_html": q_strip_html,
+        "split_sentences": q_split_sentences,
+        "gopher_filter": q_gopher_filter,
+        "repetition_filter": q_repetition_filter,
+        "mix_corpus": q_mix_corpus,
+        "chunk_documents": q_chunk_documents,
+        "token_frequency": q_token_frequency,
+        "stratified_sample": q_stratified_sample,
+        "shuffle_corpus": q_shuffle_corpus,
+        "source_drift_kl": q_source_drift_kl,
+        "length_bucket_batches": q_length_bucket_batches,
+        "bpe_token_counts": q_bpe_token_counts,
+        "sft_render_spans": q_sft_render_spans,
+        "hash_embeddings": q_hash_embeddings,
+        "zorder_events": q_zorder_events,
+        "ngram_containment": q_ngram_containment,
+        "leakage_safe_split": q_leakage_safe_split,
+        "importance_weights": q_importance_weights,
+        "importance_resample": q_importance_resample,
+        "pack_sequences": q_pack_sequences,
+        "quality_decile_bins": q_quality_decile_bins,
+        "curation_pipeline": q_curation_pipeline,
+        "corpus_stats_by_source": q_corpus_stats_by_source,
+        "dedup_exact": q_dedup_exact,
+        "repeated_spans": q_repeated_spans,
+        "dedup_sentences": q_dedup_sentences,
+        "lm_perplexity_cross": q_lm_perplexity_cross,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_keep_best": q_dedup_keep_best,
+        # r7 additions landed after the window was fixed: never
+        # sampled, at the very tail — r8 window candidates.
+        "hll_user_overlap": q_hll_user_overlap,
     }
 
 
@@ -1805,6 +1822,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_daily_rollup": sketches.hll_rollup_oracle_sql(
             "events", ["event_type"], "CAST(ts AS DATE)", "user_id", p=5
+        ),
+        "hll_user_overlap": sketches.hll_set_overlap_oracle_sql(
+            "events", "event_type", "user_id", p=5
         ),
         "event_value_quantile_sketch": sketches.histogram_quantile_oracle_sql(
             "events", ["event_type"], "value"

@@ -155,6 +155,11 @@ HEADLINE = [
     "part_triangles",           # added round 6: degree-ordered triangles
     "return_moments",           # added round 6: integer-power-sum skew/kurt
     "return_outliers",          # added round 6: MAD robust anomaly days
+    "sector_activity_sketch",   # round 7: re-based on in-house sketches (hash-gated)
+    "profile_lineitem_sketch",  # added round 7: profiler HLL tier (no Expand)
+    "part_kcore",               # added round 7: R-round k-peel (graph memo)
+    "quality_classifier",       # added round 7: frozen-weight linear quality model
+    "hll_user_overlap",         # added round 7: HLL set algebra (union/intersection)
 ]
 
 

@@ -68,7 +68,9 @@ def sector_activity_sketch(events: DataFrame, tickers: DataFrame) -> DataFrame:
         F.coalesce(F.col("sector"), F.lit("UNKNOWN")).alias("sector"),
         "user_id",
         "value",
-    )
+    ).cache()  # feeds 6 plan branches (sketch states + exact refs +
+    # count) — uncached it rescans events once per branch (the r6 SNM
+    # lesson); released via the _cached_inputs contract
     h = hll_distinct(enriched, ["sector"], "user_id", p=5)
     q = histogram_quantile_sketch(
         enriched, ["sector"], "value", nbins=64, qs=(("p95", 0.95),)
@@ -76,7 +78,7 @@ def sector_activity_sketch(events: DataFrame, tickers: DataFrame) -> DataFrame:
     ev = enriched.groupBy("sector").agg(
         F.count(F.lit(1)).cast("long").alias("events")
     )
-    return (
+    out = (
         h.join(q, "sector")
         .join(ev, "sector")
         .select(
@@ -94,6 +96,8 @@ def sector_activity_sketch(events: DataFrame, tickers: DataFrame) -> DataFrame:
         )
         .orderBy("sector")
     )
+    out._cached_inputs = (enriched,)  # type: ignore[attr-defined]
+    return out
 
 
 def sector_activity_sketch_oracle_sql(seed_path: str) -> str:

@@ -804,3 +804,198 @@ SELECT est.token, est.exact_count, est.cms_estimate,
 FROM est CROSS JOIN nt
 ORDER BY est.exact_count DESC, est.token ASC
 """
+
+
+def hll_set_overlap(
+    df: DataFrame, group_col: str, key: str, p: int = 5
+) -> DataFrame:
+    """HLL SET ALGEBRA (round 7): per unordered group pair, the
+    union estimate via register max-merge (union of sets = element-wise
+    max of register vectors — the same composition law
+    :func:`hll_rollup` oracle-checks) and the inclusion–exclusion
+    intersection estimate ``est_a + est_b − est_union``, both beside
+    the exact intersection. This is the query a warehouse answers
+    from stored per-segment sketches without rescanning facts
+    ("how many users do segments A and B share"); here every
+    estimate column is hash-gated, and the signed error makes the
+    known weakness of inclusion–exclusion (variance grows as the
+    true intersection shrinks) a measured, visible output.
+
+    Exactness: register merge is integer max; each indicator sum is
+    the exact dyadic-rational float sum; the final combination
+    ``(est_a + est_b) − est_union`` is evaluated in that fixed
+    association on both engines. The exact intersection is an
+    integer count of a distinct-pair self-join.
+
+    100 TB design: the fact scan reduces to groups × 2^p register
+    rows ONCE; the pair space is groups², built from register tables
+    (never from facts), so adding a segment costs one sketch, not a
+    rescan. The exact column rides along as the accuracy reference
+    exactly as in :func:`hll_distinct` (production drops it — it is
+    the only fact-scale join here).
+    """
+    m = 1 << p
+    g = group_col
+    # regs feeds sk + both pair sides (3 plan branches) — uncached its
+    # lineage rescans the fact table per branch (the r6 SNM lesson);
+    # released via the _cached_inputs contract. The exact-intersection
+    # reference adds its own two scans by design (production drops it).
+    regs = hll_register_table(df, [g], key, p).cache()
+
+    def est(occ: Column, nr: Column) -> Column:
+        s = occ + (F.lit(m) - nr).cast("double")
+        return F.lit(_alpha(m)) * F.lit(float(m * m)) / s
+
+    sk = regs.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("__nr"),
+        F.sum(F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), reg)")).alias(
+            "__occ"
+        ),
+    )
+    ga = F.col("type_a")
+    gb = F.col("type_b")
+    pairs = (
+        sk.select(F.col(g).alias("type_a"))
+        .crossJoin(sk.select(F.col(g).alias("type_b")))
+        .filter(ga < gb)
+    )
+    ra = regs.select(
+        F.col(g).alias("type_a"), "reg_idx", "reg"
+    ).join(pairs, "type_a")
+    rb = regs.select(
+        F.col(g).alias("type_b"), "reg_idx", "reg"
+    ).join(pairs, "type_b")
+    u = (
+        ra.select("type_a", "type_b", "reg_idx", "reg")
+        .unionByName(rb.select("type_a", "type_b", "reg_idx", "reg"))
+        .groupBy("type_a", "type_b", "reg_idx")
+        .agg(F.max("reg").alias("reg"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_registers_union"),
+            F.sum(
+                F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), reg)")
+            ).alias("__occ_u"),
+        )
+    )
+    ka = df.select(F.col(g).alias("type_a"), F.col(key).alias("__k")).distinct()
+    kb = df.select(F.col(g).alias("type_b"), F.col(key).alias("__k")).distinct()
+    exact = (
+        ka.join(kb, "__k")
+        .filter(ga < gb)
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    sa = sk.select(
+        F.col(g).alias("type_a"),
+        F.col("__nr").alias("__nra"),
+        F.col("__occ").alias("__occa"),
+    )
+    sb = sk.select(
+        F.col(g).alias("type_b"),
+        F.col("__nr").alias("__nrb"),
+        F.col("__occ").alias("__occb"),
+    )
+    e_a = est(F.col("__occa"), F.col("__nra"))
+    e_b = est(F.col("__occb"), F.col("__nrb"))
+    e_u = est(F.col("__occ_u"), F.col("n_registers_union"))
+    e_i = (e_a + e_b) - e_u
+    ex = F.col("exact_intersection").cast("double")
+    out = (
+        u.join(sa, "type_a")
+        .join(sb, "type_b")
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_registers_union",
+            round_away(e_a, 4).alias("est_a"),
+            round_away(e_b, 4).alias("est_b"),
+            round_away(e_u, 4).alias("est_union"),
+            round_away(e_i, 4).alias("est_intersection"),
+            F.coalesce(
+                F.col("exact_intersection"), F.lit(0).cast("long")
+            ).alias("exact_intersection"),
+            round_away(
+                F.try_divide(
+                    e_i
+                    - F.coalesce(ex, F.lit(0.0)),
+                    F.coalesce(ex, F.lit(0.0)),
+                ),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+    out._cached_inputs = (regs,)  # type: ignore[attr-defined]
+    return out
+
+
+def hll_set_overlap_oracle_sql(
+    table: str, group_col: str, key: str, p: int = 5
+) -> str:
+    """DuckDB twin of :func:`hll_set_overlap`, generated from the
+    same literals and reusing the shared register chain
+    (:func:`hll_sql_parts` text via the same h/r/regs CTEs)."""
+    m = 1 << p
+    g = group_col
+    chain, _ = hll_sql_parts(table, [g], key, p)
+
+    def est(occ: str, nr: str) -> str:
+        return (
+            f"CAST({_alpha(m)!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+            f" / ({occ} + CAST({m} - {nr} AS DOUBLE))"
+        )
+
+    e_a = est("j.occa", "j.nra")
+    e_b = est("j.occb", "j.nrb")
+    e_u = est("j.occ_u", "j.n_registers_union")
+    return f"""
+WITH {chain},
+pairs AS (
+    SELECT a.{g} AS type_a, b.{g} AS type_b
+    FROM sk a CROSS JOIN sk b WHERE a.{g} < b.{g}
+),
+u AS (
+    SELECT p.type_a, p.type_b, rr.reg_idx, max(rr.reg) AS reg
+    FROM pairs p JOIN regs rr
+      ON rr.{g} = p.type_a OR rr.{g} = p.type_b
+    GROUP BY p.type_a, p.type_b, rr.reg_idx
+),
+usk AS (
+    SELECT type_a, type_b,
+        CAST(count(*) AS BIGINT) AS n_registers_union,
+        sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << reg)) AS occ_u
+    FROM u GROUP BY type_a, type_b
+),
+ex AS (
+    SELECT ka.{g} AS type_a, kb.{g} AS type_b,
+        CAST(count(*) AS BIGINT) AS exact_intersection
+    FROM (SELECT DISTINCT {g}, {key} AS k FROM {table}) ka
+    JOIN (SELECT DISTINCT {g}, {key} AS k FROM {table}) kb USING (k)
+    WHERE ka.{g} < kb.{g}
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT usk.*,
+        sa.n_registers AS nra, sa.occupied_sum AS occa,
+        sb.n_registers AS nrb, sb.occupied_sum AS occb,
+        coalesce(ex.exact_intersection, CAST(0 AS BIGINT))
+            AS exact_intersection
+    FROM usk
+    JOIN sk sa ON sa.{g} = usk.type_a
+    JOIN sk sb ON sb.{g} = usk.type_b
+    LEFT JOIN ex ON ex.type_a = usk.type_a AND ex.type_b = usk.type_b
+)
+SELECT j.type_a, j.type_b, j.n_registers_union,
+    round({e_a}, 4) AS est_a,
+    round({e_b}, 4) AS est_b,
+    round({e_u}, 4) AS est_union,
+    round(({e_a} + {e_b}) - {e_u}, 4) AS est_intersection,
+    j.exact_intersection,
+    round((({e_a} + {e_b}) - {e_u}
+           - CAST(j.exact_intersection AS DOUBLE))
+          / CAST(j.exact_intersection AS DOUBLE), 6) AS rel_error
+FROM j
+ORDER BY j.type_a, j.type_b
+"""

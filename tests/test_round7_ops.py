@@ -144,3 +144,40 @@ def test_quality_classifier_separation_out_of_sample(spark):
         assert r.predicted_high_quality == (r.quality_logit > 0) or (
             r.quality_logit == 0
         )
+
+
+def test_hll_set_overlap_invariants(spark):
+    """Structural invariants of the register set algebra: union
+    registers are the element-wise max, so est_union >= each side's
+    estimate and the union estimate equals the DIRECT sketch of the
+    concatenated pair (mergeability — same law hll_rollup
+    oracle-checks); est_intersection is exactly the inclusion-
+    exclusion combination; rel_error is the (signed) measured
+    accuracy of that combination."""
+    from stock_market_data_pipeline_v2_spark.operators.sketches import (
+        hll_estimate_only,
+        hll_set_overlap,
+    )
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+    from stock_market_data_pipeline_v2_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    ev = load_table(spark, SF01, "events")
+    rows = hll_set_overlap(ev, "event_type", "user_id", p=5).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    # direct estimates of each pairwise union, for the mergeability check
+    pairs = {(r.type_a, r.type_b): r for r in rows}
+    for (a, b), r in pairs.items():
+        assert r.est_union >= r.est_a - 1e-9
+        assert r.est_union >= r.est_b - 1e-9
+        assert abs((r.est_a + r.est_b - r.est_union) - r.est_intersection) < 1e-3
+        assert r.exact_intersection > 0
+        direct = hll_estimate_only(
+            ev.filter(F.col("event_type").isin(a, b)).select(
+                F.lit("u").alias("g"), "user_id"
+            ),
+            ["g"],
+            "user_id",
+            p=5,
+        ).collect()[0]
+        assert abs(direct.hll_estimate - r.est_union) < 1e-6, (a, b)
