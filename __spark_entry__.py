@@ -443,6 +443,23 @@ def q_cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_token_frequency(toks, "token", depth=4, width=1024, top_k=20)
 
 
+def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 7: distributed top principal component via INTEGER-exact
+    # power iteration (the PageRank micro-unit move applied to linear
+    # algebra): corpus folds to a dim x dim BIGINT Gram matrix in one
+    # scan, K matvec+rescale steps run entirely in BIGINT, oracle is
+    # K unrolled generated CTE stages; accuracy vs numpy's float64
+    # eigensolver is pytest-pinned.
+    from stock_market_data_pipeline_v2_spark.operators.eigen import (
+        embedding_top_component,
+    )
+
+    configure_runtime(spark)
+    return embedding_top_component(
+        load_table(spark, sf_dir, "embeddings"), dim=64, iters=14, squarings=5
+    )
+
+
 def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 7: HLL set algebra — per event-type pair, union estimate
     # via register max-merge and inclusion–exclusion intersection
@@ -1779,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 additions landed after the window was fixed: never
         # sampled, at the very tail — r8 window candidates.
         "hll_user_overlap": q_hll_user_overlap,
+        "embedding_top_component": q_embedding_top_component,
     }
 
 
@@ -1792,6 +1810,9 @@ def oracle_sql() -> dict[str, str]:
     from stock_market_data_pipeline_v2_spark import ann_state
     from stock_market_data_pipeline_v2_spark.operators import (
         classifier as _classifier_mod,
+    )
+    from stock_market_data_pipeline_v2_spark.operators import (
+        eigen as _eigen_mod,
     )
     from stock_market_data_pipeline_v2_spark.operators import dims as _dims_mod
     from stock_market_data_pipeline_v2_spark.operators import sketches
@@ -1825,6 +1846,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_user_overlap": sketches.hll_set_overlap_oracle_sql(
             "events", "event_type", "user_id", p=5
+        ),
+        "embedding_top_component": _eigen_mod.eigen_oracle_sql(
+            dim=64, iters=14, squarings=5
         ),
         "event_value_quantile_sketch": sketches.histogram_quantile_oracle_sql(
             "events", ["event_type"], "value"

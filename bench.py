@@ -160,6 +160,7 @@ HEADLINE = [
     "part_kcore",               # added round 7: R-round k-peel (graph memo)
     "quality_classifier",       # added round 7: frozen-weight linear quality model
     "hll_user_overlap",         # added round 7: HLL set algebra (union/intersection)
+    "embedding_top_component",  # added round 7: integer-exact power iteration (top PC)
 ]
 
 

@@ -181,3 +181,38 @@ def test_hll_set_overlap_invariants(spark):
             p=5,
         ).collect()[0]
         assert abs(direct.hll_estimate - r.est_union) < 1e-6, (a, b)
+
+
+def test_embedding_top_component_vs_numpy(spark):
+    """The integer power iteration must land on the TRUE dominant
+    eigenvector: |cosine| vs numpy's float64 eigensolver on the exact
+    normalized-embedding Gram matrix >= 0.999, and the Rayleigh
+    eigenvalue within 1% of numpy's lambda_max. (The oracle gate
+    checks both engines run the same recurrence; THIS checks the
+    recurrence solves the right problem.)"""
+    import numpy as np
+
+    from stock_market_data_pipeline_v2_spark.operators.eigen import (
+        embedding_top_component,
+    )
+
+    embs = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    rows = embedding_top_component(embs, dim=64, iters=14, squarings=5).collect()
+    assert len(rows) == 64
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.pos)])
+    lam = rows[0].eigenvalue
+    assert all(r.eigenvalue == lam for r in rows)
+
+    U = np.array(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in embs.collect()
+        ]
+    )
+    U = U[np.linalg.norm(U, axis=1) > 0]
+    U = U / np.linalg.norm(U, axis=1, keepdims=True)
+    G = U.T @ U
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, -1]
+    assert abs(float(v @ top)) >= 0.999, float(v @ top)
+    assert abs(lam - evals[-1]) <= 0.01 * evals[-1], (lam, evals[-1])
