@@ -565,6 +565,30 @@ def q_profile_lineitem_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_profile_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 7 (closes the second half of the r6 `weak` row): the
+    # drift audit on the HLL tier — the exact drift pays 2x11 exact
+    # count-distincts; this pays four plain scans and register-sized
+    # state, with distinct drift read from the oracle-checked
+    # estimates.
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.operators.profiling import (
+        LINEITEM_PROFILE_SPEC,
+        profile_drift_sketch,
+    )
+
+    configure_runtime(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    return profile_drift_sketch(
+        li.filter(F.col("l_shipdate") < cut),
+        li.filter(F.col("l_shipdate") >= cut),
+        LINEITEM_PROFILE_SPEC,
+        p=8,
+    )
+
+
 def q_lineitem_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 6: column-profile drift between the pre/post-1998-06-01
     # shipdate halves — the incremental-load audit shape (two pruned
@@ -1797,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampled, at the very tail — r8 window candidates.
         "hll_user_overlap": q_hll_user_overlap,
         "embedding_top_component": q_embedding_top_component,
+        "lineitem_profile_drift_sketch": q_lineitem_profile_drift_sketch,
     }
 
 
@@ -1886,6 +1911,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "profile_lineitem_sketch": _profiling_mod.profile_sketch_oracle_sql(
             "lineitem", _profiling_mod.LINEITEM_PROFILE_SPEC, p=8
+        ),
+        "lineitem_profile_drift_sketch": (
+            _profiling_mod.profile_drift_sketch_oracle_sql(
+                "lineitem",
+                _profiling_mod.LINEITEM_PROFILE_SPEC,
+                "l_shipdate < TIMESTAMP '1998-06-01'",
+                "l_shipdate >= TIMESTAMP '1998-06-01'",
+                p=8,
+            )
         ),
         "order_value_distribution": _stats_mod.ORDER_VALUE_DISTRIBUTION_SQL,
         "type_token_stats": _text_mod.TYPE_TOKEN_STATS_SQL,

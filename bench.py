@@ -161,6 +161,7 @@ HEADLINE = [
     "quality_classifier",       # added round 7: frozen-weight linear quality model
     "hll_user_overlap",         # added round 7: HLL set algebra (union/intersection)
     "embedding_top_component",  # added round 7: integer-exact power iteration (top PC)
+    "lineitem_profile_drift_sketch",  # added round 7: drift audit on the HLL tier
 ]
 
 

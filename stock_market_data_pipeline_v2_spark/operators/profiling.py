@@ -9,9 +9,12 @@ plan and the generated DuckDB oracle (single-source pattern), so the
 two can never drift.
 
 Plan shape: a single ``agg`` computes every column's statistics in
-one pass (the count-distincts share one expand; at 100 TB swap them
-for the HLL sketch in ``operators/sketches.py`` — same output shape,
-register-sized state); the wide 1-row result is then unpivoted
+one pass (the count-distincts share one Expand; the 100 TB tier that
+swaps them for the HLL sketch IS implemented below —
+:func:`profile_table_sketch` / :func:`profile_drift_sketch`,
+registered as ``profile_lineitem_sketch`` /
+``lineitem_profile_drift_sketch``, zero Expand, register-sized
+state); the wide 1-row result is then unpivoted
 DRIVER-SIDE-FREE with ``stack`` into the long (column_name, …) form.
 Timestamp columns here are TIMESTAMP_NTZ (wall time, no zone), so
 their min/max render as formatted wall-time strings — TZ-independent
@@ -415,3 +418,102 @@ FROM (
     return "\n".join(
         [" UNION ALL\n".join(branches), "ORDER BY column_name"]
     )
+
+
+def profile_drift_sketch(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    spec: list[tuple[str, str]],
+    p: int = 8,
+) -> DataFrame:
+    """The drift audit's 100 TB tier (closing the second half of the
+    r6 `weak` row — the exact tier above still pays 2×11 exact
+    count-distincts): :func:`profile_table_sketch` over each slice,
+    diffed at spec grain. Distinct drift is read from the HLL
+    estimates (``nd_est_*``) plus the occupied-register counts (the
+    near-exact reading for tiny-cardinality columns); everything else
+    (null fractions, ranges) is exact and identical to the exact
+    tier. Four plain scans total (two per slice), zero Expand."""
+    pa = profile_table_sketch(df_a, spec, p=p).select(
+        "column_name",
+        F.col("n_rows").alias("rows_a"),
+        F.col("n_null").alias("null_a"),
+        F.col("n_registers").alias("regs_a"),
+        F.col("hll_estimate").alias("nd_est_a"),
+        F.col("min_num").alias("min_a"),
+        F.col("max_num").alias("max_a"),
+    )
+    pb = profile_table_sketch(df_b, spec, p=p).select(
+        "column_name",
+        F.col("n_rows").alias("rows_b"),
+        F.col("n_null").alias("null_b"),
+        F.col("n_registers").alias("regs_b"),
+        F.col("hll_estimate").alias("nd_est_b"),
+        F.col("min_num").alias("min_b"),
+        F.col("max_num").alias("max_b"),
+    )
+    null_frac_a = F.col("null_a").cast("double") / F.col("rows_a").cast("double")
+    null_frac_b = F.col("null_b").cast("double") / F.col("rows_b").cast("double")
+    return (
+        pa.join(pb, "column_name")
+        .select(
+            "column_name",
+            "rows_a",
+            "rows_b",
+            round_away(null_frac_a, 6).alias("null_frac_a"),
+            round_away(null_frac_b, 6).alias("null_frac_b"),
+            round_away(null_frac_b - null_frac_a, 6).alias("null_frac_delta"),
+            "regs_a",
+            "regs_b",
+            "nd_est_a",
+            "nd_est_b",
+            round_away(
+                F.col("nd_est_b") - F.col("nd_est_a"), 4
+            ).alias("nd_est_delta"),
+            (
+                F.coalesce(F.col("min_b") < F.col("min_a"), F.lit(False))
+                | F.coalesce(F.col("max_b") > F.col("max_a"), F.lit(False))
+            ).alias("range_widened"),
+        )
+        .orderBy("column_name")
+    )
+
+
+def profile_drift_sketch_oracle_sql(
+    table: str,
+    spec: list[tuple[str, str]],
+    pred_a: str,
+    pred_b: str,
+    p: int = 8,
+) -> str:
+    """DuckDB twin of :func:`profile_drift_sketch` — composes the
+    generated sketch-profile oracle over each predicate slice (the
+    `table` parameter takes an aliased subquery, so the single-source
+    generator is reused verbatim)."""
+
+    def side(pred: str) -> str:
+        body = profile_sketch_oracle_sql(
+            f"(SELECT * FROM {table} WHERE {pred}) __slice", spec, p=p
+        )
+        return body.replace("\nORDER BY column_name", "")
+
+    return f"""
+WITH pa AS (
+{side(pred_a)}
+),
+pb AS (
+{side(pred_b)}
+)
+SELECT pa.column_name, pa.n_rows AS rows_a, pb.n_rows AS rows_b,
+    round(CAST(pa.n_null AS DOUBLE) / pa.n_rows, 6) AS null_frac_a,
+    round(CAST(pb.n_null AS DOUBLE) / pb.n_rows, 6) AS null_frac_b,
+    round(CAST(pb.n_null AS DOUBLE) / pb.n_rows
+          - CAST(pa.n_null AS DOUBLE) / pa.n_rows, 6) AS null_frac_delta,
+    pa.n_registers AS regs_a, pb.n_registers AS regs_b,
+    pa.hll_estimate AS nd_est_a, pb.hll_estimate AS nd_est_b,
+    round(pb.hll_estimate - pa.hll_estimate, 4) AS nd_est_delta,
+    coalesce(pb.min_num < pa.min_num, FALSE)
+        OR coalesce(pb.max_num > pa.max_num, FALSE) AS range_widened
+FROM pa JOIN pb USING (column_name)
+ORDER BY pa.column_name
+"""

@@ -216,3 +216,23 @@ def test_embedding_top_component_vs_numpy(spark):
     top = evecs[:, -1]
     assert abs(float(v @ top)) >= 0.999, float(v @ top)
     assert abs(lam - evals[-1]) <= 0.01 * evals[-1], (lam, evals[-1])
+
+
+def test_profile_drift_sketch_no_expand(spark):
+    """The drift audit's sketch tier carries the same plan contract
+    as the profile sketch tier: zero Expand, no distinct aggregate,
+    at most four scans (two per slice)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["lineitem_profile_drift_sketch"](spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in phys
+    assert "distinct" not in phys.lower()
+    assert phys.count("FileScan") <= 4
+    rows = {r.column_name: r for r in df.collect()}
+    assert set(rows) == {c for c, _ in __import__(
+        "stock_market_data_pipeline_v2_spark.operators.profiling",
+        fromlist=["LINEITEM_PROFILE_SPEC"],
+    ).LINEITEM_PROFILE_SPEC}
+    r = rows["l_orderkey"]
+    assert r.rows_a > 0 and r.rows_b > 0 and r.null_frac_a == 0.0
