@@ -460,6 +460,17 @@ def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 7: classifier-in-pipeline composition — per-source kept
+    # fraction and mean logit from the frozen model; the mean is an
+    # order-free decimal sum of the already-hash-gated 6-dp logits.
+    from stock_market_data_pipeline_v2_spark.operators.classifier import (
+        source_quality_profile,
+    )
+
+    return source_quality_profile(_docs(spark, sf_dir))
+
+
 def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 7: HLL set algebra — per event-type pair, union estimate
     # via register max-merge and inclusion–exclusion intersection
@@ -1822,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_overlap": q_hll_user_overlap,
         "embedding_top_component": q_embedding_top_component,
         "lineitem_profile_drift_sketch": q_lineitem_profile_drift_sketch,
+        "source_quality_profile": q_source_quality_profile,
     }
 
 
@@ -1883,6 +1895,9 @@ def oracle_sql() -> dict[str, str]:
         "part_kcore": _graph_mod.kcore_oracle_sql(k=80, iters=8),
         "quality_classifier": (
             _classifier_mod.quality_classifier_oracle_sql()
+        ),
+        "source_quality_profile": (
+            _classifier_mod.source_quality_profile_oracle_sql()
         ),
         "return_moments": _stats_mod.moment_stats_oracle_sql(
             oracles.DAILY_RETURNS_SQL

@@ -162,6 +162,7 @@ HEADLINE = [
     "hll_user_overlap",         # added round 7: HLL set algebra (union/intersection)
     "embedding_top_component",  # added round 7: integer-exact power iteration (top PC)
     "lineitem_profile_drift_sketch",  # added round 7: drift audit on the HLL tier
+    "source_quality_profile",   # added round 7: per-source classifier rollup
 ]
 
 

@@ -102,3 +102,68 @@ SELECT doc_id, round(lraw, 6) AS quality_logit,
 FROM lg
 ORDER BY doc_id
 """
+
+
+def source_quality_profile(documents: DataFrame) -> DataFrame:
+    """Per-source model-quality rollup — the dashboard a curation team
+    reads after scoring: documents kept by the frozen classifier and
+    the mean logit, per source. Composes :func:`quality_classifier`
+    (the logit column is already 6-dp rounded and hash-gated, so the
+    group mean can be made order-free by summing the logits as
+    DECIMAL(12,6) — exact integer arithmetic in disguise, the
+    embedding_diversity move — and dividing ONCE as double).
+
+    Output: (source, n_docs, n_high, kept_frac 6 dp, mean_logit 6 dp).
+    100 TB shape: scoring is scan-shaped; this adds one source-grain
+    map-side-combinable aggregate."""
+    scored = quality_classifier(documents)
+    j = documents.select("doc_id", "source").join(scored, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("predicted_high_quality"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_high"),
+        F.sum(F.col("quality_logit").cast("decimal(12,6)")).alias("__sl"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_high",
+        round_away(
+            F.col("n_high").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("kept_frac"),
+        round_away(
+            F.col("__sl").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("mean_logit"),
+    ).orderBy("source")
+
+
+def source_quality_profile_oracle_sql() -> str:
+    """DuckDB twin of :func:`source_quality_profile` — wraps the
+    generated classifier oracle as a nested-WITH CTE (same frozen
+    literals), then the identical decimal-sum/one-divide algebra."""
+    qc = quality_classifier_oracle_sql().strip()
+    qc = qc.replace("ORDER BY doc_id", "")
+    return f"""
+WITH qc AS (
+{qc}
+),
+j AS (
+    SELECT d.source, qc.quality_logit, qc.predicted_high_quality
+    FROM documents d JOIN qc ON d.doc_id = qc.doc_id
+)
+SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN predicted_high_quality THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_high,
+    round(CAST(sum(CASE WHEN predicted_high_quality THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 6) AS kept_frac,
+    round(CAST(sum(CAST(quality_logit AS DECIMAL(12,6))) AS DOUBLE)
+          / count(*), 6) AS mean_logit
+FROM j
+GROUP BY source
+ORDER BY source
+"""
