@@ -236,3 +236,33 @@ def test_profile_drift_sketch_no_expand(spark):
     ).LINEITEM_PROFILE_SPEC}
     r = rows["l_orderkey"]
     assert r.rows_a > 0 and r.rows_b > 0 and r.null_frac_a == 0.0
+
+
+def test_source_quality_profile_consistency(spark):
+    """The per-source rollup must be arithmetically consistent with
+    the underlying classifier output (n_high = count of positive
+    flags per source; kept_frac = n_high/n_docs; mean_logit = mean of
+    the 6-dp logits to well under the 6-dp output rounding)."""
+    from collections import defaultdict
+
+    from stock_market_data_pipeline_v2_spark.operators.classifier import (
+        quality_classifier,
+        source_quality_profile,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    per_doc = {r.doc_id: r for r in quality_classifier(docs).collect()}
+    src_of = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    agg = defaultdict(lambda: [0, 0, 0.0])
+    for d, r in per_doc.items():
+        a = agg[src_of[d]]
+        a[0] += 1
+        a[1] += int(r.predicted_high_quality)
+        a[2] += r.quality_logit
+    rows = {r.source: r for r in source_quality_profile(docs).collect()}
+    assert set(rows) == set(agg)
+    for s, (n, h, sl) in agg.items():
+        r = rows[s]
+        assert (r.n_docs, r.n_high) == (n, h)
+        assert abs(r.kept_frac - h / n) < 1e-6
+        assert abs(r.mean_logit - sl / n) < 2e-6
