@@ -460,6 +460,38 @@ def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 7: model evaluation in-engine — per-source tie-adjusted
+    # Mann-Whitney AUC of the frozen classifier vs heuristic
+    # top/bottom-30% labels, computed entirely in integer half-unit
+    # rank algebra (one float division at the end).
+    from stock_market_data_pipeline_v2_spark.operators.classifier import (
+        classifier_auc_report,
+    )
+
+    return classifier_auc_report(_docs(spark, sf_dir))
+
+
+def q_weighted_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 7: exact quantity-weighted median price per
+    # (returnflag, linestatus) — the weighted ordered statistic,
+    # decided entirely in cross-multiplied integers (q_den*cum >=
+    # q_num*total), so no float touches the decision path.
+    from stock_market_data_pipeline_v2_spark.operators.stats import (
+        weighted_median,
+    )
+
+    configure_runtime(spark)
+    return weighted_median(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+        "l_quantity",
+        q_num=1,
+        q_den=2,
+    )
+
+
 def q_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 7: classifier-in-pipeline composition — per-source kept
     # fraction and mean logit from the frozen model; the mean is an
@@ -1834,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_top_component": q_embedding_top_component,
         "lineitem_profile_drift_sketch": q_lineitem_profile_drift_sketch,
         "source_quality_profile": q_source_quality_profile,
+        "weighted_price_median": q_weighted_price_median,
+        "classifier_auc_report": q_classifier_auc_report,
     }
 
 
@@ -1899,11 +1933,22 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_profile": (
             _classifier_mod.source_quality_profile_oracle_sql()
         ),
+        "classifier_auc_report": (
+            _classifier_mod.classifier_auc_oracle_sql()
+        ),
         "return_moments": _stats_mod.moment_stats_oracle_sql(
             oracles.DAILY_RETURNS_SQL
         ),
         "return_outliers": _stats_mod.return_outliers_oracle_sql(
             oracles.DAILY_RETURNS_SQL, k=5.0
+        ),
+        "weighted_price_median": _stats_mod.weighted_median_oracle_sql(
+            "lineitem",
+            ["l_returnflag", "l_linestatus"],
+            "l_extendedprice",
+            "l_quantity",
+            q_num=1,
+            q_den=2,
         ),
         "bloom_decontaminate": _dedup_mod.bloom_decontaminate_oracle_sql(
             n=13, m_bits=1 << 22, k=5

@@ -163,6 +163,8 @@ HEADLINE = [
     "embedding_top_component",  # added round 7: integer-exact power iteration (top PC)
     "lineitem_profile_drift_sketch",  # added round 7: drift audit on the HLL tier
     "source_quality_profile",   # added round 7: per-source classifier rollup
+    "weighted_price_median",    # added round 7: integer-decided weighted quantile
+    "classifier_auc_report",    # added round 7: in-engine Mann-Whitney AUC
 ]
 
 

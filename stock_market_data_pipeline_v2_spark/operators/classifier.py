@@ -167,3 +167,156 @@ FROM j
 GROUP BY source
 ORDER BY source
 """
+
+
+def classifier_auc_report(documents: DataFrame) -> DataFrame:
+    """Model EVALUATION as an exact distributed computation: per
+    source, the tie-adjusted Mann–Whitney AUC of the frozen
+    classifier's logit against the heuristic's top-30%/bottom-30%
+    labels — the number the out-of-sample pytest checks, computed
+    in-engine so a 100 TB evaluation never leaves the cluster.
+
+    Exactness: AUC is a RANK statistic, so it reduces to integers —
+    labels come from a deterministic (quality_score, doc_id) rank,
+    the 30% cut is ``(3n) div 10`` (never ``floor(0.3·n)``: 0.3 is
+    below 3/10 in binary and floor(0.3·n) loses a unit at some n),
+    and the tie-adjusted rank-sum works in HALF-UNITS so the .5s of
+    averaged tie ranks stay integral:
+    ``R2 = Σ_values p_at·(2·cum_less + n_at + 1)`` and
+    ``AUC = (R2 − n_pos(n_pos+1)) / (2·n_pos·n_neg)`` — one float
+    division of exact BIGINTs, 6-dp rounded.
+
+    100 TB shape: scoring and labeling are scan-shaped; the rank-sum
+    folds per (source, logit-value) — map-side combinable — and one
+    value-ordered window per source finishes it.
+    """
+    from pyspark.sql import Window
+
+    from .text import text_stats
+
+    ts = text_stats(documents).select("doc_id", "source", "quality_score")
+    w_rank = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    w_n = Window.partitionBy("source")
+    ranked = ts.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_rank).alias("__r"),
+        F.count(F.lit(1)).over(w_n).alias("__n"),
+    )
+    kcut = F.expr("(3 * __n) div 10")
+    lab = ranked.filter(
+        (F.col("__r") <= kcut) | (F.col("__r") > F.col("__n") - kcut)
+    ).select(
+        "doc_id",
+        "source",
+        F.when(F.col("__r") <= kcut, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("__label"),
+    )
+    scored = quality_classifier(documents).select("doc_id", "quality_logit")
+    j = lab.join(scored, "doc_id")
+    pv = j.groupBy("source", "quality_logit").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_at"),
+        F.sum("__label").cast("long").alias("__p_at"),
+    )
+    w_less = (
+        Window.partitionBy("source")
+        .orderBy("quality_logit")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cc = pv.select(
+        "source",
+        "__n_at",
+        "__p_at",
+        F.coalesce(
+            F.sum("__n_at").over(w_less), F.lit(0).cast("long")
+        ).alias("__cum_less"),
+    )
+    ag = cc.groupBy("source").agg(
+        F.sum(
+            F.col("__p_at")
+            * (2 * F.col("__cum_less") + F.col("__n_at") + 1)
+        )
+        .cast("long")
+        .alias("__r2"),
+        F.sum("__p_at").cast("long").alias("n_pos"),
+        F.sum("__n_at").cast("long").alias("__nt"),
+    )
+    n_neg = (F.col("__nt") - F.col("n_pos")).alias("n_neg")
+    u2 = F.col("__r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return ag.select(
+        "source",
+        "n_pos",
+        n_neg,
+        round_away(
+            F.try_divide(
+                u2.cast("double"),
+                (2 * F.col("n_pos") * (F.col("__nt") - F.col("n_pos"))).cast(
+                    "double"
+                ),
+            ),
+            6,
+        ).alias("auc"),
+    ).orderBy("source")
+
+
+def classifier_auc_oracle_sql() -> str:
+    """DuckDB twin of :func:`classifier_auc_report` — composes the
+    generated classifier oracle and the shared text-stats SQL as
+    nested-WITH CTEs; identical integer half-unit rank algebra."""
+    from ..oracles import TEXT_STATS_SQL
+
+    qc = quality_classifier_oracle_sql().strip().replace(
+        "ORDER BY doc_id", ""
+    )
+    return f"""
+WITH ts AS (
+{TEXT_STATS_SQL}
+),
+qc AS (
+{qc}
+),
+rk AS (
+    SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY quality_score, doc_id) AS r,
+        count(*) OVER (PARTITION BY source) AS n
+    FROM ts
+),
+lab AS (
+    SELECT doc_id, source,
+        CASE WHEN r <= (3 * n) // 10 THEN 0 ELSE 1 END AS label
+    FROM rk
+    WHERE r <= (3 * n) // 10 OR r > n - (3 * n) // 10
+),
+j AS (
+    SELECT l.source, l.label, qc.quality_logit AS s
+    FROM lab l JOIN qc USING (doc_id)
+),
+pv AS (
+    SELECT source, s,
+        CAST(count(*) AS BIGINT) AS n_at,
+        CAST(sum(label) AS BIGINT) AS p_at
+    FROM j GROUP BY 1, 2
+),
+cc AS (
+    SELECT source, n_at, p_at,
+        coalesce(sum(n_at) OVER (PARTITION BY source ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cum_less
+    FROM pv
+),
+ag AS (
+    SELECT source,
+        CAST(sum(p_at * (2 * cum_less + n_at + 1)) AS BIGINT) AS r2,
+        CAST(sum(p_at) AS BIGINT) AS np,
+        CAST(sum(n_at) AS BIGINT) AS nt
+    FROM cc GROUP BY source
+)
+SELECT source, np AS n_pos, nt - np AS n_neg,
+    round(CAST(r2 - np * (np + 1) AS DOUBLE)
+          / CAST(2 * np * (nt - np) AS DOUBLE), 6) AS auc
+FROM ag
+ORDER BY source
+"""

@@ -1016,3 +1016,89 @@ FROM dev d JOIN mad md USING (symbol)
 WHERE d.adev > {k!r} * md.mad
 ORDER BY d.symbol, d.trade_date
 """
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+) -> DataFrame:
+    """Exact weighted quantile per group — the ordered statistic the
+    exact-median machinery (A7) lacks a WEIGHTED form of: the smallest
+    value v whose cumulative weight reaches q of the group total.
+
+    Exactness: weights fold per VALUE first (``groupBy(value)`` sum —
+    integer weights stay integer), the cumulative runs over the value
+    order (no row-level tiebreak needed: ties in value merge before
+    the cumulative, so the picked value is a pure function of the
+    data), and the quantile test is cross-multiplied into pure
+    integers — ``q_den·cum ≥ q_num·total`` — so NO float division or
+    rounding exists anywhere in the decision path. Both engines run
+    identical BIGINT comparisons.
+
+    100 TB design: one map-side-combinable (group, value) fold, one
+    value-ordered window per group, one argmin — the same shape as
+    percentile_disc but with the weight column folded in; no
+    per-group buffering beyond the distinct-value stream.
+    """
+    g = list(group_cols)
+    per_value = df.groupBy(*g, value_col).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("__w")
+    )
+    w_cum = (
+        Window.partitionBy(*g)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*g)
+    cum = per_value.select(
+        *g,
+        F.col(value_col),
+        F.sum("__w").over(w_cum).alias("__cum"),
+        F.sum("__w").over(w_tot).alias("__tot"),
+    )
+    hit = cum.filter(
+        F.col("__cum") * F.lit(int(q_den)) >= F.col("__tot") * F.lit(int(q_num))
+    )
+    pick = hit.groupBy(*g).agg(
+        F.min(F.col(value_col)).alias("weighted_quantile"),
+        F.max("__tot").alias("total_weight"),
+    )
+    return pick.select(
+        *g, "total_weight", "weighted_quantile"
+    ).orderBy(*g)
+
+
+def weighted_median_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+) -> str:
+    """DuckDB twin of :func:`weighted_median`, generated from the
+    same (q_num, q_den) literals — identical integer decision path."""
+    g = ", ".join(group_cols)
+    return f"""
+WITH pv AS (
+    SELECT {g}, {value_col} AS v,
+        CAST(sum({weight_col}) AS BIGINT) AS w
+    FROM {table} GROUP BY {g}, {value_col}
+),
+c AS (
+    SELECT {g}, v,
+        sum(w) OVER (PARTITION BY {g} ORDER BY v) AS cum,
+        sum(w) OVER (PARTITION BY {g}) AS tot
+    FROM pv
+)
+SELECT {g}, CAST(max(tot) AS BIGINT) AS total_weight,
+    min(v) AS weighted_quantile
+FROM c
+WHERE cum * {int(q_den)} >= tot * {int(q_num)}
+GROUP BY {g}
+ORDER BY {g}
+"""

@@ -266,3 +266,95 @@ def test_source_quality_profile_consistency(spark):
         assert (r.n_docs, r.n_high) == (n, h)
         assert abs(r.kept_frac - h / n) < 1e-6
         assert abs(r.mean_logit - sl / n) < 2e-6
+
+
+def test_weighted_median_python_parity(spark):
+    """weighted_median must equal an independent pure-Python weighted
+    quantile (cumulative-weight definition) at several q values,
+    including q=1 (max) and a group where the boundary lands on a
+    tied value."""
+    from collections import defaultdict
+
+    from stock_market_data_pipeline_v2_spark.operators.stats import (
+        weighted_median,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rows = li.select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    data = defaultdict(list)
+    for r in rows:
+        data[r.l_returnflag].append(
+            (float(r.l_extendedprice), int(r.l_quantity))
+        )
+
+    def py_wq(vals, qn, qd):
+        per_value = defaultdict(int)
+        for v, w in vals:
+            per_value[v] += w
+        tot = sum(per_value.values())
+        cum = 0
+        for v in sorted(per_value):
+            cum += per_value[v]
+            if cum * qd >= tot * qn:
+                return v, tot
+        raise AssertionError
+
+    for qn, qd in ((1, 2), (1, 4), (9, 10), (1, 1)):
+        got = {
+            r.l_returnflag: (r.weighted_quantile, r.total_weight)
+            for r in weighted_median(
+                li, ["l_returnflag"], "l_extendedprice", "l_quantity",
+                q_num=qn, q_den=qd,
+            ).collect()
+        }
+        for flag, vals in data.items():
+            v, tot = py_wq(vals, qn, qd)
+            assert got[flag] == (v, tot), (flag, qn, qd, got[flag], (v, tot))
+
+
+def test_classifier_auc_report_python_parity(spark):
+    """The in-engine rank-sum AUC must equal an independent Python
+    tie-adjusted Mann-Whitney computation on the same labels (labels
+    re-derived with the same (quality_score, doc_id) rank and
+    (3n) div 10 cut)."""
+    from collections import defaultdict
+
+    from stock_market_data_pipeline_v2_spark.operators.classifier import (
+        classifier_auc_report,
+        quality_classifier,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.text import text_stats
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    got = {r.source: r for r in classifier_auc_report(docs).collect()}
+    logits = {r.doc_id: r.quality_logit for r in quality_classifier(docs).collect()}
+    by_src = defaultdict(list)
+    for r in text_stats(docs).collect():
+        by_src[r.source].append((r.quality_score, r.doc_id))
+    for src, rows in by_src.items():
+        rows.sort()
+        n = len(rows)
+        k = (3 * n) // 10
+        labeled = [(logits[d], 0) for _, d in rows[:k]] + [
+            (logits[d], 1) for _, d in rows[n - k:]
+        ]
+        # tie-adjusted rank sum over positives
+        labeled.sort()
+        i, r2 = 0, 0
+        while i < len(labeled):
+            j = i
+            while j < len(labeled) and labeled[j][0] == labeled[i][0]:
+                j += 1
+            # average rank of the tie block, in half-units: i+1 .. j
+            avg2 = (i + 1) + j  # 2 * (i+1+j)/2
+            r2 += sum(avg2 for s, lab in labeled[i:j] if lab == 1)
+            i = j
+        npos = sum(lab for _, lab in labeled)
+        nneg = len(labeled) - npos
+        auc = (r2 - npos * (npos + 1)) / (2 * npos * nneg)
+        g = got[src]
+        assert (g.n_pos, g.n_neg) == (npos, nneg), src
+        assert abs(g.auc - auc) < 1e-6, (src, g.auc, auc)
+        assert g.auc > 0.75, (src, g.auc)  # the model separates per source too
