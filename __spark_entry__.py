@@ -1486,6 +1486,18 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 7: market-basket association rules (support/confidence/
+    # lift) over order baskets — exact integer supports, single-
+    # division ratios, deterministic top-k via TakeOrdered.
+    from stock_market_data_pipeline_v2_spark.operators.graph import (
+        copurchase_rules,
+    )
+
+    configure_runtime(spark)
+    return copurchase_rules(load_table(spark, sf_dir, "lineitem"), top_k=50)
+
+
 def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 7 (VERDICT r6 #6): R-round k-peel (k=80, 8 rounds —
     # fixpoint reached by round 6 at every tested SF, pytest-pinned)
@@ -1868,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_profile": q_source_quality_profile,
         "weighted_price_median": q_weighted_price_median,
         "classifier_auc_report": q_classifier_auc_report,
+        "copurchase_rules": q_copurchase_rules,
     }
 
 
@@ -1927,6 +1940,9 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank": _graph_mod.pagerank_oracle_sql(iters=5),
         "part_triangles": _graph_mod.TRIANGLE_STATS_SQL,
         "part_kcore": _graph_mod.kcore_oracle_sql(k=80, iters=8),
+        "copurchase_rules": _graph_mod.copurchase_rules_oracle_sql(
+            top_k=50
+        ),
         "quality_classifier": (
             _classifier_mod.quality_classifier_oracle_sql()
         ),

@@ -165,6 +165,7 @@ HEADLINE = [
     "source_quality_profile",   # added round 7: per-source classifier rollup
     "weighted_price_median",    # added round 7: integer-decided weighted quantile
     "classifier_auc_report",    # added round 7: in-engine Mann-Whitney AUC
+    "copurchase_rules",         # added round 7: market-basket association rules
 ]
 
 

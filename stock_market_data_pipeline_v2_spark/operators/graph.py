@@ -428,3 +428,117 @@ SELECT u AS l_partkey, c AS core_degree
 FROM s{iters}
 ORDER BY u
 """
+
+
+def copurchase_rules(lineitem: DataFrame, top_k: int = 50) -> DataFrame:
+    """Market-basket association rules over order baskets — the
+    canonical recsys/warehouse workload the graph family's edge list
+    implies but never priced: top-``top_k`` part pairs by pair
+    support, with support, directed confidences and lift.
+
+    Exactness: every support is an exact integer count of distinct
+    baskets; the three ratios are single float divisions of those
+    integers (identical operands both engines), 6-dp rounded; the
+    top-k cut is a deterministic (count desc, a asc, b asc) rank —
+    no ties can flip membership.
+
+    100 TB design: pair generation is the same per-order fan-out
+    bound as :func:`copurchase_edges` (Σ items-per-order², never
+    corpus-quadratic); item and pair supports are map-side-combinable
+    counts; the final rank touches pair-grain rows only. The
+    ``n_orders`` scalar broadcasts.
+    """
+    basket = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = basket.select("ok").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    item = basket.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("__ni")
+    )
+    a = basket.select("ok", F.col("part").alias("part_a"))
+    b = basket.select(F.col("ok").alias("__okb"), F.col("part").alias("part_b"))
+    pair = (
+        a.join(b, (F.col("ok") == F.col("__okb")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, NO single-partition global sort); the rank window then
+    # runs over top_k rows only.
+    from pyspark.sql import Window
+
+    top = pair.orderBy(
+        F.desc("pair_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(top_k)
+    w = Window.orderBy(
+        F.desc("pair_orders"), F.asc("part_a"), F.asc("part_b")
+    )
+    ranked = (
+        top.withColumn("rule_rank", F.row_number().over(w).cast("long"))
+        .join(item.select(F.col("part").alias("part_a"), F.col("__ni").alias("__na")), "part_a")
+        .join(item.select(F.col("part").alias("part_b"), F.col("__ni").alias("__nb")), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    nab = F.col("pair_orders").cast("double")
+    return ranked.select(
+        "rule_rank",
+        "part_a",
+        "part_b",
+        "pair_orders",
+        F.col("__na").alias("orders_a"),
+        F.col("__nb").alias("orders_b"),
+        round_away(nab / F.col("__n").cast("double"), 6).alias("support"),
+        round_away(nab / F.col("__na").cast("double"), 6).alias("conf_a_to_b"),
+        round_away(nab / F.col("__nb").cast("double"), 6).alias("conf_b_to_a"),
+        round_away(
+            (nab * F.col("__n").cast("double"))
+            / (F.col("__na").cast("double") * F.col("__nb").cast("double")),
+            6,
+        ).alias("lift"),
+    ).orderBy("rule_rank")
+
+
+def copurchase_rules_oracle_sql(top_k: int = 50) -> str:
+    """DuckDB twin of :func:`copurchase_rules` — same integer
+    supports, same deterministic rank, same single-division ratios
+    (generated from the same ``top_k`` literal)."""
+    return f"""
+WITH basket AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem
+),
+nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM basket),
+item AS (
+    SELECT part, CAST(count(*) AS BIGINT) AS ni FROM basket GROUP BY part
+),
+pair AS (
+    SELECT a.part AS part_a, b.part AS part_b,
+        CAST(count(*) AS BIGINT) AS pair_orders
+    FROM basket a JOIN basket b
+      ON a.ok = b.ok AND a.part < b.part
+    GROUP BY 1, 2
+),
+rk AS (
+    SELECT *, CAST(row_number() OVER (
+        ORDER BY pair_orders DESC, part_a ASC, part_b ASC) AS BIGINT)
+        AS rule_rank
+    FROM pair
+)
+SELECT rk.rule_rank, rk.part_a, rk.part_b, rk.pair_orders,
+    ia.ni AS orders_a, ib.ni AS orders_b,
+    round(CAST(rk.pair_orders AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
+        AS support,
+    round(CAST(rk.pair_orders AS DOUBLE) / CAST(ia.ni AS DOUBLE), 6)
+        AS conf_a_to_b,
+    round(CAST(rk.pair_orders AS DOUBLE) / CAST(ib.ni AS DOUBLE), 6)
+        AS conf_b_to_a,
+    round((CAST(rk.pair_orders AS DOUBLE) * CAST(nn.n AS DOUBLE))
+          / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE)), 6) AS lift
+FROM rk
+JOIN item ia ON ia.part = rk.part_a
+JOIN item ib ON ib.part = rk.part_b
+CROSS JOIN nn
+WHERE rk.rule_rank <= {int(top_k)}
+ORDER BY rk.rule_rank
+"""

@@ -358,3 +358,41 @@ def test_classifier_auc_report_python_parity(spark):
         assert (g.n_pos, g.n_neg) == (npos, nneg), src
         assert abs(g.auc - auc) < 1e-6, (src, g.auc, auc)
         assert g.auc > 0.75, (src, g.auc)  # the model separates per source too
+
+
+def test_copurchase_rules_python_parity(spark):
+    """Association rules must equal an independent pure-Python
+    computation of supports/confidences/lift (including the
+    deterministic top-k tiebreak)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from stock_market_data_pipeline_v2_spark.operators.graph import (
+        copurchase_rules,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    baskets = defaultdict(set)
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets[r.l_orderkey].add(r.l_partkey)
+    n = len(baskets)
+    item = defaultdict(int)
+    pair = defaultdict(int)
+    for parts in baskets.values():
+        for p in parts:
+            item[p] += 1
+        for a, b in combinations(sorted(parts), 2):
+            pair[(a, b)] += 1
+    order = sorted(pair.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = copurchase_rules(li, top_k=20).collect()
+    assert len(got) == 20
+    for rank, ((a, b), nab) in enumerate(order, start=1):
+        r = got[rank - 1]
+        assert (r.rule_rank, r.part_a, r.part_b, r.pair_orders) == (
+            rank, a, b, nab,
+        )
+        assert (r.orders_a, r.orders_b) == (item[a], item[b])
+        assert abs(r.support - nab / n) < 1e-6
+        assert abs(r.conf_a_to_b - nab / item[a]) < 1e-6
+        assert abs(r.conf_b_to_a - nab / item[b]) < 1e-6
+        assert abs(r.lift - nab * n / (item[a] * item[b])) < 1e-5
