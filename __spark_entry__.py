@@ -472,6 +472,17 @@ def q_classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_auc_report(_docs(spark, sf_dir))
 
 
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 7: confusion matrix of the language identifier — exact
+    # integer cells + one row-fraction division; composes the gated
+    # lang-ID SQL as a CTE.
+    from stock_market_data_pipeline_v2_spark.operators.text import (
+        lang_id_confusion,
+    )
+
+    return lang_id_confusion(_docs(spark, sf_dir))
+
+
 def q_weighted_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 7: exact quantity-weighted median price per
     # (returnflag, linestatus) — the weighted ordered statistic,
@@ -1881,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_price_median": q_weighted_price_median,
         "classifier_auc_report": q_classifier_auc_report,
         "copurchase_rules": q_copurchase_rules,
+        "lang_id_confusion": q_lang_id_confusion,
     }
 
 
@@ -2045,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": oracles.LM_PERPLEXITY_SQL,
         "boilerplate_prefixes": oracles.BOILERPLATE_PREFIX_SQL,
         "hash_embeddings": oracles.HASH_EMBED_SQL,
+        "lang_id_confusion": oracles.LANG_ID_CONFUSION_SQL,
         "winsorize_ticks": oracles.WINSORIZE_TICKS_SQL,
         "pii_scrub": oracles.PII_SCRUB_SQL,
         "strip_html": oracles.STRIP_HTML_SQL,

@@ -166,6 +166,7 @@ HEADLINE = [
     "weighted_price_median",    # added round 7: integer-decided weighted quantile
     "classifier_auc_report",    # added round 7: in-engine Mann-Whitney AUC
     "copurchase_rules",         # added round 7: market-basket association rules
+    "lang_id_confusion",        # added round 7: language-ID confusion matrix
 ]
 
 

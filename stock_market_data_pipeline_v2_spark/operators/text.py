@@ -742,3 +742,33 @@ SELECT ps.source, d.n_docs, ps.total_tokens, ps.distinct_tokens,
 FROM ps JOIN d ON ps.source = d.source
 ORDER BY ps.source
 """
+
+
+def lang_id_confusion(documents: DataFrame) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the language
+    identifier — (labeled, predicted, n, row_frac): exact integer
+    cell counts over :func:`lang_id`'s deterministic argmax, with the
+    per-label row fraction as one float division. The third member of
+    the in-engine evaluation family (AUC, calibration-by-source,
+    confusion) — a 100 TB eval is two map-side-combinable counts."""
+    from ..functions.core import round_away
+
+    pred = lang_id(documents).select("doc_id", "labeled_lang", "predicted_lang")
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_tot = pred.groupBy("labeled_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("__rt")
+    )
+    return (
+        cells.join(row_tot, "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            round_away(
+                F.col("n").cast("double") / F.col("__rt").cast("double"), 6
+            ).alias("row_frac"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )

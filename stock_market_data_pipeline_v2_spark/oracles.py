@@ -449,6 +449,25 @@ SELECT *,
 FROM s
 """
 
+# operators/text.py:lang_id_confusion — exact confusion-matrix cells
+# over the SAME lang-ID CTE (composed, single-source).
+LANG_ID_CONFUSION_SQL = f"""
+WITH li AS ({LANG_ID_SQL}),
+cells AS (
+    SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+    FROM li GROUP BY 1, 2
+),
+rt AS (
+    SELECT labeled_lang, CAST(count(*) AS BIGINT) AS rt
+    FROM li GROUP BY 1
+)
+SELECT c.labeled_lang, c.predicted_lang, c.n,
+    round(CAST(c.n AS DOUBLE) / CAST(rt.rt AS DOUBLE), 6) AS row_frac
+FROM cells c JOIN rt USING (labeled_lang)
+ORDER BY c.labeled_lang, c.predicted_lang
+"""
+
+
 PII_SCRUB_SQL = """
 WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
 s1 AS (
