@@ -469,10 +469,15 @@ def copurchase_rules(lineitem: DataFrame, top_k: int = 50) -> DataFrame:
     # runs over top_k rows only.
     from pyspark.sql import Window
 
+    from ..functions.core import single_partition_key
+
     top = pair.orderBy(
         F.desc("pair_orders"), F.asc("part_a"), F.asc("part_b")
     ).limit(top_k)
-    w = Window.orderBy(
+    # single-partition BY DESIGN: the window ranks <= top_k post-limit
+    # rows; the non-foldable constant key is the repo's marker for
+    # that contract (plan-invariant test enforces it)
+    w = Window.partitionBy(single_partition_key("part_a")).orderBy(
         F.desc("pair_orders"), F.asc("part_a"), F.asc("part_b")
     )
     ranked = (
