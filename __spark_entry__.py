@@ -419,6 +419,29 @@ def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8 (VERDICT r7 #2): the quantile twin of hll_daily_rollup —
+    # per-day (event_type, bin) histogram states re-summed to
+    # event_type grain; bin counts are linear (BIGINT sums), so the
+    # merge-exactness identity (merged quantiles == direct quantiles,
+    # merge_diff_* = 0) is an oracle-checked output column. Completes
+    # the mergeable-sketch story: distinct counts (HLL) and quantiles
+    # (histogram) both roll up without fact rescans.
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.operators.sketches import (
+        histogram_rollup,
+    )
+
+    configure_runtime(spark)
+    return histogram_rollup(
+        load_table(spark, sf_dir, "events"),
+        ["event_type"],
+        F.to_date(F.col("ts")),
+        "value",
+    )
+
+
 def q_cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 6: count-min sketch heavy-hitter check — frequency joins
     # distinct/membership/quantiles in the oracle-gated sketch family;
@@ -607,7 +630,7 @@ def q_profile_lineitem_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/sketches.py. Two plain scans, zero Expand,
     # register-sized shuffle state; the exact tier above stays as
     # ground truth. Plan shape pinned by
-    # tests/test_plan_shapes.py::test_profile_sketch_no_expand.
+    # tests/test_round7_ops.py::test_profile_sketch_no_expand.
     from stock_market_data_pipeline_v2_spark.operators.profiling import (
         LINEITEM_PROFILE_SPEC,
         profile_table_sketch,
@@ -1713,70 +1736,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window holds the 50 oracle-gated queries whose last green driver
     # row is oldest, and the freshest block sits at the tail.
     return {
-        # --- r7 driver window, slots 1-50 (CLAUDE.md: dict order is
+        # --- r8 driver window, slots 1-50 (CLAUDE.md: dict order is
         # evidence; the snapshot samples the first 50 entries). Per
-        # VERDICT r6 #1 the window leads with the 18 r6 queries that
-        # had never been driver-sampled, then the 4 new/re-based r7
-        # entries (sector_activity_sketch — oracle-gated since r7 and
-        # r3-stale — profile_lineitem_sketch, part_kcore,
-        # quality_classifier), then fills with the stalest r4 block.
-        # Slots 51+ are ordered by staleness (r4 remainder, r5 block,
-        # r6-sampled block) so the r8 rotation reads straight off the
-        # head of the tail; the two by-design rows-only entries
+        # VERDICT r7 #1 the window leads with the 8 late-r7 queries
+        # that landed after the r7 window was fixed and have never
+        # been driver-sampled (dict positions 158-165 last round),
+        # then the new r8 entries, then fills with the stalest
+        # previously-sampled block (the r4 remainder from macd on).
+        # Slots 51+ are ordered by staleness (r4/r5 remainder, the
+        # r6-sampled block, then the freshest r7-sampled block at the
+        # very end) so the r9 rotation reads straight off the head of
+        # the tail; the two by-design rows-only entries
         # (windowed_analytics_reagg, image_features) stay behind slot
         # 50 per the registry invariant. ---
-        "hll_event_users": q_hll_event_users,
-        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
-        "embedding_diversity": q_embedding_diversity,
-        "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
-        "profile_lineitem": q_profile_lineitem,
-        "order_value_distribution": q_order_value_distribution,
-        "type_token_stats": q_type_token_stats,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "event_value_quantile_sketch": q_event_value_quantile_sketch,
-        "event_transitions": q_event_transitions,
-        "part_pagerank": q_part_pagerank,
-        "dedup_prefix_filter": q_dedup_prefix_filter,
-        "lineitem_profile_drift": q_lineitem_profile_drift,
-        "hll_daily_rollup": q_hll_daily_rollup,
-        "cms_token_frequency": q_cms_token_frequency,
-        "part_triangles": q_part_triangles,
-        "return_moments": q_return_moments,
-        "return_outliers": q_return_outliers,
-        "sector_activity_sketch": q_sector_activity_sketch,
-        "profile_lineitem_sketch": q_profile_lineitem_sketch,
-        "part_kcore": q_part_kcore,
-        "quality_classifier": q_quality_classifier,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "passage_overlap": q_passage_overlap,
-        "passage_clusters": q_passage_clusters,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_blas": q_dedup_embedding_blas,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_cosine_topk_blas": q_ann_cosine_topk_blas,
-        "bm25_topk": q_bm25_topk,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
-        "tfidf_topk": q_tfidf_topk,
-        "shingle_novelty": q_shingle_novelty,
-        "cross_source_contamination": q_cross_source_contamination,
-        "multimodal_meta": q_multimodal_meta,
-        "asof_tick_bar": q_asof_tick_bar,
-        "session_windows": q_session_windows,
-        "symbols_both_halves": q_symbols_both_halves,
-        "users_only_before": q_users_only_before,
-        "top_volume_days": q_top_volume_days,
-        "walk_forward_splits": q_walk_forward_splits,
-        "market_beta": q_market_beta,
-        "event_value_quantiles": q_event_value_quantiles,
-        "return_correlations": q_return_correlations,
-        "bollinger_bands": q_bollinger,
-        "stochastic_k": q_stochastic_k,
-        # --- slots 51+: stalest-first tail (r8 window source) ---
-        "windowed_analytics_reagg": q_windowed_analytics_reagg,
+        "hll_user_overlap": q_hll_user_overlap,
+        "embedding_top_component": q_embedding_top_component,
+        "lineitem_profile_drift_sketch": q_lineitem_profile_drift_sketch,
+        "source_quality_profile": q_source_quality_profile,
+        "weighted_price_median": q_weighted_price_median,
+        "classifier_auc_report": q_classifier_auc_report,
+        "copurchase_rules": q_copurchase_rules,
+        "lang_id_confusion": q_lang_id_confusion,
+        # --- new r8 entries (inserted as built this round) ---
+        "histogram_daily_rollup": q_histogram_daily_rollup,
+        # --- stalest previously-sampled fill (r4 remainder) ---
         "macd": q_macd,
         "atr_obv": q_atr_obv,
         "drawdown": q_drawdown,
@@ -1800,7 +1783,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "prototypicality_prune": q_prototypicality_prune,
         "audio_features": q_audio_features,
-        "image_features": q_image_features,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
@@ -1820,6 +1802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_match": q_pattern_match,
         "cohort_retention": q_cohort_retention,
         "funnel_conversion": q_funnel_conversion,
+        # --- slots 51+: stalest-first tail (r9 window source); the
+        # two rows-only entries live here per the registry invariant ---
+        "windowed_analytics_reagg": q_windowed_analytics_reagg,
+        "image_features": q_image_features,
         "daily_vwap": q_daily_vwap,
         "multi_grain_bars": q_multi_grain_bars,
         "forward_fill_bars": q_forward_fill_bars,
@@ -1883,16 +1869,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_cross": q_lm_perplexity_cross,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep_best": q_dedup_keep_best,
-        # r7 additions landed after the window was fixed: never
-        # sampled, at the very tail — r8 window candidates.
-        "hll_user_overlap": q_hll_user_overlap,
-        "embedding_top_component": q_embedding_top_component,
-        "lineitem_profile_drift_sketch": q_lineitem_profile_drift_sketch,
-        "source_quality_profile": q_source_quality_profile,
-        "weighted_price_median": q_weighted_price_median,
-        "classifier_auc_report": q_classifier_auc_report,
-        "copurchase_rules": q_copurchase_rules,
-        "lang_id_confusion": q_lang_id_confusion,
+        # --- freshest: the 50 queries the r7 snapshot sampled, in
+        # their r7 window order (last green = r7) — r10+ material. ---
+        "hll_event_users": q_hll_event_users,
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        "embedding_diversity": q_embedding_diversity,
+        "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
+        "profile_lineitem": q_profile_lineitem,
+        "order_value_distribution": q_order_value_distribution,
+        "type_token_stats": q_type_token_stats,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "event_value_quantile_sketch": q_event_value_quantile_sketch,
+        "event_transitions": q_event_transitions,
+        "part_pagerank": q_part_pagerank,
+        "dedup_prefix_filter": q_dedup_prefix_filter,
+        "lineitem_profile_drift": q_lineitem_profile_drift,
+        "hll_daily_rollup": q_hll_daily_rollup,
+        "cms_token_frequency": q_cms_token_frequency,
+        "part_triangles": q_part_triangles,
+        "return_moments": q_return_moments,
+        "return_outliers": q_return_outliers,
+        "sector_activity_sketch": q_sector_activity_sketch,
+        "profile_lineitem_sketch": q_profile_lineitem_sketch,
+        "part_kcore": q_part_kcore,
+        "quality_classifier": q_quality_classifier,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "passage_overlap": q_passage_overlap,
+        "passage_clusters": q_passage_clusters,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_blas": q_dedup_embedding_blas,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_blas": q_ann_cosine_topk_blas,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "tfidf_topk": q_tfidf_topk,
+        "shingle_novelty": q_shingle_novelty,
+        "cross_source_contamination": q_cross_source_contamination,
+        "multimodal_meta": q_multimodal_meta,
+        "asof_tick_bar": q_asof_tick_bar,
+        "session_windows": q_session_windows,
+        "symbols_both_halves": q_symbols_both_halves,
+        "users_only_before": q_users_only_before,
+        "top_volume_days": q_top_volume_days,
+        "walk_forward_splits": q_walk_forward_splits,
+        "market_beta": q_market_beta,
+        "event_value_quantiles": q_event_value_quantiles,
+        "return_correlations": q_return_correlations,
+        "bollinger_bands": q_bollinger,
+        "stochastic_k": q_stochastic_k,
     }
 
 
@@ -1939,6 +1967,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_daily_rollup": sketches.hll_rollup_oracle_sql(
             "events", ["event_type"], "CAST(ts AS DATE)", "user_id", p=5
+        ),
+        "histogram_daily_rollup": sketches.histogram_rollup_oracle_sql(
+            "events", ["event_type"], "CAST(ts AS DATE)", "value"
         ),
         "hll_user_overlap": sketches.hll_set_overlap_oracle_sql(
             "events", "event_type", "user_id", p=5

@@ -249,7 +249,10 @@ ORDER BY pa.column_name
 #
 # Cross-engine key canonicalization: the HLL hashes md5(string), so
 # both engines must render each value into the SAME bytes. num →
-# CAST(CAST(x AS DECIMAL(18,4)) AS VARCHAR) — verified bit-identical
+# CAST(CAST(x AS DECIMAL(38,4)) AS VARCHAR) — verified bit-identical
+# (precision 38, not 18: ANSI casts abort at |x| ≥ 1e14 under 18,4,
+# and surrogate keys grow with scale factor; string rendering is
+# scale-determined, so widening changes no in-range byte) —
 # Spark-vs-DuckDB including -0.0 → '0.0000' and integer-valued
 # doubles → 'n.0000'; a tie at the 5th decimal place cannot occur
 # for doubles that represent ≤4-dp source decimals, and shortest-
@@ -272,7 +275,7 @@ ORDER BY pa.column_name
 def _canon_key(c: str, kind: str):
     col = F.col(c)
     if kind == "num":
-        return col.cast("decimal(18,4)").cast("string")
+        return col.cast("decimal(38,4)").cast("string")
     if kind == "ts":
         return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
     return col
@@ -280,7 +283,7 @@ def _canon_key(c: str, kind: str):
 
 def _canon_key_sql(c: str, kind: str) -> str:
     if kind == "num":
-        return f"CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)"
+        return f"CAST(CAST({c} AS DECIMAL(38,4)) AS VARCHAR)"
     if kind == "ts":
         return f"strftime({c}, '%Y-%m-%d %H:%M:%S')"
     return c
