@@ -1552,6 +1552,25 @@ def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8 (VERDICT r7 #3): K-round min-label propagation — the
+    # FOURTH consumer of the shared _copurchase_graph memo, giving
+    # the community labels k-core's survivor set doesn't (which parts
+    # cluster together, not just which are dense). Integer-only
+    # algebra; oracle is 8 unrolled MATERIALIZED propagation stages;
+    # equality with exact star-contraction CC is pytest-pinned.
+    from stock_market_data_pipeline_v2_spark.operators.graph import (
+        connected_components,
+    )
+
+    configure_runtime(spark)
+    return connected_components(
+        load_table(spark, sf_dir, "lineitem"),
+        iters=8,
+        graph=_copurchase_graph(spark, sf_dir),
+    )
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 6: fixed-size Bloom-filter tier of ngram_decontaminate —
     # the path for reference sets too big to broadcast as a distinct
@@ -1759,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": q_lang_id_confusion,
         # --- new r8 entries (inserted as built this round) ---
         "histogram_daily_rollup": q_histogram_daily_rollup,
+        "part_components": q_part_components,
         # --- stalest previously-sampled fill (r4 remainder) ---
         "macd": q_macd,
         "atr_obv": q_atr_obv,
@@ -1983,6 +2003,7 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank": _graph_mod.pagerank_oracle_sql(iters=5),
         "part_triangles": _graph_mod.TRIANGLE_STATS_SQL,
         "part_kcore": _graph_mod.kcore_oracle_sql(k=80, iters=8),
+        "part_components": _graph_mod.components_oracle_sql(iters=8),
         "copurchase_rules": _graph_mod.copurchase_rules_oracle_sql(
             top_k=50
         ),

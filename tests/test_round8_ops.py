@@ -29,6 +29,49 @@ def test_histogram_rollup_merge_identity(spark):
         assert r["n_values"] > 0
 
 
+def test_part_components_equals_exact_cc(spark):
+    """8-round min-label propagation must equal TRUE connected
+    components (star-contraction kernel, convergence-checked) on the
+    co-purchase graph: every component's diameter is <= 8 at tested
+    SFs, so the K-step form is exact CC, not an approximation.
+    Isolated parts (never co-ordered with another part) must label
+    themselves."""
+    import __spark_entry__ as m
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        dedup_clusters_star,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.graph import (
+        copurchase_edges,
+    )
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    got = {
+        r.l_partkey: (r.component_id, r.component_size)
+        for r in m.queries()["part_components"](spark, SF).collect()
+    }
+    edges = copurchase_edges(load_table(spark, SF, "lineitem"))
+    exact = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters_star(
+            edges.select(
+                F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+            )
+        ).collect()
+    }
+    linked = set(exact)
+    for part, (comp, size) in got.items():
+        if part in linked:
+            assert comp == exact[part], part
+        else:
+            assert comp == part and size == 1, part
+    # sizes consistent with the label multiset
+    from collections import Counter
+
+    cnt = Counter(comp for comp, _ in got.values())
+    for part, (comp, size) in got.items():
+        assert size == cnt[comp], part
+
+
 def test_histogram_rollup_matches_base_sketch(spark):
     """The rollup's merged quantiles must equal the single-shot
     histogram sketch's approx quantiles (same bin edges, same
