@@ -1210,6 +1210,19 @@ def q_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototypicality_prune(_ivf_index(spark, sf_dir), keep_fraction=0.7)
 
 
+def q_ivf_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8 (VERDICT r7 #4): index-health report off the shared IVF
+    # memo — per-cell size, integer-quantized inertia, centroid norm.
+    # Three tiers consume this index; this audits it (what a
+    # production ANN service alarms on). Frozen-state oracle.
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        ivf_cluster_profile,
+    )
+
+    configure_runtime(spark)
+    return ivf_cluster_profile(_ivf_index(spark, sf_dir))
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         _embs(spark, sf_dir),
@@ -1779,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new r8 entries (inserted as built this round) ---
         "histogram_daily_rollup": q_histogram_daily_rollup,
         "part_components": q_part_components,
+        "ivf_cluster_profile": q_ivf_cluster_profile,
         # --- stalest previously-sampled fill (r4 remainder) ---
         "macd": q_macd,
         "atr_obv": q_atr_obv,
@@ -2068,6 +2082,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": ann_state.ann_ivfpq_oracle_sql(),
         "dedup_embedding_ivf": ann_state.dedup_embedding_ivf_oracle_sql(),
         "prototypicality_prune": ann_state.prototypicality_oracle_sql(),
+        "ivf_cluster_profile": ann_state.ivf_profile_oracle_sql(),
         "daily_bars": oracles.DAILY_BARS_SQL,
         "daily_vwap": oracles.DAILY_VWAP_SQL,
         "multi_grain_bars": oracles.MULTI_GRAIN_BARS_SQL,

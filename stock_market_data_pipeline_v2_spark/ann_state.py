@@ -247,6 +247,64 @@ FROM r
 """
 
 
+PROFILE_Q_SCALE = 10**9  # mirrors similarity.IVF_PROFILE_Q_SCALE
+
+
+def _sqdist_chain(a: str, b: str, dim: int = DIM) -> str:
+    """Left-associative Σ (a[i]−b[i])² — the sqdist_unrolled mirror."""
+    return " + ".join(
+        f"({a}[{i + 1}] - {b}[{i + 1}]) * ({a}[{i + 1}] - {b}[{i + 1}])"
+        for i in range(dim)
+    )
+
+
+def _unit_list(dim: int = DIM) -> str:
+    """Elementwise unit vector with the zero-norm guard — mirrors
+    build_ivf_index's ``unit`` transform (divide each element, never
+    normalize via the algebraic identity, so the doubles agree)."""
+    divs = ", ".join(f"v[{i + 1}] / nrm" for i in range(dim))
+    zeros = ", ".join("0.0e0" for _ in range(dim))
+    return f"CASE WHEN nrm > 0.0e0 THEN [{divs}] ELSE [{zeros}] END"
+
+
+def ivf_profile_oracle_sql(state: dict | None = None) -> str:
+    """DuckDB twin of similarity.py:ivf_cluster_profile over the
+    frozen index: per-cell member count, quantized inertia (BIGINT
+    sum of floor(d²·10⁹ + 0.5) — order-free exact), mean/max squared
+    distance, centroid norm; empty cells kept with NULL stats."""
+    state = state or load_state()
+    return f"""WITH {_ivf_ctes(state)},
+u AS (
+    SELECT vec_id, {_unit_list()} AS uv FROM en
+),
+mem AS (
+    SELECT h.cell, {_sqdist_chain('u.uv', 'c.cv')} AS d2
+    FROM home h
+    JOIN u ON u.vec_id = h.vec_id
+    JOIN cent c ON c.cell = h.cell
+),
+agg AS (
+    SELECT cell,
+        CAST(count(*) AS BIGINT) AS n_members,
+        CAST(sum(CAST(floor(d2 * 1.0e9 + 0.5e0) AS BIGINT)) AS BIGINT)
+            AS sum_sqdist_q,
+        max(d2) AS mx
+    FROM mem GROUP BY cell
+)
+SELECT c.cell,
+    coalesce(a.n_members, CAST(0 AS BIGINT)) AS n_members,
+    coalesce(a.sum_sqdist_q, CAST(0 AS BIGINT)) AS sum_sqdist_q,
+    CASE WHEN a.n_members > 0 THEN
+        round(CAST(a.sum_sqdist_q AS DOUBLE)
+              / (CAST(a.n_members AS DOUBLE) * 1.0e9), 6)
+    END AS mean_sqdist,
+    round(a.mx, 6) AS max_sqdist,
+    round({_norm_chain('c.cv')}, 6) AS centroid_norm
+FROM cent c LEFT JOIN agg a USING (cell)
+ORDER BY c.cell
+"""
+
+
 def _pq_ctes(state: dict) -> str:
     """Codebook literals + unit-subvector encoding CTEs: per
     (vector, subspace) argmin of the left-assoc squared distance

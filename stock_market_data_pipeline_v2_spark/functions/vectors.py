@@ -62,6 +62,20 @@ def dot_unrolled(a: str, b: str, dim: int) -> Column:
     )
 
 
+def sqdist_unrolled(a: str, b: str, dim: int) -> Column:
+    """Known-dimension squared Euclidean distance
+    ``Σ (a[i] − b[i])²`` as a flat left-associative expression — same
+    rationale as :func:`dot_unrolled`; mirrored in generated DuckDB
+    SQL by ``ann_state.py:_sqdist_chain``."""
+    return F.expr(
+        " + ".join(
+            f"(element_at({a}, {d + 1}) - element_at({b}, {d + 1}))"
+            f" * (element_at({a}, {d + 1}) - element_at({b}, {d + 1}))"
+            for d in range(dim)
+        )
+    )
+
+
 def l2_norm_unrolled(a: str, dim: int) -> Column:
     """Known-dimension L2 norm, same flat-expression + string-parse
     rationale as :func:`dot_unrolled`."""

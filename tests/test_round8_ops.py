@@ -72,6 +72,29 @@ def test_part_components_equals_exact_cc(spark):
         assert size == cnt[comp], part
 
 
+def test_ivf_cluster_profile_invariants(spark):
+    """Index-health report consistency: member counts partition the
+    corpus (every vector has exactly one home cell), unit-sphere
+    squared distances are bounded by 4, centroid norms by 1 (means of
+    unit vectors), and quantized inertia is consistent with the
+    reported mean."""
+    import __spark_entry__ as m
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    rows = m.queries()["ivf_cluster_profile"](spark, SF01).collect()
+    n_corpus = load_table(spark, SF01, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_corpus
+    for r in rows:
+        assert r.centroid_norm <= 1.0 + 1e-9, r
+        if r.n_members == 0:
+            assert r.sum_sqdist_q == 0 and r.mean_sqdist is None, r
+            continue
+        assert 0.0 <= r.max_sqdist <= 4.0 + 1e-6, r
+        assert 0.0 <= r.mean_sqdist <= r.max_sqdist + 1e-6, r
+        approx = r.sum_sqdist_q / (r.n_members * 1e9)
+        assert abs(approx - r.mean_sqdist) < 1e-5, r
+
+
 def test_histogram_rollup_matches_base_sketch(spark):
     """The rollup's merged quantiles must equal the single-shot
     histogram sketch's approx quantiles (same bin edges, same
