@@ -27,6 +27,9 @@ from stock_market_data_pipeline_v2_spark.operators.performance import stock_perf
 from stock_market_data_pipeline_v2_spark.operators.summary import daily_summary
 from stock_market_data_pipeline_v2_spark.operators.dims import (
     balance_rich_dormant_nations,
+    shipping_priority_topk,
+    returnflag_priority_counts,
+    dominant_part_suppliers,
     bilateral_trade_volume,
     disjunctive_brand_revenue,
     min_cost_supplier_parts,
@@ -361,6 +364,39 @@ def q_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8 (VERDICT r7 #6): Q3 shape — segment semi-join, two date
+    # pushdowns, order-grain DECIMAL revenue, TakeOrdered top-10.
+    configure_runtime(spark)
+    return shipping_priority_topk(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def q_returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8 (VERDICT r7 #6): Q12 shape — one fact-join pass with
+    # CASE aggregation; pure integer counts.
+    configure_runtime(spark)
+    return returnflag_priority_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8 (VERDICT r7 #6): Q20 shape — nested semi-joins with a
+    # pure-integer dominance test (2*sq > tq).
+    configure_runtime(spark)
+    return dominant_part_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return event_type_pivot(load_table(spark, sf_dir, "events"))
@@ -439,6 +475,26 @@ def q_histogram_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         F.to_date(F.col("ts")),
         "value",
+    )
+
+
+def q_cms_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8: the frequency twin of hll_daily_rollup /
+    # histogram_daily_rollup — per-day CMS counter tables merged by
+    # BIGINT sum; merge identity (merged == direct per probed key) and
+    # the overestimate >= 0 invariant are oracle-checked outputs.
+    # Completes the mergeable-rollup story for every sketch family.
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.operators.sketches import (
+        cms_rollup,
+    )
+
+    configure_runtime(spark)
+    return cms_rollup(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        F.to_date(F.col("ts")),
     )
 
 
@@ -1210,6 +1266,63 @@ def q_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototypicality_prune(_ivf_index(spark, sf_dir), keep_fraction=0.7)
 
 
+ANN_EXTEND_ID_OFFSET = 10_000_000
+
+
+def q_ann_index_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8: the incremental ADD path (FAISS add(), similarity.py:
+    # extend_ivf_index) made driver-visible — a "new" batch (1-in-4
+    # of the corpus under offset ids) assigned against the FROZEN
+    # centroids, emitted as (vec_id, slot, cell) rows (arrays are
+    # unhashable in the driver's canonicalizer — the hash_embeddings
+    # lesson). The oracle replays assignment from the frozen state,
+    # so the new-id rows gate the add path end-to-end.
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        extend_ivf_index,
+    )
+
+    configure_runtime(spark)
+    batch = (
+        _embs(spark, sf_dir)
+        .filter(F.col("vec_id") % 4 == 2)
+        .withColumn(
+            "vec_id", F.col("vec_id") + F.lit(ANN_EXTEND_ID_OFFSET)
+        )
+    )
+    extended = extend_ivf_index(_ivf_index(spark, sf_dir), batch)
+    return (
+        extended.assignments.filter(
+            F.col("id") >= F.lit(ANN_EXTEND_ID_OFFSET)
+        )
+        .select(
+            F.col("id").alias("vec_id"),
+            F.posexplode("cells").alias("slot0", "cell"),
+        )
+        .select(
+            "vec_id",
+            (F.col("slot0") + 1).cast("long").alias("slot"),
+            "cell",
+        )
+        .orderBy("vec_id", "slot")
+    )
+
+
+def q_pq_subspace_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8: the PQ twin of ivf_cluster_profile — per-subspace code
+    # utilization, assignment skew, and BIGINT-quantized quantization
+    # error off the persisted codes table. Frozen-state oracle.
+    from stock_market_data_pipeline_v2_spark.operators.pq import (
+        pq_subspace_profile,
+    )
+
+    configure_runtime(spark)
+    return pq_subspace_profile(
+        _pq_index(spark, sf_dir), _embs(spark, sf_dir)
+    )
+
+
 def q_ivf_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 8 (VERDICT r7 #4): index-health report off the shared IVF
     # memo — per-cell size, integer-quantized inertia, centroid norm.
@@ -1793,6 +1906,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_daily_rollup": q_histogram_daily_rollup,
         "part_components": q_part_components,
         "ivf_cluster_profile": q_ivf_cluster_profile,
+        "shipping_priority_topk": q_shipping_priority_topk,
+        "returnflag_priority_counts": q_returnflag_priority_counts,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
+        "cms_daily_rollup": q_cms_daily_rollup,
+        "pq_subspace_profile": q_pq_subspace_profile,
+        "ann_index_extend": q_ann_index_extend,
         # --- stalest previously-sampled fill (r4 remainder) ---
         "macd": q_macd,
         "atr_obv": q_atr_obv,
@@ -2005,6 +2124,9 @@ def oracle_sql() -> dict[str, str]:
         "histogram_daily_rollup": sketches.histogram_rollup_oracle_sql(
             "events", ["event_type"], "CAST(ts AS DATE)", "value"
         ),
+        "cms_daily_rollup": sketches.cms_rollup_oracle_sql(
+            "events", "user_id", "CAST(ts AS DATE)"
+        ),
         "hll_user_overlap": sketches.hll_set_overlap_oracle_sql(
             "events", "event_type", "user_id", p=5
         ),
@@ -2083,6 +2205,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_ivf": ann_state.dedup_embedding_ivf_oracle_sql(),
         "prototypicality_prune": ann_state.prototypicality_oracle_sql(),
         "ivf_cluster_profile": ann_state.ivf_profile_oracle_sql(),
+        "pq_subspace_profile": ann_state.pq_profile_oracle_sql(),
+        "ann_index_extend": ann_state.ivf_extend_oracle_sql(
+            offset=ANN_EXTEND_ID_OFFSET
+        ),
         "daily_bars": oracles.DAILY_BARS_SQL,
         "daily_vwap": oracles.DAILY_VWAP_SQL,
         "multi_grain_bars": oracles.MULTI_GRAIN_BARS_SQL,
@@ -2117,6 +2243,9 @@ def oracle_sql() -> dict[str, str]:
         "bilateral_trade": oracles.BILATERAL_TRADE_SQL,
         "disjunctive_brand_revenue": oracles.DISJUNCTIVE_BRAND_SQL,
         "top_return_customers": oracles.TOP_RETURN_CUSTOMERS_SQL,
+        "shipping_priority_topk": oracles.SHIPPING_PRIORITY_TOPK_SQL,
+        "returnflag_priority_counts": oracles.RETURNFLAG_PRIORITY_COUNTS_SQL,
+        "dominant_part_suppliers": oracles.DOMINANT_PART_SUPPLIERS_SQL,
         "event_type_pivot": oracles.EVENT_TYPE_PIVOT_SQL,
         "text_quality": oracles.TEXT_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,

@@ -167,6 +167,15 @@ HEADLINE = [
     "classifier_auc_report",    # added round 7: in-engine Mann-Whitney AUC
     "copurchase_rules",         # added round 7: market-basket association rules
     "lang_id_confusion",        # added round 7: language-ID confusion matrix
+    "histogram_daily_rollup",   # added round 8: mergeable quantile-sketch rollup
+    "part_components",          # added round 8: K-step CC (4th graph-memo consumer)
+    "ivf_cluster_profile",      # added round 8: IVF index-health report
+    "shipping_priority_topk",   # added round 8: Q3 shape (decimal top-k)
+    "returnflag_priority_counts",  # added round 8: Q12 shape (CASE counts)
+    "dominant_part_suppliers",  # added round 8: Q20 shape (nested semi-joins)
+    "cms_daily_rollup",         # added round 8: mergeable CMS rollup
+    "pq_subspace_profile",      # added round 8: PQ index-health report
+    "ann_index_extend",         # added round 8: incremental ADD path
 ]
 
 
@@ -239,13 +248,15 @@ def main() -> None:
     # Human/log line first (may be cut from the tail; that's fine)...
     print(json.dumps(full))
     # ...then the parse target LAST: compact separators, short keys,
-    # 2-dp times — sized to sit entirely inside the 2000-char tail.
+    # 1-dp times (the 3-dp record lives in BENCH.out and the full
+    # line above) — sized to sit entirely inside the 2000-char tail
+    # with headroom for future rows.
     compact = json.dumps(
         {
-            "metric": "headline sec local[" + cpus + "] (key map: BENCH.out)",
+            "metric": "headline sec (map: BENCH.out)",
             "value": total,
             "unit": "sec",
-            "queries": {short[n]: round(t, 2) for n, t in timings.items()},
+            "queries": {short[n]: round(t, 1) for n, t in timings.items()},
             "sf": sf,
             "n": len(timings),
             "la": full["loadavg_start"][0],

@@ -352,6 +352,69 @@ def _adc_term(dsub: int) -> str:
     )
 
 
+def ivf_extend_oracle_sql(
+    state: dict | None = None, offset: int = 10_000_000
+) -> str:
+    """DuckDB twin of __spark_entry__.q_ann_index_extend: the ADD
+    batch (vec_id % 4 == 2, under offset ids) assigned against the
+    FROZEN centroids — assignment replay restricted to the batch.
+    extend_ivf_index shares ``_encode``/assignment code with the
+    build path, so the asg CTE (top-n_assign cells by raw dot, tie →
+    smaller cell) is the exact mirror."""
+    state = state or load_state()
+    return f"""WITH {_ivf_ctes(state)}
+SELECT vec_id + {offset} AS vec_id, CAST(rn AS BIGINT) AS slot, cell
+FROM asg WHERE vec_id % 4 = 2
+ORDER BY vec_id, slot
+"""
+
+
+def pq_profile_oracle_sql(state: dict | None = None) -> str:
+    """DuckDB twin of pq.py:pq_subspace_profile over the frozen
+    codebook: re-encode (the enc CTE — already proven equal to the
+    engine's persisted codes by the ADC-tier gates), then per
+    subspace: code-capacity use, heaviest code load, and the BIGINT-
+    quantized squared reconstruction error to the ASSIGNED center."""
+    state = state or load_state()
+    dsub = state["dim"] // state["pq"]["m"]
+    sq = " + ".join(
+        f"(en.v[enc.sub * {dsub} + {j + 1}] / en.nrm - cb.ctr[{j + 1}])"
+        f" * (en.v[enc.sub * {dsub} + {j + 1}] / en.nrm - cb.ctr[{j + 1}])"
+        for j in range(dsub)
+    )
+    return f"""WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+en AS (SELECT vec_id, v, {_norm_chain('v')} AS nrm FROM e),
+{_pq_ctes(state)},
+per AS (
+    SELECT enc.sub, enc.code, {sq} AS e2
+    FROM enc
+    JOIN cb ON cb.sub = enc.sub AND cb.code = enc.code
+    JOIN en ON en.vec_id = enc.vec_id
+),
+pc AS (
+    SELECT sub, code,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(floor(e2 * 1.0e9 + 0.5e0) AS BIGINT)) AS BIGINT)
+            AS sq,
+        max(e2) AS mx
+    FROM per GROUP BY sub, code
+)
+SELECT CAST(sub AS BIGINT) AS sub,
+    CAST(sum(n) AS BIGINT) AS n_vectors,
+    CAST(count(*) AS BIGINT) AS codes_used,
+    CAST(max(n) AS BIGINT) AS max_code_load,
+    CAST(sum(sq) AS BIGINT) AS sum_sqerr_q,
+    round(CAST(CAST(sum(sq) AS BIGINT) AS DOUBLE)
+          / (CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) * 1.0e9), 6)
+        AS mean_sqerr,
+    round(max(mx), 6) AS max_sqerr
+FROM pc GROUP BY sub
+ORDER BY sub
+"""
+
+
 def ann_pq_oracle_sql(state: dict | None = None) -> str:
     """DuckDB twin of pq.py:pq_adc_topk in the single-block regime
     (corpus ≤ block_rows, true at every test SF): ADC-score every

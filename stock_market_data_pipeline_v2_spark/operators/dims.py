@@ -1176,3 +1176,188 @@ def part_supplier_counts(
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+def shipping_priority_topk(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped: the shipping-priority top-k — unshipped-as-of
+    revenue per order for one market segment (orders placed before the
+    cutoff with lines still shipping after it), top ``k`` orders by
+    revenue. The synthetic schema has no ``o_shippriority``, so the
+    order's priority class rides along instead — same shape, the
+    grouping key is the order plus its carried attributes.
+
+    Exactness: order-grain revenue means MANY groups, so revenue sums
+    in exact DECIMAL (PERF.md lesson 2b — at half-cent boundaries a
+    double sum flips pennies), the top-k ranks on the UNROUNDED
+    decimal (revenue desc, orderkey asc — no float tie can flip
+    membership), and the double cast happens once at output.
+
+    Plan shape: the segment filter prunes customer to a broadcast
+    semi-join; the date predicates push into the orders and lineitem
+    scans; the one big shuffle is orders⋈lineitem on orderkey; the
+    k-row cut is TakeOrdered on the aggregate, never a global sort.
+    Reference parity: the classic Q3 join-filter-agg-limit mart shape
+    (models/marts pattern, e.g. dbt/models/marts/mart_stock_performance.sql).
+    """
+    cust_f = customer.filter(F.col("c_mktsegment") == segment).select(
+        "c_custkey"
+    )
+    ord_f = (
+        orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .join(
+            F.broadcast(cust_f),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li_f = lineitem.filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    )
+    return (
+        ord_f.join(li_f, ord_f.o_orderkey == li_f.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("__rev"))
+        .orderBy(F.desc("__rev"), F.asc("o_orderkey"))
+        .limit(k)
+        .select(
+            F.col("o_orderkey"),
+            F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+def returnflag_priority_counts(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q12-shaped: per line class, how many lines shipped in the
+    window belong to critical-priority orders vs the rest — the
+    logistics SLA mart. The synthetic schema has no ``l_shipmode`` or
+    commit/receipt dates, so the line's return flag is the class axis
+    and the ship-date window replaces the receipt-date window — the
+    SHAPE is the point: ONE pass over the fact join with CASE
+    aggregation, never one pass per priority class.
+
+    Exactness: both outputs are integer conditional counts (count_if),
+    nothing to drift.
+
+    Plan shape: the date window pushes into the lineitem scan; the
+    orderkey join is the one shuffle (two fact-grain sides — at a
+    bucketed-by-orderkey layout it would be co-located and
+    shuffle-free); the CASE agg is map-side combinable to 3 rows.
+    """
+    li_f = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li_f.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            li_f.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(high).cast("long").alias("high_priority_count"),
+            F.count_if(~high).cast("long").alias("low_priority_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def dominant_part_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "blue",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q20-shaped: the nested-semi-join availability shape —
+    suppliers who DOMINATED a part's shipments in the window (moved
+    more than half of that part's total windowed quantity), for parts
+    whose name carries a prefix. The synthetic schema has no partsupp
+    availability column, so the >50%-of-volume test replaces
+    ``ps_availqty > 0.5·qty``; the nesting is identical: part-name
+    semi-join → per-(part, supplier) aggregate compared against a
+    per-part scalar → semi-join into supplier → dim join for output.
+
+    Exactness: quantities are integer-valued doubles cast to BIGINT
+    at scan, so every sum is exact and the dominance test is a pure
+    integer cross-multiplication (2·supplier_qty > part_qty — no 0.5
+    float multiply, the weighted_price_median lesson).
+
+    Plan shape: the name filter prunes part to a broadcast semi-join;
+    the date window pushes into the fact scan; ONE shuffle builds the
+    (part, supplier) grain and the per-part total is a WINDOW sum
+    over it (a per_part re-aggregate + join formulation computes the
+    (part, supplier) aggregate twice unless exchange reuse happens to
+    fire — caught by the round-8 plan test counting FileScans);
+    supplier and nation broadcast at the end.
+    """
+    from pyspark.sql import Window
+    part_f = part.filter(F.col("p_name").like(f"{name_prefix}%")).select(
+        "p_partkey"
+    )
+    li_f = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part_f),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("long").alias("__qty"),
+        )
+    )
+    per_ps = li_f.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("__qty").cast("long").alias("__sq")
+    )
+    # per-part total as a window sum over the (part, supplier) grain:
+    # integer sum (order-free), one shuffle, the aggregate computed
+    # exactly once.
+    w = Window.partitionBy("l_partkey")
+    dominant = per_ps.withColumn(
+        "__tq", F.sum("__sq").over(w).cast("long")
+    ).filter(F.lit(2) * F.col("__sq") > F.col("__tq"))
+    per_supp = dominant.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dominant_parts")
+    )
+    return (
+        per_supp.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            "n_dominant_parts",
+        )
+        .orderBy("s_suppkey")
+    )

@@ -45,8 +45,19 @@ the SAME deterministic recurrence.
 Plan notes: the Gram build is the only corpus-scale stage (explode →
 self-join on vec_id → ``groupBy(i,j)`` integer sum, bounded by
 docs·dim² product rows, map-side combined); it materializes once
-(``localCheckpoint``) so the K-step loop — whose ``w`` frame feeds
-two branches (the max scalar and the rescale) — replays nothing.
+(``localCheckpoint``). The squaring/power loop itself runs DRIVER-
+SIDE on the collected dim² Gram (round 8, VERDICT r7 #5): the loop is
+MODEL-sized state — the same contract as collecting k-means centroids
+or PQ codebooks — and running it as ~21 lazy Spark stages over 64-row
+frames spent ~2× the query's wall time on scheduler round-trips
+(measured 4.8–5.4 s at bench scale, most of it fixed per-stage
+latency). Python's arbitrary-precision ints replicate the BIGINT
+recurrence bit-for-bit (`div` on the sign-magnitude decomposition ==
+`//` on non-negative operands; Spark's ANSI mode would have ABORTED
+on any overflow, so the unbounded Python ints cannot diverge), the
+unchanged generated oracle still replays the identical recurrence in
+SQL, and the numpy parity pytest pins accuracy. The Rayleigh quotient
+stays in Spark against the distributed Gram.
 """
 
 from __future__ import annotations
@@ -88,23 +99,13 @@ def _quantized_coords(embeddings: DataFrame, dim: int) -> DataFrame:
     )
 
 
-def _rescale_matrix(m: DataFrame, target: int) -> DataFrame:
-    """sign(g)·(|g| div (max|g| div target)) over a (i, j, g) frame —
-    the integer magnitude renormalization both engines reproduce."""
-    d = m.agg(
-        F.greatest(
-            F.expr(f"max(abs(g)) div {int(target)}"),
-            F.lit(1).cast("long"),
-        ).alias("__d")
-    )
-    return m.crossJoin(F.broadcast(d)).select(
-        "i",
-        "j",
-        F.when(F.col("g") >= 0, F.expr("g div __d"))
-        .otherwise(-F.expr("(-g) div __d"))
-        .cast("long")
-        .alias("g"),
-    )
+def _rescale_ints(vals: list[int], target: int) -> list[int]:
+    """sign(g)·(|g| // (max|g| // target)) — the integer magnitude
+    renormalization, bit-identical to the SQL ``div`` form the oracle
+    replays (`//` == `div` on the non-negative magnitudes)."""
+    mx = max((abs(g) for g in vals), default=0)
+    d = max(mx // target, 1)
+    return [(g // d) if g >= 0 else -((-g) // d) for g in vals]
 
 
 def embedding_top_component(
@@ -131,53 +132,43 @@ def embedding_top_component(
         .localCheckpoint()  # dim² rows; kills the corpus-scale lineage
         # so everything downstream replays nothing
     )
-    m = _rescale_matrix(gram, S_SCALE).localCheckpoint()
+    # ---- driver-side exact-integer loop over the MODEL-sized Gram
+    # (round 8, VERDICT r7 #5): dim² rows is model state — the
+    # centroid-collect precedent — and the ~21 lazy 64-row stages the
+    # distributed form scheduled were ~2× pure scheduler latency
+    # (4.8–5.4 s at bench scale, most of it fixed per-stage cost).
+    # Python ints replay the BIGINT recurrence bit-for-bit: `//` on
+    # the sign-magnitude decomposition equals SQL `div`, and ANSI mode
+    # would have ABORTED on any BIGINT overflow, so unbounded ints
+    # cannot diverge. The generated oracle is unchanged — it still
+    # replays the identical recurrence in SQL.
+    spark = embeddings.sparkSession
+    gr = gram.collect()
+    idx = sorted({r["i"] for r in gr})
+    n = len(idx)
+    pos = {i: t for t, i in enumerate(idx)}
+    mat = [[0] * n for _ in range(n)]
+    for r in gr:
+        mat[pos[r["i"]]][pos[r["j"]]] = int(r["g"])
+
+    def rescale_mat(mm: list[list[int]], target: int) -> list[list[int]]:
+        flat = _rescale_ints([g for row in mm for g in row], target)
+        return [flat[t * n : (t + 1) * n] for t in range(n)]
+
+    m = rescale_mat(mat, S_SCALE)
     for _ in range(squarings):
-        prod = (
-            m.select(F.col("i"), F.col("j").alias("k"), F.col("g").alias("__ga"))
-            .join(
-                m.select(
-                    F.col("i").alias("k"),
-                    F.col("j"),
-                    F.col("g").alias("__gb"),
-                ),
-                "k",
-            )
-            .groupBy("i", "j")
-            .agg(F.sum(F.col("__ga") * F.col("__gb")).cast("long").alias("g"))
-        )
-        # each squaring references m twice and the next references the
-        # result twice — materialize (dim² rows) to keep the plan linear
-        m = _rescale_matrix(prod, S_SCALE).localCheckpoint()
-    v = (
-        gram.select("i")
-        .distinct()
-        .select("i", F.lit(int(V_SCALE)).cast("long").alias("v"))
-    )
+        prod = [
+            [sum(m[ai][k] * m[k][bj] for k in range(n)) for bj in range(n)]
+            for ai in range(n)
+        ]
+        m = rescale_mat(prod, S_SCALE)
+    vv = [int(V_SCALE)] * n
     for _ in range(iters):
-        w = (
-            m.join(v.select(F.col("i").alias("j"), "v"), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("w"))
-            .localCheckpoint()  # 64 rows; w feeds TWO branches (max
-            # scalar + rescale) — materialize so neither replays the
-            # matvec
-        )
-        d = w.agg(
-            F.greatest(
-                F.expr(f"max(abs(w)) div {int(V_SCALE)}"), F.lit(1).cast("long")
-            ).alias("__d")
-        )
-        v = w.crossJoin(F.broadcast(d)).select(
-            "i",
-            F.when(
-                F.col("w") >= 0, F.expr("w div __d")
-            )
-            .otherwise(-F.expr("(-w) div __d"))
-            .cast("long")
-            .alias("v"),
-        )
-    vfin = v.localCheckpoint()
+        w = [sum(m[ai][k] * vv[k] for k in range(n)) for ai in range(n)]
+        vv = _rescale_ints(w, V_SCALE)
+    vfin = spark.createDataFrame(
+        [(int(i), int(vv[pos[i]])) for i in idx], "i int, v long"
+    )
     # Rayleigh quotient against the ORIGINAL gram (not the squared,
     # rescaled M) so the eigenvalue is in interpretable Gram units.
     # DECIMAL(38,0) here, not BIGINT: |G|·|v| reaches n_docs·Q²·2V

@@ -586,3 +586,104 @@ def ivfpq_adc_topk(
             round_away(F.col("cosine_raw"), 6).alias("cosine"),
         )
     )
+
+
+PQ_PROFILE_Q_SCALE = 10**9  # squared-error quantization units
+
+
+def pq_subspace_profile(index: PqIndex, corpus: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Index-health report off the persisted PQ codes (round 8 — the
+    product-quantizer twin of ``similarity.py:ivf_cluster_profile``):
+    per subspace — code-capacity utilization (distinct codes
+    assigned), the heaviest code's load (assignment skew), and the
+    quantization error the compression pays (what a production ANN
+    service watches for retrain/re-split decisions).
+
+    Exactness: each (vector, subspace) squared reconstruction error
+    to its ASSIGNED center is one left-associative double chain on
+    identical operands, quantized to BIGINT units
+    (floor(e²·10⁹ + 0.5)) so per-subspace totals are order-free
+    integer sums; counts/loads are integers; mean is one float
+    division of exact integers; max is order-free on identical
+    doubles.
+
+    100 TB design: consumes the codes table (m small ints per
+    vector — the index IS the input; no re-encode, no argmin over
+    ksub), one broadcast join against the m·ksub-row codebook, one
+    (sub, code)-grain partial agg re-aggregated to m rows.
+    """
+    m, ksub, dim = index.m, index.ksub, index.dim
+    dsub = dim // m
+    unit_slice = F.when(
+        F.col("nrm") > 0,
+        F.transform(F.col("__sv0"), lambda x: x / F.col("nrm")),
+    ).otherwise(F.transform(F.col("__sv0"), lambda x: F.lit(0.0)))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("nrm", l2_norm_unrolled("v", dim))
+    )
+    enc = index.codes.select(
+        "id", F.posexplode("codes").alias("sub", "code")
+    )
+    err = _sq_dist_expr(
+        F.col("sv"),
+        [F.element_at(F.col("center"), j + 1) for j in range(dsub)],
+    )
+    per = (
+        enc.join(c, "id")
+        .select(
+            "sub",
+            "code",
+            F.expr(f"slice(v, sub * {dsub} + 1, {dsub})").alias("__sv0"),
+            "nrm",
+        )
+        .withColumn("sv", unit_slice)
+        .join(F.broadcast(index.codebook), ["sub", "code"])
+        .select(
+            "sub",
+            "code",
+            err.alias("__e"),
+        )
+    )
+    per_code = per.groupBy("sub", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(
+            F.floor(
+                F.col("__e") * F.lit(float(PQ_PROFILE_Q_SCALE)) + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("__sq"),
+        F.max("__e").alias("__mx"),
+    )
+    return (
+        per_code.groupBy("sub")
+        .agg(
+            F.sum("__n").cast("long").alias("n_vectors"),
+            F.count(F.lit(1)).cast("long").alias("codes_used"),
+            F.max("__n").cast("long").alias("max_code_load"),
+            F.sum("__sq").cast("long").alias("sum_sqerr_q"),
+            F.max("__mx").alias("__emx"),
+        )
+        .select(
+            F.col("sub").cast("long").alias("sub"),
+            "n_vectors",
+            "codes_used",
+            "max_code_load",
+            "sum_sqerr_q",
+            round_away(
+                F.col("sum_sqerr_q").cast("double")
+                / (
+                    F.col("n_vectors").cast("double")
+                    * F.lit(float(PQ_PROFILE_Q_SCALE))
+                ),
+                6,
+            ).alias("mean_sqerr"),
+            round_away(F.col("__emx"), 6).alias("max_sqerr"),
+        )
+        .orderBy("sub")
+    )

@@ -1028,6 +1028,167 @@ ORDER BY est.exact_count DESC, est.token ASC
 """
 
 
+def cms_rollup(
+    df: DataFrame,
+    key_col: str,
+    unit_col: Column,
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+) -> DataFrame:
+    """The frequency twin of :func:`hll_rollup` /
+    :func:`histogram_rollup` (round 8): CMS counter tables built at
+    the FINE grain (one per rollup unit, e.g. per day), merged to the
+    global sketch by plain BIGINT ``sum`` — the linear-sketch
+    property — and point-estimated beside the counter table built
+    directly on the raw stream. Merged counters == direct counters
+    bit-for-bit (integer sums), so ``merge_diff`` is exactly 0 for
+    every probed key — an ORACLE-CHECKED output. With this, every
+    sketch in the family has a registered mergeable-rollup story:
+    HLL (register max), histogram (bin-count sum), CMS (counter sum).
+
+    Probe set: the exact top-``top_k`` keys (deterministic tiebreak),
+    with the structural ``overestimate ≥ 0`` invariant and ``n_total``
+    for the ε·N budget, as in :func:`cms_token_frequency`.
+
+    100 TB design: each day's counter table is ≤ depth·width rows no
+    matter the stream size; the merge is one map-side-combinable sum
+    over units·depth·width rows; point queries broadcast-join the
+    fixed-size state. The exact column is the accuracy reference
+    (production reads the merged sketch alone).
+    """
+    dfu = df.withColumn("__unit", unit_col)
+    probe = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row_idx"),
+                    _cms_pos(F.col(key_col), j, width).alias("pos"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    fine = (
+        dfu.select(F.col("__unit"), probe.alias("__p"))
+        .select(
+            "__unit",
+            F.col("__p.row_idx").alias("row_idx"),
+            F.col("__p.pos").alias("pos"),
+        )
+        .groupBy("__unit", "row_idx", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    merged = fine.groupBy("row_idx", "pos").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    direct = cms_counter_table(df, key_col, depth, width)
+    units = (
+        fine.select("__unit")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_units"))
+    )
+    exact = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    top = exact.orderBy(F.desc("exact_count"), F.asc(key_col)).limit(top_k)
+    n_total = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    est_m = cms_point_estimates(top, key_col, merged, depth, width)
+    est_d = cms_point_estimates(
+        top.select(key_col), key_col, direct, depth, width
+    ).withColumnRenamed("cms_estimate", "__direct")
+    return (
+        est_m.join(est_d, key_col)
+        .crossJoin(F.broadcast(units))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            key_col,
+            "exact_count",
+            F.col("cms_estimate").alias("merged_estimate"),
+            F.col("__direct").alias("direct_estimate"),
+            (F.col("cms_estimate") - F.col("__direct")).alias("merge_diff"),
+            (F.col("cms_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+            "n_units",
+            "n_total",
+        )
+        .orderBy(F.desc("exact_count"), F.asc(key_col))
+    )
+
+
+def cms_rollup_oracle_sql(
+    table: str,
+    key: str,
+    unit_expr: str,
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`cms_rollup`, generated from the same
+    literals (single-source pattern)."""
+    probes = f"generate_series(0, {depth - 1})"
+    kstr = f"CAST({key} AS VARCHAR)"
+    return f"""
+WITH h AS (
+    SELECT {key} AS k, {unit_expr} AS unit,
+        CAST(('0x' || substr(md5({kstr}), 1, 8)) AS BIGINT) AS a,
+        CAST(('0x' || substr(md5({kstr}), 9, 8)) AS BIGINT) * 2 + 1 AS step
+    FROM {table}
+),
+fine AS (
+    SELECT unit, t.j AS row_idx, (a + t.j * step) % {width} AS pos,
+        CAST(count(*) AS BIGINT) AS cnt
+    FROM h, {probes} AS t(j)
+    GROUP BY 1, 2, 3
+),
+mrg AS (
+    SELECT row_idx, pos, CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM fine GROUP BY 1, 2
+),
+drc AS (
+    SELECT t.j AS row_idx, (a + t.j * step) % {width} AS pos,
+        CAST(count(*) AS BIGINT) AS cnt
+    FROM h, {probes} AS t(j)
+    GROUP BY 1, 2
+),
+units AS (
+    SELECT CAST(count(DISTINCT unit) AS BIGINT) AS n_units FROM fine
+),
+exact AS (
+    SELECT k, CAST(count(*) AS BIGINT) AS exact_count FROM h GROUP BY k
+),
+top AS (
+    SELECT k, exact_count FROM exact
+    ORDER BY exact_count DESC, k ASC LIMIT {top_k}
+),
+tp AS (
+    SELECT top.k, top.exact_count, t.j AS row_idx,
+        (CAST(('0x' || substr(md5(CAST(top.k AS VARCHAR)), 1, 8)) AS BIGINT)
+         + t.j * (CAST(('0x' || substr(md5(CAST(top.k AS VARCHAR)), 9, 8))
+                       AS BIGINT) * 2 + 1)) % {width} AS pos
+    FROM top, {probes} AS t(j)
+),
+est AS (
+    SELECT tp.k, tp.exact_count,
+        CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS merged_estimate,
+        CAST(min(coalesce(d.cnt, 0)) AS BIGINT) AS direct_estimate
+    FROM tp
+    LEFT JOIN mrg m USING (row_idx, pos)
+    LEFT JOIN drc d USING (row_idx, pos)
+    GROUP BY 1, 2
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM h)
+SELECT est.k AS {key}, est.exact_count,
+    est.merged_estimate, est.direct_estimate,
+    est.merged_estimate - est.direct_estimate AS merge_diff,
+    est.merged_estimate - est.exact_count AS overestimate,
+    units.n_units, nt.n_total
+FROM est CROSS JOIN units CROSS JOIN nt
+ORDER BY est.exact_count DESC, est.k ASC
+"""
+
+
 def hll_set_overlap(
     df: DataFrame, group_col: str, key: str, p: int = 5
 ) -> DataFrame:

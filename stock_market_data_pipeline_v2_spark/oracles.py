@@ -3417,3 +3417,75 @@ SELECT doc_a, doc_b,
 FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
 WHERE CAST(i AS DOUBLE) / (x.c + y.c - i) >= 0.5
 """
+
+# operators/dims.py:shipping_priority_topk — Q3 shape: segment
+# semi-join + two date pushdowns + order-grain DECIMAL revenue;
+# rank on the UNROUNDED decimal with orderkey tiebreak.
+SHIPPING_PRIORITY_TOPK_SQL = """
+WITH g AS (
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+        sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l.l_discount AS DECIMAL(8,2))) AS rev
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+                   AND c.c_mktsegment = 'BUILDING'
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+),
+r AS (
+    SELECT g.*, row_number() OVER (ORDER BY rev DESC, o_orderkey) AS rk
+    FROM g
+)
+SELECT o_orderkey, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM r WHERE rk <= 10 ORDER BY rev DESC, o_orderkey
+"""
+
+# operators/dims.py:returnflag_priority_counts — Q12 shape: one
+# fact-join pass with CASE aggregation; integer counts only.
+RETURNFLAG_PRIORITY_COUNTS_SQL = """
+SELECT l.l_returnflag,
+    CAST(count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 END) AS BIGINT) AS high_priority_count,
+    CAST(count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 END) AS BIGINT) AS low_priority_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+# operators/dims.py:dominant_part_suppliers — Q20 shape: nested
+# semi-joins with a pure-integer dominance test (2*sq > tq).
+DOMINANT_PART_SUPPLIERS_SQL = """
+WITH lf AS (
+    SELECT l.l_partkey, l.l_suppkey, CAST(l.l_quantity AS BIGINT) AS qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                                AND p.p_name LIKE 'blue%'
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+),
+ps AS (
+    SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS sq
+    FROM lf GROUP BY 1, 2
+),
+pt AS (
+    SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq FROM ps GROUP BY 1
+),
+dom AS (
+    SELECT ps.l_suppkey FROM ps JOIN pt USING (l_partkey)
+    WHERE 2 * sq > tq
+),
+cnt AS (
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_dominant_parts
+    FROM dom GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name,
+       cnt.n_dominant_parts
+FROM cnt
+JOIN supplier s ON cnt.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY s.s_suppkey
+"""

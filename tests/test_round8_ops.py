@@ -95,6 +95,83 @@ def test_ivf_cluster_profile_invariants(spark):
         assert abs(approx - r.mean_sqdist) < 1e-5, r
 
 
+def test_cms_rollup_merge_identity(spark):
+    """Linear-sketch property for the frequency sketch: per-day
+    counter tables summed to the global sketch must reproduce the
+    direct counter table bit-for-bit, so merge_diff == 0 for every
+    probed key and the CMS overestimate invariant (>= 0) holds on the
+    merged state."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["cms_daily_rollup"](spark, SF01).collect()
+    assert rows, "empty rollup output"
+    for r in rows:
+        assert r.merge_diff == 0, r
+        assert r.merged_estimate == r.direct_estimate, r
+        assert r.overestimate >= 0, r
+        assert r.merged_estimate >= r.exact_count, r
+        assert r.n_units >= 1 and r.n_total > 0
+
+
+def test_pq_subspace_profile_invariants(spark):
+    """PQ health-report consistency: every subspace sees the whole
+    corpus exactly once, code usage is bounded by ksub, the heaviest
+    code's load is consistent with the counts, and quantization error
+    on unit subvectors is bounded (each subvector and center live in
+    the unit ball, so e2 <= 4)."""
+    import __spark_entry__ as m
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    rows = m.queries()["pq_subspace_profile"](spark, SF01).collect()
+    n_corpus = load_table(spark, SF01, "embeddings").count()
+    assert len(rows) == 16  # m subspaces
+    for r in rows:
+        assert r.n_vectors == n_corpus, r
+        assert 1 <= r.codes_used <= 16, r
+        assert r.max_code_load <= r.n_vectors, r
+        assert r.max_code_load * r.codes_used >= r.n_vectors, r
+        assert 0.0 <= r.mean_sqerr <= r.max_sqerr + 1e-6, r
+        assert r.max_sqerr <= 4.0 + 1e-6, r
+        approx = r.sum_sqerr_q / (r.n_vectors * 1e9)
+        assert abs(approx - r.mean_sqerr) < 1e-5, r
+
+
+def test_round8_star_shapes_plan_contracts(spark):
+    """Q3/Q12/Q20 adaptations: every dim-sized side broadcasts (the
+    only SortMergeJoin allowed is the fact⋈fact orderkey join in
+    Q3/Q12 — at a bucketed layout it would be co-located), date
+    predicates push into the scans, and Q20's dominance path carries
+    no extra fact scan (per-part totals re-aggregate from the
+    (part, supplier) partials)."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    # Q20: everything broadcast or re-aggregated — no SMJ at all
+    phys20 = (
+        qs["dominant_part_suppliers"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in phys20
+    assert phys20.count("FileScan parquet") <= 4  # lineitem once
+    # Q3: customer-segment semi is broadcast; date filters pushed
+    df3 = qs["shipping_priority_topk"](spark, SF)
+    phys3 = df3._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys3 and "LeftSemi" in phys3
+    assert "TakeOrderedAndProject" in phys3  # top-k never a full sort
+    plan3 = df3._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan3 and "l_shipdate" in plan3
+    # Q12: integer CASE counts over one joined pass — single agg pair
+    phys12 = (
+        qs["returnflag_priority_counts"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert phys12.count("FileScan parquet") == 2  # one pass per fact
+
+
 def test_histogram_rollup_matches_base_sketch(spark):
     """The rollup's merged quantiles must equal the single-shot
     histogram sketch's approx quantiles (same bin edges, same

@@ -68,6 +68,7 @@ def main() -> None:
 
     from stock_market_data_pipeline_v2_spark.operators.graph import (
         build_copurchase_graph,
+        connected_components,
         kcore_peel,
         pagerank_copurchase,
         triangle_stats,
@@ -113,6 +114,10 @@ def main() -> None:
     run("part_pagerank", lambda: pagerank_copurchase(li, graph=graph))
     run("part_triangles", lambda: triangle_stats(li, graph=graph))
     run("part_kcore", lambda: kcore_peel(li, k=80, iters=8, graph=graph))
+    run(
+        "part_components",
+        lambda: connected_components(li, iters=8, graph=graph),
+    )
 
     print(json.dumps({"mult": args.mult, "queries": timings}))
 
