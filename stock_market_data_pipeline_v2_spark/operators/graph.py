@@ -454,13 +454,19 @@ def connected_components(
     counts); there is nothing to drift.
 
     100 TB design: the edge build amortizes via the shared
-    ``_copurchase_graph`` session memo. Each round is ONE
-    edges⋈labels hash join (SHUFFLE_HASH on the node-bounded label
-    side — a sort-merge join would re-sort the full edge list every
-    round, the measured k-core lesson) feeding a map-side-combinable
-    MIN, then a node-grain left join to fold the neighbor min into
-    the running label. Label state is one row per vertex; the K-deep
-    lazy plan stays linear in ``iters``.
+    ``_copurchase_graph`` session memo. SELF-LOOPS are appended to
+    the edge list once, so each round is ONE edges⋈labels hash join
+    (SHUFFLE_HASH on the node-bounded label side — a sort-merge join
+    would re-sort the full edge list every round, the measured k-core
+    lesson) feeding a map-side-combinable MIN; min(own, neighbors)
+    falls out of the self-loop, so the label frame is referenced
+    exactly ONCE per round and the K-deep lazy plan stays LINEAR in
+    ``iters`` (the min(own, nbr_min) left-join form references it
+    twice per round — a 2^K logical-plan blowup, 511 SortMergeJoins
+    at K=8, caught by tools/explain_audit.py; the eigen/MATERIALIZED
+    lesson on the Spark side). Label state is one row per vertex; one
+    final ``localCheckpoint`` feeds the two output consumers (sizes +
+    labels) without recomputing the chain.
     """
     if graph is not None:
         deg_edges, nodes = graph
@@ -468,27 +474,26 @@ def connected_components(
     else:
         edges = copurchase_edges(lineitem)
         nodes = lineitem.select(F.col("l_partkey").alias("part")).distinct()
+    loops = nodes.select(
+        F.col("part").alias("src"), F.col("part").alias("dst")
+    )
+    edges2 = edges.unionByName(loops)
     labels = nodes.select(
         F.col("part").alias("node"), F.col("part").alias("lbl")
     )
     for _ in range(iters):
-        nbr_min = (
-            edges.join(
+        labels = (
+            edges2.join(
                 labels.select(
                     F.col("node").alias("dst"), F.col("lbl")
                 ).hint("shuffle_hash"),
                 "dst",
             )
             .groupBy("src")
-            .agg(F.min("lbl").alias("__nm"))
+            .agg(F.min("lbl").alias("lbl"))
             .withColumnRenamed("src", "node")
         )
-        labels = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("lbl"), F.coalesce(F.col("__nm"), F.col("lbl"))
-            ).alias("lbl"),
-        )
+    labels = labels.localCheckpoint()
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("long").alias("component_size")
     )
