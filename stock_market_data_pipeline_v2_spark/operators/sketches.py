@@ -538,17 +538,25 @@ def histogram_rollup(
     sdf = stats.withColumn(
         "__w", (F.col("__mx") - F.col("__mn")) / F.lit(float(nbins))
     )
-    binned = df.join(F.broadcast(sdf), g).select(
-        *g,
-        "__unit",
-        F.when(F.col("__w") == 0, F.lit(0).cast("long"))
-        .otherwise(
-            F.least(
-                F.floor((v - F.col("__mn")) / F.col("__w")),
-                F.lit(nbins - 1).cast("long"),
+    # binned feeds BOTH the fine (merged) and the direct branch —
+    # uncached each branch rescans the fact and recomputes the bin
+    # assignment (the shingle_jaccard `_cached_inputs` contract;
+    # callers release via dedup.release_cached_inputs).
+    binned = (
+        df.join(F.broadcast(sdf), g)
+        .select(
+            *g,
+            "__unit",
+            F.when(F.col("__w") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.least(
+                    F.floor((v - F.col("__mn")) / F.col("__w")),
+                    F.lit(nbins - 1).cast("long"),
+                )
             )
+            .alias("__bin"),
         )
-        .alias("__bin"),
+        .cache()
     )
     # the per-unit sketch table a warehouse would persist
     fine = binned.groupBy(*g, "__unit", "__bin").agg(
@@ -614,13 +622,15 @@ def histogram_rollup(
                 F.col(f"__m_{name}") - F.col(f"__d_{name}"), 6
             ).alias(f"merge_diff_{name}")
         )
-    return (
+    out = (
         mq.join(dq, g)
         .join(units, g)
         .join(F.broadcast(sdf.select(*g, "n_values")), g)
         .select(*out_cols)
         .orderBy(*g)
     )
+    out._cached_inputs = (binned,)
+    return out
 
 
 def histogram_rollup_oracle_sql(
