@@ -1309,6 +1309,37 @@ def q_ann_index_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_index_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8: the PQ twin of ann_index_extend — a "new" batch encoded
+    # against the FROZEN codebooks (pq.py:extend_pq_index, the FAISS
+    # add() path), emitted as (vec_id, sub, code) rows. The oracle
+    # replays encoding from the frozen state.
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.operators.pq import (
+        extend_pq_index,
+    )
+
+    configure_runtime(spark)
+    batch = (
+        _embs(spark, sf_dir)
+        .filter(F.col("vec_id") % 4 == 3)
+        .withColumn(
+            "vec_id", F.col("vec_id") + F.lit(ANN_EXTEND_ID_OFFSET)
+        )
+    )
+    extended = extend_pq_index(_pq_index(spark, sf_dir), batch)
+    return (
+        extended.codes.filter(F.col("id") >= F.lit(ANN_EXTEND_ID_OFFSET))
+        .select(
+            F.col("id").alias("vec_id"),
+            F.posexplode("codes").alias("sub0", "code"),
+        )
+        .select("vec_id", F.col("sub0").cast("long").alias("sub"), "code")
+        .orderBy("vec_id", "sub")
+    )
+
+
 def q_pq_subspace_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 8: the PQ twin of ivf_cluster_profile — per-subspace code
     # utilization, assignment skew, and BIGINT-quantized quantization
@@ -1912,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_daily_rollup": q_cms_daily_rollup,
         "pq_subspace_profile": q_pq_subspace_profile,
         "ann_index_extend": q_ann_index_extend,
+        "pq_index_extend": q_pq_index_extend,
         # --- stalest previously-sampled fill (r4 remainder) ---
         "macd": q_macd,
         "atr_obv": q_atr_obv,
@@ -2207,6 +2239,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cluster_profile": ann_state.ivf_profile_oracle_sql(),
         "pq_subspace_profile": ann_state.pq_profile_oracle_sql(),
         "ann_index_extend": ann_state.ivf_extend_oracle_sql(
+            offset=ANN_EXTEND_ID_OFFSET
+        ),
+        "pq_index_extend": ann_state.pq_extend_oracle_sql(
             offset=ANN_EXTEND_ID_OFFSET
         ),
         "daily_bars": oracles.DAILY_BARS_SQL,

@@ -175,7 +175,8 @@ HEADLINE = [
     "dominant_part_suppliers",  # added round 8: Q20 shape (nested semi-joins)
     "cms_daily_rollup",         # added round 8: mergeable CMS rollup
     "pq_subspace_profile",      # added round 8: PQ index-health report
-    "ann_index_extend",         # added round 8: incremental ADD path
+    "ann_index_extend",         # added round 8: incremental ADD path (IVF)
+    "pq_index_extend",          # added round 8: incremental ADD path (PQ)
 ]
 
 

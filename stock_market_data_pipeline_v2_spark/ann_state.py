@@ -369,6 +369,26 @@ ORDER BY vec_id, slot
 """
 
 
+def pq_extend_oracle_sql(
+    state: dict | None = None, offset: int = 10_000_000
+) -> str:
+    """DuckDB twin of __spark_entry__.q_pq_index_extend: the ADD
+    batch (vec_id % 4 == 3, under offset ids) encoded against the
+    FROZEN codebooks — the enc CTE restricted to the batch.
+    extend_pq_index shares ``_encode_codes`` with the build path, so
+    the argmin replay (d ASC, code ASC) is the exact mirror."""
+    state = state or load_state()
+    return f"""WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+en AS (SELECT vec_id, v, {_norm_chain('v')} AS nrm FROM e),
+{_pq_ctes(state)}
+SELECT vec_id + {offset} AS vec_id, CAST(sub AS BIGINT) AS sub, code
+FROM enc WHERE vec_id % 4 = 3
+ORDER BY vec_id, sub
+"""
+
+
 def pq_profile_oracle_sql(state: dict | None = None) -> str:
     """DuckDB twin of pq.py:pq_subspace_profile over the frozen
     codebook: re-encode (the enc CTE — already proven equal to the

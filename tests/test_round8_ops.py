@@ -95,6 +95,20 @@ def test_ivf_cluster_profile_invariants(spark):
         assert abs(approx - r.mean_sqdist) < 1e-5, r
 
 
+def test_part_components_linear_plan(spark):
+    """The K-round propagation must stay LINEAR in the round count:
+    the min(own, nbr_min) left-join form referenced the label frame
+    twice per round and doubled the logical plan per round (511
+    SortMergeJoins at K=8). The self-loop formulation references it
+    once; a handful of join nodes total, never hundreds."""
+    import __spark_entry__ as m
+
+    df = m.queries()["part_components"](spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("SortMergeJoin") <= 2, phys.count("SortMergeJoin")
+    assert phys.count("Exchange") <= 12, phys.count("Exchange")
+
+
 def test_cms_rollup_merge_identity(spark):
     """Linear-sketch property for the frequency sketch: per-day
     counter tables summed to the global sketch must reproduce the
