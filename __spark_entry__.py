@@ -498,6 +498,26 @@ def q_cms_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 8: the membership twin completing the mergeable-rollup
+    # family — per-day Bloom filters OR-merged to the global filter;
+    # words_diff = 0 and per-probe merge agreement are oracle-checked,
+    # and the no-false-negative law is checked as data on the heavy
+    # keys (absent-offset probes make any false positive visible).
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.operators.sketches import (
+        bloom_rollup,
+    )
+
+    configure_runtime(spark)
+    return bloom_rollup(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        F.to_date(F.col("ts")),
+    )
+
+
 def q_cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 6: count-min sketch heavy-hitter check — frequency joins
     # distinct/membership/quantiles in the oracle-gated sketch family;
@@ -1944,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_subspace_profile": q_pq_subspace_profile,
         "ann_index_extend": q_ann_index_extend,
         "pq_index_extend": q_pq_index_extend,
+        "bloom_daily_rollup": q_bloom_daily_rollup,
         # --- stalest previously-sampled fill (r4 remainder) ---
         "macd": q_macd,
         "atr_obv": q_atr_obv,
@@ -2157,6 +2178,9 @@ def oracle_sql() -> dict[str, str]:
             "events", ["event_type"], "CAST(ts AS DATE)", "value"
         ),
         "cms_daily_rollup": sketches.cms_rollup_oracle_sql(
+            "events", "user_id", "CAST(ts AS DATE)"
+        ),
+        "bloom_daily_rollup": sketches.bloom_rollup_oracle_sql(
             "events", "user_id", "CAST(ts AS DATE)"
         ),
         "hll_user_overlap": sketches.hll_set_overlap_oracle_sql(

@@ -177,6 +177,7 @@ HEADLINE = [
     "pq_subspace_profile",      # added round 8: PQ index-health report
     "ann_index_extend",         # added round 8: incremental ADD path (IVF)
     "pq_index_extend",          # added round 8: incremental ADD path (PQ)
+    "bloom_daily_rollup",       # added round 8: mergeable Bloom rollup
 ]
 
 

@@ -1038,6 +1038,217 @@ ORDER BY est.exact_count DESC, est.token ASC
 """
 
 
+def bloom_rollup(
+    df: DataFrame,
+    key_col: str,
+    unit_col: Column,
+    m_bits: int = 1 << 14,
+    k: int = 5,
+    top_k: int = 20,
+    absent_offset: int = 10**7,
+) -> DataFrame:
+    """The membership twin completing the mergeable-rollup family
+    (round 8; HLL = register max, histogram = bin sum, CMS = counter
+    sum, Bloom = word-wise ``bit_or``): per-unit (e.g. per-day) Bloom
+    filters OR-merged to the global filter beside the filter built
+    directly on the raw stream. OR is associative, commutative and
+    idempotent, so merged state == direct state BIT-for-bit —
+    ``words_diff`` (count of differing filter words) is an
+    ORACLE-CHECKED 0, and every probe verdict agrees between the two
+    (``merge_diff`` false per probe). Probes: the ``top_k`` heaviest
+    keys (expected present — Bloom filters have NO false negatives,
+    checked as data) plus the same keys under ``absent_offset``
+    (expected absent at test scales; a true verdict there would be a
+    visible false positive, not an error).
+
+    100 TB design: each unit's filter is ≤ ceil(m_bits/32) words no
+    matter the stream size; the merge is one map-side-combinable
+    ``bit_or`` over units·words rows; probes broadcast-join the
+    fixed-size state.
+    """
+    keyed = df.select(
+        F.col(key_col),
+        F.col(key_col).cast("string").alias("__key"),
+        unit_col.alias("__unit"),
+    )
+    pos = F.explode(
+        F.array(*[_bloom_pos(F.col("__key"), i, m_bits) for i in range(k)])
+    )
+    fpos = keyed.select("__unit", pos.alias("__pos")).select(
+        "__unit",
+        F.shiftright(F.col("__pos"), 5).alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))"
+        ).alias("__mask"),
+    )
+    fine = fpos.groupBy("__unit", "word_idx").agg(
+        F.bit_or("__mask").alias("bits")
+    )
+    merged = fine.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    direct = fpos.groupBy("word_idx").agg(F.bit_or("__mask").alias("bits"))
+    wdiff = (
+        merged.withColumnRenamed("bits", "__bm")
+        .join(
+            direct.withColumnRenamed("bits", "__bd"), "word_idx", "full"
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("__bm"), F.lit(0))
+                    != F.coalesce(F.col("__bd"), F.lit(0)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("words_diff")
+        )
+    )
+    units = (
+        keyed.select("__unit")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_units"))
+    )
+    present = (
+        keyed.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.desc("__cnt"), F.asc(key_col))
+        .limit(top_k)
+        .select(key_col)
+    )
+    probeset = present.unionByName(
+        present.select(
+            (F.col(key_col) + F.lit(absent_offset)).alias(key_col)
+        )
+    )
+    keyset = keyed.select(key_col).distinct().withColumn(
+        "__present", F.lit(True)
+    )
+    cands = (
+        probeset.join(keyset, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce(F.col("__present"), F.lit(False)).alias("expected"),
+            F.col(key_col).cast("string").alias("__key"),
+        )
+    )
+    in_m = bloom_membership(cands, "__key", merged, m_bits, k).select(
+        key_col, "expected", F.col("in_bloom").alias("in_merged")
+    )
+    in_d = bloom_membership(cands, "__key", direct, m_bits, k).select(
+        key_col, F.col("in_bloom").alias("in_direct")
+    )
+    return (
+        in_m.join(in_d, key_col)
+        .crossJoin(F.broadcast(wdiff))
+        .crossJoin(F.broadcast(units))
+        .select(
+            key_col,
+            "expected",
+            "in_merged",
+            "in_direct",
+            (F.col("in_merged") != F.col("in_direct")).alias("merge_diff"),
+            (~F.col("expected") | F.col("in_merged")).alias(
+                "no_false_negative"
+            ),
+            "words_diff",
+            "n_units",
+        )
+        .orderBy(key_col)
+    )
+
+
+def bloom_rollup_oracle_sql(
+    table: str,
+    key: str,
+    unit_expr: str,
+    m_bits: int = 1 << 14,
+    k: int = 5,
+    top_k: int = 20,
+    absent_offset: int = 10**7,
+) -> str:
+    """DuckDB twin of :func:`bloom_rollup`, generated from the same
+    literals (single-source pattern)."""
+    probes = f"generate_series(0, {k - 1})"
+    kstr = f"CAST({key} AS VARCHAR)"
+    return f"""
+WITH h AS (
+    SELECT {key} AS kk, {unit_expr} AS unit,
+        CAST(('0x' || substr(md5({kstr}), 1, 8)) AS BIGINT) AS a,
+        CAST(('0x' || substr(md5({kstr}), 9, 8)) AS BIGINT) * 2 + 1 AS step
+    FROM {table}
+),
+fpos AS (
+    SELECT unit, (a + t.i * step) % {m_bits} AS pos
+    FROM h, {probes} AS t(i)
+),
+fine AS (
+    SELECT unit, pos >> 5 AS word_idx,
+        bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+    FROM fpos GROUP BY 1, 2
+),
+mrg AS (
+    SELECT word_idx, bit_or(bits) AS bits FROM fine GROUP BY 1
+),
+drc AS (
+    SELECT pos >> 5 AS word_idx,
+        bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+    FROM fpos GROUP BY 1
+),
+wdiff AS (
+    SELECT CAST(count_if(coalesce(m.bits, 0) <> coalesce(d.bits, 0))
+                AS BIGINT) AS words_diff
+    FROM mrg m FULL JOIN drc d USING (word_idx)
+),
+units AS (
+    SELECT CAST(count(DISTINCT unit) AS BIGINT) AS n_units FROM h
+),
+present AS (
+    SELECT kk FROM h GROUP BY kk
+    ORDER BY count(*) DESC, kk ASC LIMIT {top_k}
+),
+probeset AS (
+    SELECT kk FROM present
+    UNION ALL SELECT kk + {absent_offset} FROM present
+),
+keyset AS (SELECT DISTINCT kk FROM h),
+cands AS (
+    SELECT p.kk, (ks.kk IS NOT NULL) AS expected,
+        CAST(('0x' || substr(md5(CAST(p.kk AS VARCHAR)), 1, 8)) AS BIGINT)
+            AS a,
+        CAST(('0x' || substr(md5(CAST(p.kk AS VARCHAR)), 9, 8)) AS BIGINT)
+            * 2 + 1 AS step
+    FROM probeset p LEFT JOIN keyset ks ON ks.kk = p.kk
+),
+cpos AS (
+    SELECT kk, expected, (a + t.i * step) % {m_bits} AS pos
+    FROM cands, {probes} AS t(i)
+),
+vm AS (
+    SELECT c.kk, c.expected,
+        (sum(CASE WHEN (coalesce(w.bits, 0)
+                        & (CAST(1 AS BIGINT) << CAST(c.pos % 32 AS INT)))
+                       <> 0 THEN 1 ELSE 0 END) = {k}) AS in_merged
+    FROM cpos c LEFT JOIN mrg w ON w.word_idx = c.pos >> 5
+    GROUP BY 1, 2
+),
+vd AS (
+    SELECT c.kk,
+        (sum(CASE WHEN (coalesce(w.bits, 0)
+                        & (CAST(1 AS BIGINT) << CAST(c.pos % 32 AS INT)))
+                       <> 0 THEN 1 ELSE 0 END) = {k}) AS in_direct
+    FROM cpos c LEFT JOIN drc w ON w.word_idx = c.pos >> 5
+    GROUP BY 1
+)
+SELECT vm.kk AS {key}, vm.expected, vm.in_merged, vd.in_direct,
+    vm.in_merged <> vd.in_direct AS merge_diff,
+    (NOT vm.expected) OR vm.in_merged AS no_false_negative,
+    wdiff.words_diff, units.n_units
+FROM vm JOIN vd USING (kk)
+CROSS JOIN wdiff CROSS JOIN units
+ORDER BY vm.kk
+"""
+
+
 def cms_rollup(
     df: DataFrame,
     key_col: str,

@@ -150,6 +150,25 @@ def test_pq_subspace_profile_invariants(spark):
         assert abs(approx - r.mean_sqerr) < 1e-5, r
 
 
+def test_bloom_rollup_merge_identity(spark):
+    """OR-merge identity for the membership sketch: per-day filters
+    OR-merged must equal the direct filter word-for-word (words_diff
+    == 0), every probe verdict must agree between the two, and the
+    no-false-negative law must hold on every expected-present key."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["bloom_daily_rollup"](spark, SF01).collect()
+    assert rows, "empty rollup output"
+    assert len(rows) == 40  # top-20 present + 20 absent-offset probes
+    for r in rows:
+        assert r.words_diff == 0, r
+        assert r.merge_diff is False, r
+        assert r.in_merged == r.in_direct, r
+        assert r.no_false_negative is True, r
+        if r.expected:
+            assert r.in_merged, r
+
+
 def test_round8_star_shapes_plan_contracts(spark):
     """Q3/Q12/Q20 adaptations: every dim-sized side broadcasts (the
     only SortMergeJoin allowed is the fact⋈fact orderkey join in
