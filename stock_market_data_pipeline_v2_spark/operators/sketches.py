@@ -1066,20 +1066,28 @@ def bloom_rollup(
     ``bit_or`` over units·words rows; probes broadcast-join the
     fixed-size state.
     """
+    # keyed feeds the probe positions, the present/keyset probes and
+    # the unit count; fpos feeds BOTH the fine (merged) and the direct
+    # filter — cache each once (the histogram_rollup `_cached_inputs`
+    # contract; callers release via dedup.release_cached_inputs).
     keyed = df.select(
         F.col(key_col),
         F.col(key_col).cast("string").alias("__key"),
         unit_col.alias("__unit"),
-    )
+    ).cache()
     pos = F.explode(
         F.array(*[_bloom_pos(F.col("__key"), i, m_bits) for i in range(k)])
     )
-    fpos = keyed.select("__unit", pos.alias("__pos")).select(
-        "__unit",
-        F.shiftright(F.col("__pos"), 5).alias("word_idx"),
-        F.expr(
-            "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))"
-        ).alias("__mask"),
+    fpos = (
+        keyed.select("__unit", pos.alias("__pos"))
+        .select(
+            "__unit",
+            F.shiftright(F.col("__pos"), 5).alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))"
+            ).alias("__mask"),
+        )
+        .cache()
     )
     fine = fpos.groupBy("__unit", "word_idx").agg(
         F.bit_or("__mask").alias("bits")
@@ -1137,7 +1145,7 @@ def bloom_rollup(
     in_d = bloom_membership(cands, "__key", direct, m_bits, k).select(
         key_col, F.col("in_bloom").alias("in_direct")
     )
-    return (
+    out = (
         in_m.join(in_d, key_col)
         .crossJoin(F.broadcast(wdiff))
         .crossJoin(F.broadcast(units))
@@ -1155,6 +1163,8 @@ def bloom_rollup(
         )
         .orderBy(key_col)
     )
+    out._cached_inputs = (keyed, fpos)
+    return out
 
 
 def bloom_rollup_oracle_sql(
