@@ -455,6 +455,23 @@ def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialize_and_release(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a SMALL result via localCheckpoint, then
+    release the fact-scale frames the operator pinned on
+    ``_cached_inputs`` (ADVICE r8: entry points that hand the lazy
+    plan straight to the driver otherwise leave events-scale caches
+    pinned for the whole session). The checkpointed partitions serve
+    every later collect, so nothing recomputes; only rollup-sized
+    outputs (≤ dozens of rows) should come through here."""
+    out = df.localCheckpoint()
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        release_cached_inputs,
+    )
+
+    release_cached_inputs(df)
+    return out
+
+
 def q_histogram_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 8 (VERDICT r7 #2): the quantile twin of hll_daily_rollup —
     # per-day (event_type, bin) histogram states re-summed to
@@ -470,11 +487,13 @@ def q_histogram_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure_runtime(spark)
-    return histogram_rollup(
-        load_table(spark, sf_dir, "events"),
-        ["event_type"],
-        F.to_date(F.col("ts")),
-        "value",
+    return _materialize_and_release(
+        histogram_rollup(
+            load_table(spark, sf_dir, "events"),
+            ["event_type"],
+            F.to_date(F.col("ts")),
+            "value",
+        )
     )
 
 
@@ -511,10 +530,12 @@ def q_bloom_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure_runtime(spark)
-    return bloom_rollup(
-        load_table(spark, sf_dir, "events"),
-        "user_id",
-        F.to_date(F.col("ts")),
+    return _materialize_and_release(
+        bloom_rollup(
+            load_table(spark, sf_dir, "events"),
+            "user_id",
+            F.to_date(F.col("ts")),
+        )
     )
 
 

@@ -305,6 +305,17 @@ ORDER BY c.cell
 """
 
 
+def _uv_elem(expr: str, nrm: str) -> str:
+    """One guarded unit-vector element: ``expr / nrm`` with the same
+    zero-norm → 0.0 mapping the Spark side applies elementwise
+    (pq.py's ``F.when(nrm > 0, x / nrm)`` transforms). For nrm > 0 the
+    CASE wrapper is transparent — the division produces the identical
+    double — so adding the guard cannot move any existing hash; it
+    only closes the latent inf/NaN divergence a zero-norm embedding
+    would cause (ADVICE r8)."""
+    return f"(CASE WHEN {nrm} > 0.0e0 THEN {expr} / {nrm} ELSE 0.0e0 END)"
+
+
 def _pq_ctes(state: dict) -> str:
     """Codebook literals + unit-subvector encoding CTEs: per
     (vector, subspace) argmin of the left-assoc squared distance
@@ -317,10 +328,12 @@ def _pq_ctes(state: dict) -> str:
         for s in range(m)
         for c in range(ksub)
     )
-    # (uv[sub·dsub+j] − center[j])² left-assoc chain, uv = v/nrm
+    # (uv[sub·dsub+j] − center[j])² left-assoc chain, uv guarded
     sq = " + ".join(
-        f"(en.v[s.sub * {dsub} + {j + 1}] / en.nrm - cb.ctr[{j + 1}])"
-        f" * (en.v[s.sub * {dsub} + {j + 1}] / en.nrm - cb.ctr[{j + 1}])"
+        f"({_uv_elem(f'en.v[s.sub * {dsub} + {j + 1}]', 'en.nrm')}"
+        f" - cb.ctr[{j + 1}])"
+        f" * ({_uv_elem(f'en.v[s.sub * {dsub} + {j + 1}]', 'en.nrm')}"
+        f" - cb.ctr[{j + 1}])"
         for j in range(dsub)
     )
     return f"""cb(sub, code, ctr) AS (
@@ -347,7 +360,8 @@ def _adc_term(dsub: int) -> str:
     """One subspace's LUT entry: dot(query unit subvector, assigned
     center), left-assoc."""
     return " + ".join(
-        f"(q.v[enc.sub * {dsub} + {j + 1}] / q.nrm) * cb.ctr[{j + 1}]"
+        f"{_uv_elem(f'q.v[enc.sub * {dsub} + {j + 1}]', 'q.nrm')}"
+        f" * cb.ctr[{j + 1}]"
         for j in range(dsub)
     )
 
@@ -398,8 +412,10 @@ def pq_profile_oracle_sql(state: dict | None = None) -> str:
     state = state or load_state()
     dsub = state["dim"] // state["pq"]["m"]
     sq = " + ".join(
-        f"(en.v[enc.sub * {dsub} + {j + 1}] / en.nrm - cb.ctr[{j + 1}])"
-        f" * (en.v[enc.sub * {dsub} + {j + 1}] / en.nrm - cb.ctr[{j + 1}])"
+        f"({_uv_elem(f'en.v[enc.sub * {dsub} + {j + 1}]', 'en.nrm')}"
+        f" - cb.ctr[{j + 1}])"
+        f" * ({_uv_elem(f'en.v[enc.sub * {dsub} + {j + 1}]', 'en.nrm')}"
+        f" - cb.ctr[{j + 1}])"
         for j in range(dsub)
     )
     return f"""WITH e AS (

@@ -25,6 +25,10 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+# tools/ itself must also be importable: main() does `import
+# verify_oracles`, which lives beside this file, and that must work
+# whether main() is reached via the __main__ guard or a module import.
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def main() -> int:
@@ -54,11 +58,10 @@ def main() -> int:
     sys.argv = (
         [sys.argv[0], "--sf", args.sf] + args.queries
     )
-    import verify_oracles  # noqa: E402  (tools/ is on sys.path via parent insert)
+    import verify_oracles  # noqa: E402  (tools/ is on sys.path — module-top insert)
 
     return verify_oracles.main()
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, str(Path(__file__).resolve().parent))
     raise SystemExit(main())
