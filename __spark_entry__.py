@@ -397,6 +397,42 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: the pre-shuffle skew diagnostic — top-10 heaviest values
+    # of two prospective join keys with exact shares; what a 100 TB job
+    # reads before choosing broadcast vs salt vs AQE skew-join.
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.operators.skew import (
+        join_key_skew,
+    )
+
+    configure_runtime(spark)
+    ev = join_key_skew(load_table(spark, sf_dir, "events"), "user_id")
+    li = join_key_skew(load_table(spark, sf_dir, "lineitem"), "l_suppkey")
+    return (
+        ev.select(F.lit("events.user_id").alias("profiled_key"), "*")
+        .unionByName(
+            li.select(F.lit("lineitem.l_suppkey").alias("profiled_key"), "*")
+        )
+        .orderBy("profiled_key", "key_rank")
+    )
+
+
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: manual skew-salted join whose oracle is the PLAIN join —
+    # salt-invariance of order-free aggregates, checked as data.
+    configure_runtime(spark)
+    from stock_market_data_pipeline_v2_spark.operators.skew import (
+        salted_priority_revenue,
+    )
+
+    return salted_priority_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return event_type_pivot(load_table(spark, sf_dir, "events"))
@@ -1966,6 +2002,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the tail; the two by-design rows-only entries
         # (windowed_analytics_reagg, image_features) stay behind slot
         # 50 per the registry invariant. ---
+        # --- new r9 entries (never driver-sampled — lead the window) ---
+        "join_skew_profile": q_join_skew_profile,
+        "salted_join_revenue": q_salted_join_revenue,
+        # --- r8 window follows (freshest blocks rotate to the tail at
+        # round end per the staleness rule) ---
         "hll_user_overlap": q_hll_user_overlap,
         "embedding_top_component": q_embedding_top_component,
         "lineitem_profile_drift_sketch": q_lineitem_profile_drift_sketch,
@@ -2163,6 +2204,9 @@ def oracle_sql() -> dict[str, str]:
         classifier as _classifier_mod,
     )
     from stock_market_data_pipeline_v2_spark.operators import (
+        skew as _skew_mod,
+    )
+    from stock_market_data_pipeline_v2_spark.operators import (
         eigen as _eigen_mod,
     )
     from stock_market_data_pipeline_v2_spark.operators import dims as _dims_mod
@@ -2326,6 +2370,18 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority_topk": oracles.SHIPPING_PRIORITY_TOPK_SQL,
         "returnflag_priority_counts": oracles.RETURNFLAG_PRIORITY_COUNTS_SQL,
         "dominant_part_suppliers": oracles.DOMINANT_PART_SUPPLIERS_SQL,
+        # r9 skew family: the profile oracle is GENERATED from the same
+        # source as the Spark plan; the salted join's oracle is the
+        # PLAIN join (salt-invariance checked as data).
+        "join_skew_profile": (
+            "SELECT 'events.user_id' AS profiled_key, * FROM ("
+            + _skew_mod.join_key_skew_oracle_sql("events", "user_id")
+            + ") UNION ALL SELECT 'lineitem.l_suppkey' AS profiled_key,"
+            " * FROM ("
+            + _skew_mod.join_key_skew_oracle_sql("lineitem", "l_suppkey")
+            + ") ORDER BY profiled_key, key_rank"
+        ),
+        "salted_join_revenue": _skew_mod.SALTED_PRIORITY_REVENUE_SQL,
         "event_type_pivot": oracles.EVENT_TYPE_PIVOT_SQL,
         "text_quality": oracles.TEXT_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,
