@@ -397,6 +397,20 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: time-RANGE window frames (rangeBetween over calendar
+    # days) — trailing-30-day order count/spend per customer order.
+    from stock_market_data_pipeline_v2_spark.operators.dims import (
+        trailing_window_revenue,
+    )
+
+    configure_runtime(spark)
+    return trailing_window_revenue(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: the pre-shuffle skew diagnostic — top-10 heaviest values
     # of two prospective join keys with exact shares; what a 100 TB job
@@ -2003,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (windowed_analytics_reagg, image_features) stay behind slot
         # 50 per the registry invariant. ---
         # --- new r9 entries (never driver-sampled — lead the window) ---
+        "range_frame_revenue": q_range_frame_revenue,
         "join_skew_profile": q_join_skew_profile,
         "salted_join_revenue": q_salted_join_revenue,
         # --- r8 window follows (freshest blocks rotate to the tail at
@@ -2382,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
             + ") ORDER BY profiled_key, key_rank"
         ),
         "salted_join_revenue": _skew_mod.SALTED_PRIORITY_REVENUE_SQL,
+        "range_frame_revenue": _dims_mod.TRAILING_WINDOW_REVENUE_SQL,
         "event_type_pivot": oracles.EVENT_TYPE_PIVOT_SQL,
         "text_quality": oracles.TEXT_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,

@@ -913,6 +913,88 @@ def monthly_revenue_growth(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def trailing_window_revenue(
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    days: int = 30,
+) -> DataFrame:
+    """Time-RANGE window frames — the customer-velocity mart: for
+    every order of one market segment, the customer's order count and
+    total spend over the TRAILING ``days``-day window ending at the
+    order's date. This is the one window-frame kind the registry
+    lacked: ``rangeBetween`` over a value axis (calendar days), where
+    the frame holds however many ROWS fall in the interval — a
+    row-frame (``rowsBetween``) cannot express it when order spacing
+    is irregular, and peers sharing a date must see the SAME frame.
+
+    Exactness: the day axis is an exact integer (``unix_date`` —
+    session TZ pinned UTC by ``configure_runtime``); the spend sums in
+    DECIMAL inside the frame (order-free — frame membership is a set,
+    so engine-side accumulation order cannot matter), rounded once,
+    cast double last. Every output is per-row determined (no ranks),
+    so no tiebreak is needed.
+
+    Plan shape: the segment filter prunes customer to a broadcast
+    semi-join; ONE shuffle partitions by customer; the frame scan is a
+    running two-pointer over each customer's date-sorted orders —
+    Spark's RangeFrame evaluator is O(rows) per partition, not
+    O(rows·frame). At 100 TB the partition key (customer) is
+    million-cardinality — no skew hazard.
+    """
+    cust_f = customer.filter(F.col("c_mktsegment") == segment).select(
+        "c_custkey"
+    )
+    base = orders.join(
+        F.broadcast(cust_f),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.unix_date(F.to_date("o_orderdate")).alias("__day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("__price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("__day")
+        .rangeBetween(-days, 0)
+    )
+    return (
+        base.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.count(F.lit(1)).over(w).cast("long").alias("trailing_orders"),
+            F.round(F.sum("__price").over(w), 2)
+            .cast("double")
+            .alias("trailing_revenue"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+TRAILING_WINDOW_REVENUE_SQL = """
+WITH base AS (
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+        date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+            AS day,
+        CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+                   AND c.c_mktsegment = 'BUILDING'
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+    CAST(count(*) OVER w AS BIGINT) AS trailing_orders,
+    CAST(round(sum(price) OVER w, 2) AS DOUBLE) AS trailing_revenue
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
 def banded_discount_revenue(
     lineitem: DataFrame,
     min_discount: float = 0.05,
