@@ -1819,6 +1819,39 @@ def q_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: the graph's one-page summary (degree histogram with
+    # isolated nodes) — FIFTH consumer of the shared _copurchase_graph
+    # memo; node-grain count + 1-row broadcast total, no edge shuffle.
+    from stock_market_data_pipeline_v2_spark.operators.graph import (
+        degree_distribution,
+    )
+
+    configure_runtime(spark)
+    return degree_distribution(
+        load_table(spark, sf_dir, "lineitem"),
+        graph=_copurchase_graph(spark, sf_dir),
+    )
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: per-seed common-neighbor link prediction (top-5
+    # non-adjacent partners per seed part + neighborhood Jaccard) —
+    # SIXTH consumer of the shared memo. Query-set shape by design:
+    # exact all-pairs CN is ~300M wedges at sf0.1 on this
+    # uniform-degree graph (measured); seeding bounds the fan to
+    # |seeds|·d̄², the same economics as the ANN query tiers.
+    from stock_market_data_pipeline_v2_spark.operators.graph import (
+        link_prediction_cn,
+    )
+
+    configure_runtime(spark)
+    return link_prediction_cn(
+        load_table(spark, sf_dir, "lineitem"),
+        graph=_copurchase_graph(spark, sf_dir),
+    )
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 6: fixed-size Bloom-filter tier of ngram_decontaminate —
     # the path for reference sets too big to broadcast as a distinct
@@ -2019,6 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new r9 entries (never driver-sampled — lead the window) ---
         "range_frame_revenue": q_range_frame_revenue,
         "join_skew_profile": q_join_skew_profile,
+        "degree_distribution": q_degree_distribution,
+        "link_prediction": q_link_prediction,
         "salted_join_revenue": q_salted_join_revenue,
         # --- r8 window follows (freshest blocks rotate to the tail at
         # round end per the staleness rule) ---
@@ -2271,6 +2306,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_value_quantile_sketch": sketches.histogram_quantile_oracle_sql(
             "events", ["event_type"], "value"
+        ),
+        "degree_distribution": _graph_mod.DEGREE_DISTRIBUTION_SQL,
+        "link_prediction": _graph_mod.link_prediction_oracle_sql(
+            seed_mod=200, per_seed=5
         ),
         "part_pagerank": _graph_mod.pagerank_oracle_sql(iters=5),
         "part_triangles": _graph_mod.TRIANGLE_STATS_SQL,
