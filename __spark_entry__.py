@@ -1819,6 +1819,19 @@ def q_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: the reliability diagram as data — the AUC report's
+    # labeled set bucketed by global logit rank (two-level range-rank,
+    # never a corpus-wide single partition) with observed positive
+    # rate per bin; fifth member of the classifier family.
+    from stock_market_data_pipeline_v2_spark.operators.classifier import (
+        classifier_calibration,
+    )
+
+    configure_runtime(spark)
+    return classifier_calibration(_docs(spark, sf_dir))
+
+
 def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: the graph's one-page summary (degree histogram with
     # isolated nodes) — FIFTH consumer of the shared _copurchase_graph
@@ -2054,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_skew_profile": q_join_skew_profile,
         "degree_distribution": q_degree_distribution,
         "link_prediction": q_link_prediction,
+        "classifier_calibration": q_classifier_calibration,
         "salted_join_revenue": q_salted_join_revenue,
         # --- r8 window follows (freshest blocks rotate to the tail at
         # round end per the staleness rule) ---
@@ -2326,6 +2340,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "classifier_auc_report": (
             _classifier_mod.classifier_auc_oracle_sql()
+        ),
+        "classifier_calibration": (
+            _classifier_mod.classifier_calibration_oracle_sql()
         ),
         "return_moments": _stats_mod.moment_stats_oracle_sql(
             oracles.DAILY_RETURNS_SQL

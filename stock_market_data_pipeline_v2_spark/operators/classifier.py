@@ -261,6 +261,172 @@ def classifier_auc_report(documents: DataFrame) -> DataFrame:
     ).orderBy("source")
 
 
+def classifier_calibration(
+    documents: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """Model calibration report — the reliability diagram as data:
+    the labeled evaluation set (the AUC report's per-source
+    top-30%/bottom-30% heuristic labels) bucketed into ``n_bins``
+    score bins by GLOBAL logit rank, with the observed positive rate
+    per bin. A monotone, well-separated score shows pos_rate rising
+    with the bin; a flat row is where the model stops discriminating
+    — this is the chart a curation team reads before trusting a
+    threshold.
+
+    Exactness: bin assignment is exact long arithmetic on a global
+    rank (``(rank−1)·n_bins div n + 1``); the rank is the distributed
+    two-level range-rank of :func:`~.curation.quality_decile_bins`
+    (repartitionByRange + local row_number + offset join — identical
+    to a global window, never a corpus-wide single partition);
+    counts are BIGINT; ``pos_rate`` is one division, 6-dp rounded;
+    ``mean_logit`` sums the 6-dp logits in DECIMAL(12,6) (order-free)
+    and divides once; min/max are exact order stats.
+
+    100 TB shape: scoring/labeling are scan-shaped; the rank is one
+    range shuffle of the labeled slice; the report is an
+    ``n_bins``-row aggregate, map-side combinable.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import single_partition_key
+    from .text import text_stats
+
+    ts = text_stats(documents).select("doc_id", "source", "quality_score")
+    w_rank = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    w_n = Window.partitionBy("source")
+    ranked = ts.select(
+        "doc_id",
+        F.row_number().over(w_rank).alias("__r"),
+        F.count(F.lit(1)).over(w_n).alias("__n"),
+    )
+    kcut = F.expr("(3 * __n) div 10")
+    lab = ranked.filter(
+        (F.col("__r") <= kcut) | (F.col("__r") > F.col("__n") - kcut)
+    ).select(
+        "doc_id",
+        F.when(F.col("__r") <= kcut, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("__label"),
+    )
+    scored = quality_classifier(documents).select("doc_id", "quality_logit")
+    j = lab.join(scored, "doc_id")
+
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    ranged = j.repartitionByRange(
+        par, F.asc("quality_logit"), F.asc("doc_id")
+    ).withColumn("__pid", F.spark_partition_id())
+    w_loc = Window.partitionBy("__pid").orderBy(
+        F.asc("quality_logit"), F.asc("doc_id")
+    )
+    local = ranged.withColumn(
+        "__lrn", F.row_number().over(w_loc).cast("long")
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(single_partition_key("__pid"))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(single_partition_key("__pid"))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("__off"),
+        F.sum("__cnt").over(w_all).cast("long").alias("__nt"),
+    )
+    binned = (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn("__rank", (F.col("__off") + F.col("__lrn")).cast("long"))
+        .withColumn(
+            "score_bin",
+            (F.expr(f"(__rank - 1) * {int(n_bins)} div __nt") + 1).cast(
+                "long"
+            ),
+        )
+    )
+    agg = binned.groupBy("score_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__label").cast("long").alias("n_pos"),
+        F.sum(F.col("quality_logit").cast("decimal(12,6)")).alias("__sl"),
+        F.min("quality_logit").alias("min_logit"),
+        F.max("quality_logit").alias("max_logit"),
+    )
+    return agg.select(
+        "score_bin",
+        "n_docs",
+        "n_pos",
+        round_away(
+            F.col("n_pos").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("pos_rate"),
+        round_away(
+            F.col("__sl").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("mean_logit"),
+        "min_logit",
+        "max_logit",
+    ).orderBy("score_bin")
+
+
+def classifier_calibration_oracle_sql(n_bins: int = 10) -> str:
+    """DuckDB twin of :func:`classifier_calibration` — plain global
+    window formulation of the two-level rank (provably identical),
+    same labels, same integer bin arithmetic, same decimal-sum mean."""
+    from ..oracles import TEXT_STATS_SQL
+
+    qc = quality_classifier_oracle_sql().strip().replace(
+        "ORDER BY doc_id", ""
+    )
+    return f"""
+WITH ts AS (
+{TEXT_STATS_SQL}
+),
+qc AS (
+{qc}
+),
+rk AS (
+    SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY quality_score, doc_id) AS r,
+        count(*) OVER (PARTITION BY source) AS n
+    FROM ts
+),
+lab AS (
+    SELECT doc_id,
+        CASE WHEN r <= (3 * n) // 10 THEN 0 ELSE 1 END AS label
+    FROM rk
+    WHERE r <= (3 * n) // 10 OR r > n - (3 * n) // 10
+),
+g AS (
+    SELECT label, quality_logit,
+        row_number() OVER (ORDER BY quality_logit, doc_id) AS rnk,
+        count(*) OVER () AS nt
+    FROM (SELECT l.doc_id, l.label, qc.quality_logit
+          FROM lab l JOIN qc USING (doc_id))
+),
+b AS (
+    SELECT (rnk - 1) * {int(n_bins)} // nt + 1 AS score_bin,
+           label, quality_logit
+    FROM g
+)
+SELECT CAST(score_bin AS BIGINT) AS score_bin,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(label) AS BIGINT) AS n_pos,
+    round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate,
+    round(CAST(sum(CAST(quality_logit AS DECIMAL(12,6))) AS DOUBLE)
+          / count(*), 6) AS mean_logit,
+    min(quality_logit) AS min_logit,
+    max(quality_logit) AS max_logit
+FROM b
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def classifier_auc_oracle_sql() -> str:
     """DuckDB twin of :func:`classifier_auc_report` — composes the
     generated classifier oracle and the shared text-stats SQL as
