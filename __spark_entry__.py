@@ -1819,6 +1819,17 @@ def q_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: estimator-quality audit for the MinHash sketch — the
+    # ann_recall_report move for the dedup family: per LSH candidate
+    # pair, sketch estimate vs UNPRUNED exact Jaccard + abs error.
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        minhash_estimate_audit,
+    )
+
+    return minhash_estimate_audit(_docs(spark, sf_dir))
+
+
 def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: the reliability diagram as data — the AUC report's
     # labeled set bucketed by global logit rank (two-level range-rank,
@@ -2068,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": q_degree_distribution,
         "link_prediction": q_link_prediction,
         "classifier_calibration": q_classifier_calibration,
+        "minhash_estimate_audit": q_minhash_estimate_audit,
         "salted_join_revenue": q_salted_join_revenue,
         # --- r8 window follows (freshest blocks rotate to the tail at
         # round end per the staleness rule) ---
@@ -2511,6 +2523,9 @@ def oracle_sql() -> dict[str, str]:
         # emitted pair set matches bit-for-bit (recall < 1 vs the
         # exact tier is a property BOTH engines share identically).
         "dedup_minhash_lsh": oracles.MINHASH_LSH_SQL,
+        "minhash_estimate_audit": (
+            _dedup_mod.minhash_estimate_audit_oracle_sql()
+        ),
         "dedup_incremental_lsh": oracles.INCREMENTAL_LSH_SQL,
         "dedup_embedding": oracles.EMBEDDING_NEARDUP_SQL,
         # LSH ANN tier (round 5): hash-exact — frozen plane-term
