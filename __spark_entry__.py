@@ -1819,6 +1819,20 @@ def q_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: contrastive hard negatives — per query (the ANN tiers'
+    # 1-in-4 set), the top-5 nearest corpus vectors with a DIFFERENT
+    # label; the complement of ann_filtered_topk and the labeled
+    # ground-truth tier for a bucketed variant.
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    return hard_negative_topk(
+        _embs(spark, sf_dir), _ann_queries(spark, sf_dir), k=5
+    )
+
+
 def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: estimator-quality audit for the MinHash sketch — the
     # ann_recall_report move for the dedup family: per LSH candidate
@@ -2080,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "classifier_calibration": q_classifier_calibration,
         "minhash_estimate_audit": q_minhash_estimate_audit,
+        "hard_negative_mining": q_hard_negative_mining,
         "salted_join_revenue": q_salted_join_revenue,
         # --- r8 window follows (freshest blocks rotate to the tail at
         # round end per the staleness rule) ---
@@ -2281,6 +2296,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from stock_market_data_pipeline_v2_spark.operators import (
         skew as _skew_mod,
+    )
+    from stock_market_data_pipeline_v2_spark.operators import (
+        similarity as _similarity_mod,
     )
     from stock_market_data_pipeline_v2_spark.operators import (
         eigen as _eigen_mod,
@@ -2534,6 +2552,7 @@ def oracle_sql() -> dict[str, str]:
         # ann_cosine_topk.
         "ann_lsh_topk": oracles.ANN_LSH_TOPK_SQL,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK_SQL,
+        "hard_negative_mining": _similarity_mod.HARD_NEGATIVE_TOPK_SQL,
         "ann_cosine_topk_blas": oracles.ANN_COSINE_TOPK_SQL,
         "bm25_topk": oracles.BM25_TOPK_SQL,
         "hybrid_search_rrf": oracles.HYBRID_RRF_SQL,
