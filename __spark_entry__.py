@@ -1819,6 +1819,17 @@ def q_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: SQ8 scalar-quantization ANN tier (FAISS QT_8bit analog)
+    # — per-dim 8-bit codes, asymmetric reconstruct-dot scoring;
+    # completes the compression ladder next to PQ/IVF-PQ.
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        sq8_topk,
+    )
+
+    return sq8_topk(_embs(spark, sf_dir), _ann_queries(spark, sf_dir), k=5)
+
+
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: contrastive hard negatives — per query (the ANN tiers'
     # 1-in-4 set), the top-5 nearest corpus vectors with a DIFFERENT
@@ -2095,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration": q_classifier_calibration,
         "minhash_estimate_audit": q_minhash_estimate_audit,
         "hard_negative_mining": q_hard_negative_mining,
+        "ann_sq8_topk": q_ann_sq8_topk,
         "salted_join_revenue": q_salted_join_revenue,
         # --- r8 window follows (freshest blocks rotate to the tail at
         # round end per the staleness rule) ---
@@ -2553,6 +2565,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": oracles.ANN_LSH_TOPK_SQL,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK_SQL,
         "hard_negative_mining": _similarity_mod.HARD_NEGATIVE_TOPK_SQL,
+        "ann_sq8_topk": _similarity_mod.sq8_topk_oracle_sql(k=5),
         "ann_cosine_topk_blas": oracles.ANN_COSINE_TOPK_SQL,
         "bm25_topk": oracles.BM25_TOPK_SQL,
         "hybrid_search_rrf": oracles.HYBRID_RRF_SQL,
