@@ -1548,6 +1548,14 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lexical, semantic)
 
 
+def _similarity_sq8(embs: DataFrame, qs: DataFrame) -> DataFrame:
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        sq8_topk,
+    )
+
+    return sq8_topk(embs, qs, k=5)
+
+
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of every approximate ANN tier against the brute
     ground truth, as a REGISTERED oracle-gated query (round 5): the
@@ -1574,6 +1582,8 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "lsh": hyperplane_lsh_topk(embs, qs, k=5),
         "pq": pq_adc_topk(embs, qs, k=5, index=_pq_index(spark, sf_dir)),
+        # round 9: the SQ8 tier joins the report the round it lands
+        "sq8": _similarity_sq8(embs, qs),
     }
     reports = []
     for tier, df in tiers.items():

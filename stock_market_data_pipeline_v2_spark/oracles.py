@@ -3254,12 +3254,14 @@ def ann_recall_report_sql() -> str:
     per-tier oracle, so this is evidence ON TOP of evidence). Built
     lazily like the IVF/PQ oracles (frozen state is per-SF)."""
     from .ann_state import ann_ivf_oracle_sql, ann_ivfpq_oracle_sql, ann_pq_oracle_sql
+    from .operators.similarity import sq8_topk_oracle_sql
 
     tiers = {
         "ivf": ann_ivf_oracle_sql(),
         "ivfpq": ann_ivfpq_oracle_sql(),
         "lsh": ANN_LSH_TOPK_SQL,
         "pq": ann_pq_oracle_sql(),
+        "sq8": sq8_topk_oracle_sql(k=5),
     }
     blocks = []
     for tier, sql in sorted(tiers.items()):
