@@ -178,6 +178,15 @@ HEADLINE = [
     "ann_index_extend",         # added round 8: incremental ADD path (IVF)
     "pq_index_extend",          # added round 8: incremental ADD path (PQ)
     "bloom_daily_rollup",       # added round 8: mergeable Bloom rollup
+    "range_frame_revenue",      # added round 9: time-RANGE window frames
+    "join_skew_profile",        # added round 9: shuffle-key skew diagnostic
+    "salted_join_revenue",      # added round 9: salt-split skew join (oracle = plain join)
+    "degree_distribution",      # added round 9: graph degree histogram (memo consumer 5)
+    "link_prediction",          # added round 9: seeded common-neighbor predictions (consumer 6)
+    "classifier_calibration",   # added round 9: logit-bin reliability report
+    "minhash_estimate_audit",   # added round 9: sketch-vs-exact Jaccard audit
+    "hard_negative_mining",     # added round 9: contrastive cross-label negatives
+    "ann_sq8_topk",             # added round 9: SQ8 scalar-quantization ANN tier
 ]
 
 
