@@ -11,6 +11,11 @@ expressed Spark-first:
   share, cumulative share). One map-side-combinable count per key +
   a TakeOrdered top-k; nothing driver-side. This is what decides
   whether you broadcast, salt, or let AQE's skew-join handle it.
+(``functions/skew.py:salted_aggregate`` is the third member of the
+family — two-phase salted GROUP BY for hot grouping keys; this module
+adds the JOIN-side technique and the diagnostic that decides between
+them.)
+
 - ``salted_priority_revenue`` — the pre-AQE manual skew join: heavy
   keys (found by the profiler's logic) get their big-side rows
   SALT-SPLIT across ``n_salts`` sub-keys while the other side's
