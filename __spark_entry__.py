@@ -1829,6 +1829,24 @@ def q_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negative_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: the SCALE path for hard_negative_mining — cross-label
+    # negatives mined through the shared IVF index (probe cells, drop
+    # same-label members) instead of a full scan per query; the brute
+    # twin is the labeled ground truth.
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        hard_negative_ivf_topk,
+    )
+
+    embs = _embs(spark, sf_dir)
+    return hard_negative_ivf_topk(
+        embs,
+        _ann_queries(spark, sf_dir),
+        k=5,
+        index=_ivf_index(spark, sf_dir),
+    )
+
+
 def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: SQ8 scalar-quantization ANN tier (FAISS QT_8bit analog)
     # — per-dim 8-bit codes, asymmetric reconstruct-dot scoring;
@@ -2097,7 +2115,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERY_ORDER = [
     "range_frame_revenue", "join_skew_profile", "degree_distribution",
     "link_prediction", "classifier_calibration", "minhash_estimate_audit",
-    "hard_negative_mining", "ann_sq8_topk", "salted_join_revenue",
+    "hard_negative_mining", "ann_sq8_topk", "hard_negative_ivf",
+    "salted_join_revenue",
     "part_supplier_counts", "repeated_spans_rolling", "ann_filtered_topk",
     "ngram_decontaminate", "temperature_mix", "hilbert_events",
     "ann_recall_report", "similar_symbols", "pattern_match",
@@ -2173,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate_audit": q_minhash_estimate_audit,
         "hard_negative_mining": q_hard_negative_mining,
         "ann_sq8_topk": q_ann_sq8_topk,
+        "hard_negative_ivf": q_hard_negative_ivf,
         "salted_join_revenue": q_salted_join_revenue,
         "hll_user_overlap": q_hll_user_overlap,
         "embedding_top_component": q_embedding_top_component,
@@ -2634,6 +2654,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK_SQL,
         "hard_negative_mining": _similarity_mod.HARD_NEGATIVE_TOPK_SQL,
         "ann_sq8_topk": _similarity_mod.sq8_topk_oracle_sql(k=5),
+        "hard_negative_ivf": ann_state.hard_negative_ivf_oracle_sql(),
         "ann_cosine_topk_blas": oracles.ANN_COSINE_TOPK_SQL,
         "bm25_topk": oracles.BM25_TOPK_SQL,
         "hybrid_search_rrf": oracles.HYBRID_RRF_SQL,

@@ -187,6 +187,7 @@ HEADLINE = [
     "minhash_estimate_audit",   # added round 9: sketch-vs-exact Jaccard audit
     "hard_negative_mining",     # added round 9: contrastive cross-label negatives
     "ann_sq8_topk",             # added round 9: SQ8 scalar-quantization ANN tier
+    "hard_negative_ivf",        # added round 9: IVF-bucketed hard negatives (scale path)
 ]
 
 

@@ -194,6 +194,40 @@ FROM r WHERE rank <= {K}
 """
 
 
+def hard_negative_ivf_oracle_sql(state: dict | None = None) -> str:
+    """DuckDB twin of similarity.py:hard_negative_ivf_topk over the
+    frozen index: probe top-16 cells, drop same-label members, exact
+    cosine, top-5 — the ann_ivf oracle plus the label predicate."""
+    state = state or load_state()
+    return f"""WITH {_ivf_ctes(state)},
+{_probe_ctes(IVF_N_PROBE)},
+lab AS (SELECT vec_id, label FROM embeddings),
+cand AS (
+    SELECT DISTINCT p.query_id, h.vec_id AS neighbor_id
+    FROM probes p JOIN home h USING (cell)
+    WHERE h.vec_id != p.query_id
+),
+s AS (
+    SELECT cand.query_id, ql.label AS query_label,
+           cand.neighbor_id, nl.label AS neighbor_label, {_COS} AS c
+    FROM cand
+    JOIN en qv ON qv.vec_id = cand.query_id
+    JOIN en cv ON cv.vec_id = cand.neighbor_id
+    JOIN lab ql ON ql.vec_id = cand.query_id
+    JOIN lab nl ON nl.vec_id = cand.neighbor_id
+    WHERE ql.label <> nl.label
+),
+r AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM s
+)
+SELECT query_id, query_label, rank, neighbor_id, neighbor_label,
+       round(c, 6) AS cosine
+FROM r WHERE rank <= {K}
+"""
+
+
 def dedup_embedding_ivf_oracle_sql(state: dict | None = None) -> str:
     """DuckDB twin of dedup.py:embedding_neardup_pairs_ivf: pairs
     sharing ≥1 of their n_assign cells, exact cosine ≥ threshold.

@@ -261,6 +261,34 @@ def test_hard_negatives_are_cross_label_and_hardest(spark):
         assert have == want, (qid, have, want)
 
 
+def test_hard_negative_ivf_vs_brute(spark):
+    """The IVF twin must emit only cross-label pairs, agree with the
+    brute twin bit-for-bit on shared pairs (same cosine contract),
+    and recall most of the brute top-k (cell probing bounds recall
+    exactly as ivf_topk's)."""
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        build_ivf_index,
+        hard_negative_ivf_topk,
+        hard_negative_topk,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") % 4 == 0)
+    idx = build_ivf_index(embs)
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in hard_negative_topk(embs, qs, k=5).collect()
+    }
+    ivf_rows = hard_negative_ivf_topk(embs, qs, k=5, index=idx).collect()
+    ivf = {(r.query_id, r.neighbor_id): r.cosine for r in ivf_rows}
+    assert ivf_rows
+    for r in ivf_rows:
+        assert r.neighbor_label != r.query_label
+    shared = set(brute) & set(ivf)
+    assert all(brute[p] == ivf[p] for p in shared)
+    assert len(shared) / len(brute) >= 0.6
+
+
 def test_sq8_fidelity_vs_exact(spark):
     """The SQ8 tier must (a) rank close to the exact tier — recall@5
     well above chance — and (b) score within the quantization error
