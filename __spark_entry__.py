@@ -433,6 +433,72 @@ def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: HHI supplier-concentration per nation (+ top share) —
+    # exact decimal squares, two map-side-combinable aggregates.
+    from stock_market_data_pipeline_v2_spark.operators.dims import (
+        market_concentration,
+    )
+
+    configure_runtime(spark)
+    return market_concentration(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: the THIRD skew technique made driver-visible — the
+    # two-phase salted GROUP BY (functions/skew.py:salted_aggregate,
+    # previously pytest-only): per event_type count / exact DECIMAL
+    # sum / mean over a salt=16 re-grouping; the oracle is the PLAIN
+    # unsalted GROUP BY, so phase-merge invariance is checked as data
+    # (count/sum are algebraic; the mean divides once at the end).
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.functions.core import round_away
+    from stock_market_data_pipeline_v2_spark.functions.skew import (
+        salted_aggregate,
+    )
+
+    configure_runtime(spark)
+    ev = load_table(spark, sf_dir, "events")
+    agg = salted_aggregate(
+        ev.select("event_type", F.col("value").cast("decimal(18,6)").alias("__v")),
+        ["event_type"],
+        partial_aggs={
+            "__s": F.sum("__v"),
+            "__c": F.count(F.lit(1)).cast("long"),
+        },
+        merge_aggs={
+            "total_value": F.sum("__s"),
+            "n_events": F.sum("__c").cast("long"),
+        },
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("total_value"), 6).cast("double").alias("total_value"),
+        round_away(
+            F.col("total_value").cast("double") / F.col("n_events").cast("double"),
+            6,
+        ).alias("mean_value"),
+    ).orderBy("event_type")
+
+
+SALTED_EVENT_STATS_SQL = """
+SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+        AS total_value,
+    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        AS mean_value
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: manual skew-salted join whose oracle is the PLAIN join —
     # salt-invariance of order-free aggregates, checked as data.
@@ -2116,7 +2182,7 @@ _QUERY_ORDER = [
     "range_frame_revenue", "join_skew_profile", "degree_distribution",
     "link_prediction", "classifier_calibration", "minhash_estimate_audit",
     "hard_negative_mining", "ann_sq8_topk", "hard_negative_ivf",
-    "salted_join_revenue",
+    "salted_join_revenue", "salted_event_stats", "market_concentration",
     "part_supplier_counts", "repeated_spans_rolling", "ann_filtered_topk",
     "ngram_decontaminate", "temperature_mix", "hilbert_events",
     "ann_recall_report", "similar_symbols", "pattern_match",
@@ -2193,6 +2259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mining": q_hard_negative_mining,
         "ann_sq8_topk": q_ann_sq8_topk,
         "hard_negative_ivf": q_hard_negative_ivf,
+        "salted_event_stats": q_salted_event_stats,
+        "market_concentration": q_market_concentration,
         "salted_join_revenue": q_salted_join_revenue,
         "hll_user_overlap": q_hll_user_overlap,
         "embedding_top_component": q_embedding_top_component,
@@ -2583,6 +2651,8 @@ def oracle_sql() -> dict[str, str]:
             + ") ORDER BY profiled_key, key_rank"
         ),
         "salted_join_revenue": _skew_mod.SALTED_PRIORITY_REVENUE_SQL,
+        "salted_event_stats": SALTED_EVENT_STATS_SQL,
+        "market_concentration": _dims_mod.MARKET_CONCENTRATION_SQL,
         "range_frame_revenue": _dims_mod.TRAILING_WINDOW_REVENUE_SQL,
         "event_type_pivot": oracles.EVENT_TYPE_PIVOT_SQL,
         "text_quality": oracles.TEXT_STATS_SQL,

@@ -188,6 +188,8 @@ HEADLINE = [
     "hard_negative_mining",     # added round 9: contrastive cross-label negatives
     "ann_sq8_topk",             # added round 9: SQ8 scalar-quantization ANN tier
     "hard_negative_ivf",        # added round 9: IVF-bucketed hard negatives (scale path)
+    "salted_event_stats",       # added round 9: two-phase salted GROUP BY (oracle = plain)
+    "market_concentration",     # added round 9: HHI supplier concentration per nation
 ]
 
 

@@ -995,6 +995,93 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
 
+def market_concentration(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Market-concentration mart — the Herfindahl–Hirschman index of
+    supplier revenue within each nation, plus the top supplier's
+    share: the antitrust-style concentration report every marketplace
+    and exchange runs (is this market one-firm dominated or
+    fragmented?). HHI = Σᵢ (revᵢ/Σrev)² ∈ (0, 1].
+
+    Exactness: per-supplier revenue sums in DECIMAL (order-free); the
+    HHI numerator Σ revᵢ² and denominator (Σ revᵢ)² stay in EXACT
+    decimal arithmetic (decimal × decimal is exact; ANSI would abort
+    any overflow rather than wrap — at larger revenue magnitudes
+    rescale the money unit before squaring), and the single double
+    division happens once at output. ``top_share`` is max(revᵢ)/Σrevᵢ
+    — exact decimals, one division.
+
+    Plan shape: ONE fact aggregate to (nation, supplier) grain
+    (supplier/nation dims broadcast), then a nation-grain re-aggregate
+    over supplier-count-sized rows — both map-side combinable; no
+    window, no second fact scan.
+    """
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    )
+    per_supp = (
+        lineitem.select("l_suppkey", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "s_suppkey")
+        .agg(rev.alias("__r"))
+    )
+    agg = per_supp.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("__r").alias("__s"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__sq"),
+        F.max("__r").alias("__mx"),
+    )
+    return agg.select(
+        F.col("n_name").alias("nation_name"),
+        "n_suppliers",
+        F.round(F.col("__s"), 2).cast("double").alias("total_revenue"),
+        round_away(
+            F.col("__sq").cast("double")
+            / (F.col("__s").cast("double") * F.col("__s").cast("double")),
+            6,
+        ).alias("hhi"),
+        round_away(
+            F.col("__mx").cast("double") / F.col("__s").cast("double"), 6
+        ).alias("top_share"),
+    ).orderBy("nation_name")
+
+
+MARKET_CONCENTRATION_SQL = """
+WITH ps AS (
+    SELECT n.n_name, l.l_suppkey,
+        sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l.l_discount AS DECIMAL(8,2))) AS r
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+),
+ag AS (
+    SELECT n_name,
+        CAST(count(*) AS BIGINT) AS n_suppliers,
+        sum(r) AS s, sum(r * r) AS sq, max(r) AS mx
+    FROM ps GROUP BY 1
+)
+SELECT n_name AS nation_name, n_suppliers,
+    CAST(round(s, 2) AS DOUBLE) AS total_revenue,
+    round(CAST(sq AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+        AS hhi,
+    round(CAST(mx AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top_share
+FROM ag ORDER BY nation_name
+"""
+
+
 def banded_discount_revenue(
     lineitem: DataFrame,
     min_discount: float = 0.05,
