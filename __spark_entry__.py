@@ -499,6 +499,129 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: the dbt-test contract (SURVEY §2.11 / §5 — previously
+    # pytest-only) as a driver-visible, oracle-gated query: the whole
+    # star contract in ONE conditional-count pass per table
+    # (plans/checks.py:quality_report_frame), uniqueness via tiny
+    # key-grain aggregates, exploded to one row per check.
+    from stock_market_data_pipeline_v2_spark.plans.checks import (
+        quality_report_frame,
+        star_contract_lineitem,
+        star_contract_orders,
+    )
+
+    configure_runtime(spark)
+    li_checks, li_uniq = star_contract_lineitem()
+    o_checks, o_uniq = star_contract_orders()
+    li = quality_report_frame(
+        load_table(spark, sf_dir, "lineitem"), "lineitem", li_checks, li_uniq
+    )
+    o = quality_report_frame(
+        load_table(spark, sf_dir, "orders"), "orders", o_checks, o_uniq
+    )
+    return li.unionByName(o).orderBy("table_name", "check_name")
+
+
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: dbt `relationships` tests across all 7 FK edges of the
+    # star as one report — lineitem's three edges fold into a single
+    # fact pass (broadcast part/supplier key sets + one co-partitioned
+    # orders shuffle), dim edges are dim-scale.
+    from stock_market_data_pipeline_v2_spark.plans.checks import (
+        referential_integrity_audit,
+    )
+
+    configure_runtime(spark)
+    return referential_integrity_audit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: the group-wise skyline/pareto-frontier operator
+    # (Börzsönyi et al., ICDE 2001) — per-brand parts undominated on
+    # (price, size), via ONE fact aggregate + the two-level distributed
+    # strict-prefix-min (never a global single-partition window, never
+    # the O(n²) dominance join).
+    from stock_market_data_pipeline_v2_spark.operators.skyline import (
+        part_skyline,
+    )
+
+    configure_runtime(spark)
+    return part_skyline(load_table(spark, sf_dir, "part"))
+
+
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: class-separation + coherence report over the embedding
+    # corpus — per-label centroid pairwise cosine with an integer-exact
+    # interior (eigen.py's Q_SCALE quantization; floats only at the
+    # sqrt/divide boundary on bit-identical BIGINT operands).
+    from stock_market_data_pipeline_v2_spark.operators.centroids import (
+        label_centroid_similarity,
+    )
+
+    configure_runtime(spark)
+    return label_centroid_similarity(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def q_label_loo_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: mislabel-candidate audit — per-label bottom-k vectors
+    # by LEAVE-ONE-OUT centroid cosine, computed exactly from three
+    # BIGINT dots (qS, qq, SS): loo = (qS−qq)/(√qq·√(SS−2qS+qq)).
+    from stock_market_data_pipeline_v2_spark.operators.centroids import (
+        label_loo_outliers,
+    )
+
+    configure_runtime(spark)
+    return label_loo_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_event_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: wide→long melt via Spark's NATIVE unpivot over the
+    # per-type metric mart — the relational operator the set/rank
+    # family still lacked; metric values follow the house exactness
+    # rules (DECIMAL money sum, exact counts, order-stat max).
+    from stock_market_data_pipeline_v2_spark.operators.stats import (
+        event_metrics_long,
+    )
+
+    configure_runtime(spark)
+    return event_metrics_long(load_table(spark, sf_dir, "events"))
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: full CUBE + grouping_id — the one grouping-set variant
+    # the registry lacked (ROLLUP and explicit GROUPING SETS exist) —
+    # all four order-book grains in one Expand-before-partial-agg pass.
+    from stock_market_data_pipeline_v2_spark.operators.dims import (
+        orders_status_cube,
+    )
+
+    configure_runtime(spark)
+    return orders_status_cube(load_table(spark, sf_dir, "orders"))
+
+
+def q_tick_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: time-series continuity audit — per-series inter-tick
+    # gap stats in exact BIGINT microseconds (unix_micros ↔ epoch_us),
+    # one lag window + a map-side-combinable aggregate.
+    from stock_market_data_pipeline_v2_spark.operators.stats import (
+        tick_gap_report,
+    )
+
+    configure_runtime(spark)
+    return tick_gap_report(load_table(spark, sf_dir, "events"))
+
+
 def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: manual skew-salted join whose oracle is the PLAIN join —
     # salt-invariance of order-free aggregates, checked as data.
@@ -2183,6 +2306,9 @@ _QUERY_ORDER = [
     "link_prediction", "classifier_calibration", "minhash_estimate_audit",
     "hard_negative_mining", "ann_sq8_topk", "hard_negative_ivf",
     "salted_join_revenue", "salted_event_stats", "market_concentration",
+    "data_quality_report", "referential_integrity_audit", "part_skyline",
+    "label_centroid_similarity", "label_loo_outliers",
+    "event_metrics_unpivot", "orders_cube", "tick_gap_report",
     "part_supplier_counts", "repeated_spans_rolling", "ann_filtered_topk",
     "ngram_decontaminate", "temperature_mix", "hilbert_events",
     "ann_recall_report", "similar_symbols", "pattern_match",
@@ -2262,6 +2388,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_stats": q_salted_event_stats,
         "market_concentration": q_market_concentration,
         "salted_join_revenue": q_salted_join_revenue,
+        "data_quality_report": q_data_quality_report,
+        "referential_integrity_audit": q_referential_integrity_audit,
+        "part_skyline": q_part_skyline,
+        "label_centroid_similarity": q_label_centroid_similarity,
+        "label_loo_outliers": q_label_loo_outliers,
+        "event_metrics_unpivot": q_event_metrics_unpivot,
+        "orders_cube": q_orders_cube,
+        "tick_gap_report": q_tick_gap_report,
         "hll_user_overlap": q_hll_user_overlap,
         "embedding_top_component": q_embedding_top_component,
         "lineitem_profile_drift_sketch": q_lineitem_profile_drift_sketch,
@@ -2480,6 +2614,9 @@ def oracle_sql() -> dict[str, str]:
     from stock_market_data_pipeline_v2_spark.operators import profiling as _profiling_mod
     from stock_market_data_pipeline_v2_spark.operators import stats as _stats_mod
     from stock_market_data_pipeline_v2_spark.operators import text as _text_mod
+    from stock_market_data_pipeline_v2_spark.operators import skyline as _skyline_mod
+    from stock_market_data_pipeline_v2_spark.operators import centroids as _centroids_mod
+    from stock_market_data_pipeline_v2_spark.plans import checks as _checks_mod
 
     return {
         "hll_event_users": sketches.hll_oracle_sql(
@@ -2654,6 +2791,14 @@ def oracle_sql() -> dict[str, str]:
         "salted_event_stats": SALTED_EVENT_STATS_SQL,
         "market_concentration": _dims_mod.MARKET_CONCENTRATION_SQL,
         "range_frame_revenue": _dims_mod.TRAILING_WINDOW_REVENUE_SQL,
+        "data_quality_report": _checks_mod.DATA_QUALITY_REPORT_SQL,
+        "referential_integrity_audit": _checks_mod.REFERENTIAL_INTEGRITY_SQL,
+        "part_skyline": _skyline_mod.PART_SKYLINE_SQL,
+        "label_centroid_similarity": _centroids_mod.label_centroid_oracle_sql(),
+        "label_loo_outliers": _centroids_mod.label_loo_oracle_sql(),
+        "event_metrics_unpivot": _stats_mod.EVENT_METRICS_LONG_SQL,
+        "orders_cube": _dims_mod.ORDERS_STATUS_CUBE_SQL,
+        "tick_gap_report": _stats_mod.TICK_GAP_REPORT_SQL,
         "event_type_pivot": oracles.EVENT_TYPE_PIVOT_SQL,
         "text_quality": oracles.TEXT_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,

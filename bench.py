@@ -190,6 +190,14 @@ HEADLINE = [
     "hard_negative_ivf",        # added round 9: IVF-bucketed hard negatives (scale path)
     "salted_event_stats",       # added round 9: two-phase salted GROUP BY (oracle = plain)
     "market_concentration",     # added round 9: HHI supplier concentration per nation
+    "data_quality_report",      # added round 9: dbt-test contract as one pass per table
+    "referential_integrity_audit",  # added round 9: 7-FK-edge orphan audit
+    "part_skyline",             # added round 9: per-brand pareto frontier
+    "label_centroid_similarity",    # added round 9: class separation/coherence audit
+    "label_loo_outliers",       # added round 9: LOO-centroid mislabel audit
+    "event_metrics_unpivot",    # added round 9: native unpivot melt
+    "orders_cube",              # added round 9: full CUBE + grouping_id
+    "tick_gap_report",          # added round 9: feed-continuity gap audit
 ]
 
 

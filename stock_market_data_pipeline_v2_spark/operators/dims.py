@@ -1530,3 +1530,60 @@ def dominant_part_suppliers(
         )
         .orderBy("s_suppkey")
     )
+
+
+def orders_status_cube(orders: DataFrame) -> DataFrame:
+    """Full CUBE over (status, order year) with ``grouping_id`` — the
+    one grouping-set variant the registry lacked (ROLLUP landed with
+    ``order_priority_rollup``, explicit GROUPING SETS with
+    ``multi_grain_bars``): all four aggregation grains of the order
+    book in ONE pass, each row tagged with its grain bit-mask the way
+    BI layers route cube cells.
+
+    Exactness: counts BIGINT; revenue follows the money rule
+    (DECIMAL(18,2) sum, round, cast double last). ``grouping_id`` is
+    the standard-SQL bit mask (first cube column = most significant
+    bit) on both engines. NULL group cells sort NULLS FIRST explicitly
+    — Spark's ascending default — so the DuckDB twin (NULLS LAST by
+    default) states it.
+
+    100 TB shape: CUBE compiles to ONE scan + Expand(4 grains) into a
+    single map-side-combinable aggregate — versus 4 separate
+    scan+aggregate jobs; the Expand multiplies rows BEFORE the partial
+    aggregate, so the shuffle carries only group-grain partials.
+    """
+    base = orders.select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("__price"),
+    )
+    return (
+        base.cube("o_orderstatus", "order_year")
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_id"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("__price"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy(
+            "grouping_id",
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("order_year"),
+        )
+    )
+
+
+ORDERS_STATUS_CUBE_SQL = """
+WITH base AS (
+    SELECT o_orderstatus,
+        CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+)
+SELECT o_orderstatus, order_year,
+    CAST(grouping(o_orderstatus, order_year) AS BIGINT) AS grouping_id,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(round(sum(price), 2) AS DOUBLE) AS total_revenue
+FROM base
+GROUP BY CUBE (o_orderstatus, order_year)
+ORDER BY grouping_id, o_orderstatus NULLS FIRST, order_year NULLS FIRST
+"""

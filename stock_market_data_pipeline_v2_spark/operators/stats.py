@@ -1102,3 +1102,120 @@ WHERE cum * {int(q_den)} >= tot * {int(q_num)}
 GROUP BY {g}
 ORDER BY {g}
 """
+
+
+def event_metrics_long(events: DataFrame) -> DataFrame:
+    """Wide→long melt via Spark's NATIVE ``unpivot`` (the relational
+    operator SURVEY §2.8's set/rank family still lacked): per
+    event_type metrics unpivoted to (event_type, metric, value) rows
+    — the shape metric stores and plotting layers ingest.
+
+    Exactness: counts are exact BIGINTs rendered as doubles (all far
+    below 2^53); the value sum follows the house money rule (sum in
+    DECIMAL(18,6), round, cast double LAST — PERF.md lesson 2b);
+    ``max`` is an exact order statistic. ``unpivot`` itself is a
+    zero-shuffle Expand over the |event_type|-row aggregate.
+
+    100 TB shape: ONE scan to a map-side-combinable per-type
+    aggregate (the single count-distinct compiles to the two-phase
+    rewrite, no Expand over the fact), then a constant-width unpivot
+    on the group-grain frame.
+    """
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.count_distinct(F.col("user_id")).cast("double").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("total_value"),
+        F.max("value").alias("max_value"),
+    )
+    return agg.unpivot(
+        ids=["event_type"],
+        values=["n_events", "n_users", "total_value", "max_value"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("event_type", "metric")
+
+
+EVENT_METRICS_LONG_SQL = """
+WITH a AS (
+    SELECT event_type,
+        CAST(count(*) AS DOUBLE) AS n_events,
+        CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+        CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+            AS total_value,
+        max(value) AS max_value
+    FROM events GROUP BY 1
+)
+SELECT event_type, 'n_events' AS metric, n_events AS value FROM a
+UNION ALL
+SELECT event_type, 'n_users', n_users FROM a
+UNION ALL
+SELECT event_type, 'total_value', total_value FROM a
+UNION ALL
+SELECT event_type, 'max_value', max_value FROM a
+ORDER BY event_type, metric
+"""
+
+
+def tick_gap_report(
+    events: DataFrame, gap_threshold_us: int = 60_000_000
+) -> DataFrame:
+    """Time-series continuity audit — the data-readiness report a
+    feed operator reads before trusting a day's stream: per series
+    (event_type), the tick count, the number of inter-tick gaps over
+    the threshold, and the max/mean gap.
+
+    Exactness: timestamps become exact BIGINT microseconds
+    (``unix_micros`` ↔ DuckDB ``epoch_us`` — both sides already share
+    the ns→µs truncation, `sources/io.py:load_table`); ordering ties
+    break on event_id; gap sums are BIGINT (they telescope to
+    last−first per series, so tie order cannot move them); the mean
+    is ONE division rounded 6 dp.
+
+    100 TB shape: one scan, per-series lag window (series count is
+    the partition axis), map-side-combinable aggregate.
+    """
+    w = Window.partitionBy("event_type").orderBy("__us", "event_id")
+    g = events.select(
+        "event_type",
+        "event_id",
+        # ts scans as TIMESTAMP_NTZ; the cast to (LTZ) TIMESTAMP is
+        # deterministic because configure_runtime pins session TZ=UTC,
+        # matching DuckDB's epoch_us on the naive value.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
+    ).withColumn("__gap", F.col("__us") - F.lag("__us").over(w))
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+            F.count_if(F.col("__gap") > int(gap_threshold_us))
+            .cast("long")
+            .alias("n_gaps_over_1m"),
+            F.max("__gap").cast("long").alias("max_gap_us"),
+            round_away(
+                F.sum("__gap").cast("double") / F.count("__gap"), 6
+            ).alias("mean_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TICK_GAP_REPORT_SQL = """
+WITH us AS (
+    SELECT event_type, event_id, epoch_us(ts) AS u FROM events
+),
+g AS (
+    SELECT event_type,
+        u - lag(u) OVER (
+            PARTITION BY event_type ORDER BY u, event_id
+        ) AS gap
+    FROM us
+)
+SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_ticks,
+    CAST(count_if(gap > 60000000) AS BIGINT) AS n_gaps_over_1m,
+    CAST(max(gap) AS BIGINT) AS max_gap_us,
+    round(CAST(sum(gap) AS DOUBLE) / count(gap), 6) AS mean_gap_us
+FROM g GROUP BY 1 ORDER BY 1
+"""

@@ -132,6 +132,205 @@ def validate(
     return report
 
 
+def quality_report_frame(
+    df: DataFrame,
+    table_name: str,
+    checks: list[Check],
+    unique_keys: list[list[str]] | None = None,
+) -> DataFrame:
+    """The dbt-test contract as a DATAFRAME — the driver-visible twin
+    of :func:`validate` (which returns a driver-side report object).
+
+    One row per check: (table_name, check_name, severity, total_rows,
+    violations, status). All conditional counts compile into a SINGLE
+    aggregate over one scan (map-side combinable), then explode to
+    long form on the 1-row result — no second scan, no collect. Each
+    ``unique`` key set adds one tiny groupBy aggregate whose row count
+    is key-cardinality-bounded; its ``sum(count)`` doubles as the
+    table total, so uniqueness costs no extra full scan either.
+
+    Reference parity: dbt schema tests in
+    ``dbt/models/staging/schema.yml`` / ``marts/schema.yml`` emit one
+    SELECT per test (N scans); this is the 100 TB re-expression — the
+    whole contract in one pass per table.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
+    for i, ch in enumerate(checks):
+        aggs.append(F.count_if(ch.violation).cast("long").alias(f"__c{i}"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(ch.name).alias("check_name"),
+                F.lit(ch.severity).alias("severity"),
+                F.col(f"__c{i}").alias("violations"),
+            )
+            for i, ch in enumerate(checks)
+        ]
+    )
+    long = (
+        df.agg(*aggs)
+        .select(F.col("__total"), F.explode(entries).alias("__e"))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            F.col("__e.check_name").alias("check_name"),
+            F.col("__e.severity").alias("severity"),
+            F.col("__total").alias("total_rows"),
+            F.col("__e.violations").cast("long").alias("violations"),
+            F.when(F.col("__e.violations") > 0, F.lit("fail"))
+            .otherwise(F.lit("pass"))
+            .alias("status"),
+        )
+    )
+    for cols in unique_keys or []:
+        uq = (
+            df.groupBy(*[F.col(c) for c in cols])
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .agg(
+                F.sum("__cnt").cast("long").alias("total_rows"),
+                F.count_if(F.col("__cnt") > 1).cast("long").alias("violations"),
+            )
+            .select(
+                F.lit(table_name).alias("table_name"),
+                F.lit(f"unique:{'+'.join(cols)}").alias("check_name"),
+                F.lit("error").alias("severity"),
+                "total_rows",
+                "violations",
+                F.when(F.col("violations") > 0, F.lit("fail"))
+                .otherwise(F.lit("pass"))
+                .alias("status"),
+            )
+        )
+        long = long.unionByName(uq)
+    return long
+
+
+def referential_integrity_audit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """dbt ``relationships`` tests across the whole star, as one
+    report frame: (child_table, fk_column, parent_table, child_rows,
+    orphan_rows, sample_orphan_key, status) for every FK edge.
+
+    An orphan is a NON-NULL foreign key with no parent row (dbt's
+    relationship-test semantics: NULL FKs are not violations).
+
+    100 TB shape: lineitem's three edges fold into ONE fact pass —
+    part/supplier parent-key sets join broadcast, the orders edge is
+    one co-partitioned equi shuffle (both sides fact-scale; no
+    broadcast pretense) — then a single conditional-count aggregate.
+    ``sample_orphan_key`` is a MIN (no distinct-count Expand over the
+    fact). The remaining four edges are dim-scale passes.
+    """
+    li = lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
+    pk = F.broadcast(part.select(F.col("p_partkey").alias("__pk")))
+    sk = F.broadcast(supplier.select(F.col("s_suppkey").alias("__sk")))
+    ok = orders.select(F.col("o_orderkey").alias("__ok"))
+    j = (
+        li.join(pk, li["l_partkey"] == F.col("__pk"), "left")
+        .join(sk, li["l_suppkey"] == F.col("__sk"), "left")
+        .join(ok, li["l_orderkey"] == F.col("__ok"), "left")
+    )
+
+    def _orphan(fk: str, parent: str) -> Column:
+        return F.col(fk).isNotNull() & F.col(parent).isNull()
+
+    fact = j.agg(
+        F.count(F.lit(1)).cast("long").alias("__total"),
+        *[
+            a
+            for fk, par, tag in (
+                ("l_orderkey", "__ok", "ord"),
+                ("l_partkey", "__pk", "part"),
+                ("l_suppkey", "__sk", "supp"),
+            )
+            for a in (
+                F.count_if(_orphan(fk, par)).cast("long").alias(f"__c_{tag}"),
+                F.min(F.when(_orphan(fk, par), F.col(fk)))
+                .cast("long")
+                .alias(f"__s_{tag}"),
+            )
+        ],
+    )
+    fact_entries = F.array(
+        *[
+            F.struct(
+                F.lit(fk).alias("fk_column"),
+                F.lit(parent_table).alias("parent_table"),
+                F.col(f"__c_{tag}").alias("orphan_rows"),
+                F.col(f"__s_{tag}").alias("sample_orphan_key"),
+            )
+            for fk, parent_table, tag in (
+                ("l_orderkey", "orders", "ord"),
+                ("l_partkey", "part", "part"),
+                ("l_suppkey", "supplier", "supp"),
+            )
+        ]
+    )
+    fact_rows = fact.select(
+        F.col("__total"), F.explode(fact_entries).alias("__e")
+    ).select(
+        F.lit("lineitem").alias("child_table"),
+        F.col("__e.fk_column").alias("fk_column"),
+        F.col("__e.parent_table").alias("parent_table"),
+        F.col("__total").alias("child_rows"),
+        F.col("__e.orphan_rows").cast("long").alias("orphan_rows"),
+        F.col("__e.sample_orphan_key").cast("long").alias("sample_orphan_key"),
+    )
+
+    def _edge(
+        child: DataFrame,
+        child_name: str,
+        fk: str,
+        parent: DataFrame,
+        parent_name: str,
+        parent_key: str,
+    ) -> DataFrame:
+        pkeys = F.broadcast(
+            parent.select(F.col(parent_key).alias("__pkey"))
+        )
+        bad = F.col(fk).isNotNull() & F.col("__pkey").isNull()
+        return (
+            child.select(fk)
+            .join(pkeys, F.col(fk) == F.col("__pkey"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("child_rows"),
+                F.count_if(bad).cast("long").alias("orphan_rows"),
+                F.min(F.when(bad, F.col(fk)))
+                .cast("long")
+                .alias("sample_orphan_key"),
+            )
+            .select(
+                F.lit(child_name).alias("child_table"),
+                F.lit(fk).alias("fk_column"),
+                F.lit(parent_name).alias("parent_table"),
+                "child_rows",
+                "orphan_rows",
+                "sample_orphan_key",
+            )
+        )
+
+    out = fact_rows
+    for args in (
+        (orders, "orders", "o_custkey", customer, "customer", "c_custkey"),
+        (customer, "customer", "c_nationkey", nation, "nation", "n_nationkey"),
+        (supplier, "supplier", "s_nationkey", nation, "nation", "n_nationkey"),
+        (nation, "nation", "n_regionkey", region, "region", "r_regionkey"),
+    ):
+        out = out.unionByName(_edge(*args))
+    return out.select(
+        "*",
+        F.when(F.col("orphan_rows") > 0, F.lit("fail"))
+        .otherwise(F.lit("pass"))
+        .alias("status"),
+    ).orderBy("child_table", "fk_column")
+
+
 def daily_bars_checks() -> list[Check]:
     """The reference's full contract for the daily mart inputs."""
     return [
@@ -163,3 +362,184 @@ def realtime_checks() -> list[Check]:
             | (F.col("window_duration_minutes") <= 0),
         ),
     ]
+
+
+def star_contract_lineitem() -> tuple[list[Check], list[list[str]]]:
+    """The registered data_quality_report's lineitem contract — one
+    literal list, mirrored verbatim by DATA_QUALITY_REPORT_SQL."""
+    return (
+        [
+            expect_not_null("l_orderkey"),
+            expect_not_null("l_partkey"),
+            expect_between("l_quantity", 1, 50),
+            expect_between("l_discount", 0.0, 0.1),
+            expect_between("l_tax", 0.0, 0.08),
+            expect_accepted_values("l_returnflag", ["A", "N", "R"]),
+            expect_accepted_values("l_linestatus", ["O", "F"]),
+            expect_zero_rows(
+                "positive_extendedprice", F.col("l_extendedprice") <= 0
+            ),
+        ],
+        [["l_orderkey", "l_linenumber"]],
+    )
+
+
+def star_contract_orders() -> tuple[list[Check], list[list[str]]]:
+    return (
+        [
+            expect_not_null("o_orderkey"),
+            expect_not_null("o_custkey"),
+            expect_accepted_values("o_orderstatus", ["O", "F", "P"]),
+            expect_accepted_values(
+                "o_orderpriority",
+                [
+                    "1-URGENT",
+                    "2-HIGH",
+                    "3-MEDIUM",
+                    "4-NOT SPECIFIED",
+                    "5-LOW",
+                ],
+            ),
+            expect_zero_rows(
+                "positive_totalprice", F.col("o_totalprice") <= 0
+            ),
+            # FIXED horizon (not current_date): deterministic under the
+            # hostile sweep's timezone rotation; data tops out in 2001.
+            expect_zero_rows(
+                "no_far_future_orders",
+                F.col("o_orderdate") > F.lit("2005-01-01").cast("timestamp"),
+            ),
+        ],
+        [["o_orderkey"]],
+    )
+
+
+DATA_QUALITY_REPORT_SQL = """
+WITH li AS (
+    SELECT CAST(count(*) AS BIGINT) AS total,
+        CAST(count_if(l_orderkey IS NULL) AS BIGINT) AS c0,
+        CAST(count_if(l_partkey IS NULL) AS BIGINT) AS c1,
+        CAST(count_if(l_quantity IS NOT NULL
+            AND NOT (l_quantity BETWEEN 1 AND 50)) AS BIGINT) AS c2,
+        CAST(count_if(l_discount IS NOT NULL
+            AND NOT (l_discount BETWEEN 0.0 AND 0.1)) AS BIGINT) AS c3,
+        CAST(count_if(l_tax IS NOT NULL
+            AND NOT (l_tax BETWEEN 0.0 AND 0.08)) AS BIGINT) AS c4,
+        CAST(count_if(l_returnflag IS NOT NULL
+            AND l_returnflag NOT IN ('A','N','R')) AS BIGINT) AS c5,
+        CAST(count_if(l_linestatus IS NOT NULL
+            AND l_linestatus NOT IN ('O','F')) AS BIGINT) AS c6,
+        CAST(count_if(l_extendedprice <= 0) AS BIGINT) AS c7
+    FROM lineitem
+),
+liu AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        CAST(count_if(cnt > 1) AS BIGINT) AS viol
+    FROM (
+        SELECT count(*) AS cnt FROM lineitem
+        GROUP BY l_orderkey, l_linenumber
+    )
+),
+o AS (
+    SELECT CAST(count(*) AS BIGINT) AS total,
+        CAST(count_if(o_orderkey IS NULL) AS BIGINT) AS c0,
+        CAST(count_if(o_custkey IS NULL) AS BIGINT) AS c1,
+        CAST(count_if(o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT) AS c2,
+        CAST(count_if(o_orderpriority IS NOT NULL
+            AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                '4-NOT SPECIFIED','5-LOW')) AS BIGINT) AS c3,
+        CAST(count_if(o_totalprice <= 0) AS BIGINT) AS c4,
+        CAST(count_if(o_orderdate > TIMESTAMP '2005-01-01')
+            AS BIGINT) AS c5
+    FROM orders
+),
+ou AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        CAST(count_if(cnt > 1) AS BIGINT) AS viol
+    FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+),
+rows_out AS (
+    SELECT 'lineitem' AS table_name, 'not_null:l_orderkey' AS check_name,
+        'error' AS severity, total AS total_rows, c0 AS violations FROM li
+    UNION ALL SELECT 'lineitem', 'not_null:l_partkey', 'error', total, c1 FROM li
+    UNION ALL SELECT 'lineitem', 'between:l_quantity[1,50]', 'error', total, c2 FROM li
+    UNION ALL SELECT 'lineitem', 'between:l_discount[0.0,0.1]', 'error', total, c3 FROM li
+    UNION ALL SELECT 'lineitem', 'between:l_tax[0.0,0.08]', 'error', total, c4 FROM li
+    UNION ALL SELECT 'lineitem', 'accepted_values:l_returnflag', 'error', total, c5 FROM li
+    UNION ALL SELECT 'lineitem', 'accepted_values:l_linestatus', 'error', total, c6 FROM li
+    UNION ALL SELECT 'lineitem', 'singular:positive_extendedprice', 'error', total, c7 FROM li
+    UNION ALL SELECT 'lineitem', 'unique:l_orderkey+l_linenumber', 'error', total, viol FROM liu
+    UNION ALL SELECT 'orders', 'not_null:o_orderkey', 'error', total, c0 FROM o
+    UNION ALL SELECT 'orders', 'not_null:o_custkey', 'error', total, c1 FROM o
+    UNION ALL SELECT 'orders', 'accepted_values:o_orderstatus', 'error', total, c2 FROM o
+    UNION ALL SELECT 'orders', 'accepted_values:o_orderpriority', 'error', total, c3 FROM o
+    UNION ALL SELECT 'orders', 'singular:positive_totalprice', 'error', total, c4 FROM o
+    UNION ALL SELECT 'orders', 'singular:no_far_future_orders', 'error', total, c5 FROM o
+    UNION ALL SELECT 'orders', 'unique:o_orderkey', 'error', total, viol FROM ou
+)
+SELECT table_name, check_name, severity, total_rows, violations,
+    CASE WHEN violations > 0 THEN 'fail' ELSE 'pass' END AS status
+FROM rows_out
+ORDER BY table_name, check_name
+"""
+
+
+REFERENTIAL_INTEGRITY_SQL = """
+WITH edges AS (
+    SELECT 'lineitem' AS child_table, 'l_orderkey' AS fk_column,
+        'orders' AS parent_table,
+        CAST(count(*) AS BIGINT) AS child_rows,
+        CAST(count_if(l.l_orderkey IS NOT NULL
+            AND o.o_orderkey IS NULL) AS BIGINT) AS orphan_rows,
+        CAST(min(CASE WHEN l.l_orderkey IS NOT NULL
+            AND o.o_orderkey IS NULL THEN l.l_orderkey END)
+            AS BIGINT) AS sample_orphan_key
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem', 'l_partkey', 'part', CAST(count(*) AS BIGINT),
+        CAST(count_if(l.l_partkey IS NOT NULL
+            AND p.p_partkey IS NULL) AS BIGINT),
+        CAST(min(CASE WHEN l.l_partkey IS NOT NULL
+            AND p.p_partkey IS NULL THEN l.l_partkey END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem', 'l_suppkey', 'supplier', CAST(count(*) AS BIGINT),
+        CAST(count_if(l.l_suppkey IS NOT NULL
+            AND s.s_suppkey IS NULL) AS BIGINT),
+        CAST(min(CASE WHEN l.l_suppkey IS NOT NULL
+            AND s.s_suppkey IS NULL THEN l.l_suppkey END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders', 'o_custkey', 'customer', CAST(count(*) AS BIGINT),
+        CAST(count_if(o.o_custkey IS NOT NULL
+            AND c.c_custkey IS NULL) AS BIGINT),
+        CAST(min(CASE WHEN o.o_custkey IS NOT NULL
+            AND c.c_custkey IS NULL THEN o.o_custkey END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer', 'c_nationkey', 'nation', CAST(count(*) AS BIGINT),
+        CAST(count_if(c.c_nationkey IS NOT NULL
+            AND n.n_nationkey IS NULL) AS BIGINT),
+        CAST(min(CASE WHEN c.c_nationkey IS NOT NULL
+            AND n.n_nationkey IS NULL THEN c.c_nationkey END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier', 's_nationkey', 'nation', CAST(count(*) AS BIGINT),
+        CAST(count_if(s.s_nationkey IS NOT NULL
+            AND n.n_nationkey IS NULL) AS BIGINT),
+        CAST(min(CASE WHEN s.s_nationkey IS NOT NULL
+            AND n.n_nationkey IS NULL THEN s.s_nationkey END) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'nation', 'n_regionkey', 'region', CAST(count(*) AS BIGINT),
+        CAST(count_if(n.n_regionkey IS NOT NULL
+            AND r.r_regionkey IS NULL) AS BIGINT),
+        CAST(min(CASE WHEN n.n_regionkey IS NOT NULL
+            AND r.r_regionkey IS NULL THEN n.n_regionkey END) AS BIGINT)
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT *, CASE WHEN orphan_rows > 0 THEN 'fail' ELSE 'pass' END AS status
+FROM edges
+ORDER BY child_table, fk_column
+"""

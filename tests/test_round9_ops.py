@@ -311,3 +311,325 @@ def test_sq8_fidelity_vs_exact(spark):
     # scores live in cosine range (reconstruction keeps unit-ish norms)
     for r in sq8_rows:
         assert -1.1 <= r.sq8_score <= 1.1
+
+
+def test_quality_report_counts_injected_violations(spark):
+    """The report must count exactly the violating rows, flag fail
+    status, and keep total_rows at the scan count — checked on a
+    synthetic frame with KNOWN violations (the real tables are clean,
+    so the oracle gate alone never exercises a non-zero cell)."""
+    from stock_market_data_pipeline_v2_spark.plans.checks import (
+        expect_accepted_values,
+        expect_between,
+        expect_not_null,
+        quality_report_frame,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 5.0),
+            (2, "A", 500.0),   # out of range
+            (None, "B", 7.0),  # null key
+            (4, "X", 9.0),     # bad enum
+            (4, "A", 1.0),     # duplicate key
+        ],
+        "k int, flag string, v double",
+    )
+    rep = quality_report_frame(
+        df,
+        "t",
+        [
+            expect_not_null("k"),
+            expect_between("v", 0.0, 100.0),
+            expect_accepted_values("flag", ["A", "B"]),
+        ],
+        unique_keys=[["k"]],
+    )
+    rows = {r.check_name: r for r in rep.collect()}
+    assert rows["not_null:k"].violations == 1
+    assert rows["between:v[0.0,100.0]"].violations == 1
+    assert rows["accepted_values:flag"].violations == 1
+    assert rows["unique:k"].violations == 1  # one duplicated key value
+    assert all(r.total_rows == 5 for r in rows.values())
+    assert all(r.status == "fail" for r in rows.values())
+
+
+def test_referential_integrity_finds_planted_orphan(spark):
+    """Plant one orphan per fact edge in a miniature star and check
+    the audit reports exactly it (count, sample key, status), while
+    clean edges read pass; NULL FKs must NOT count as orphans (dbt
+    relationship-test semantics)."""
+    from stock_market_data_pipeline_v2_spark.plans.checks import (
+        referential_integrity_audit,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 10, 100), (1, 99, 100), (2, 10, None)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    od = spark.createDataFrame(
+        [(1, 7), (2, None), (3, 77)], "o_orderkey long, o_custkey long"
+    )
+    cu = spark.createDataFrame([(7, 1)], "c_custkey long, c_nationkey int")
+    su = spark.createDataFrame([(100, 1)], "s_suppkey long, s_nationkey int")
+    pa = spark.createDataFrame([(10,)], "p_partkey long")
+    na = spark.createDataFrame([(1, 5)], "n_nationkey int, n_regionkey int")
+    re_ = spark.createDataFrame([(5,)], "r_regionkey int")
+    out = {
+        (r.child_table, r.fk_column): r
+        for r in referential_integrity_audit(li, od, cu, su, pa, na, re_).collect()
+    }
+    assert out[("lineitem", "l_partkey")].orphan_rows == 1
+    assert out[("lineitem", "l_partkey")].sample_orphan_key == 99
+    assert out[("lineitem", "l_partkey")].status == "fail"
+    # NULL suppkey on row 3 is not an orphan:
+    assert out[("lineitem", "l_suppkey")].orphan_rows == 0
+    assert out[("lineitem", "l_orderkey")].orphan_rows == 0
+    # orders row with custkey 77 has no parent; NULL custkey doesn't count:
+    assert out[("orders", "o_custkey")].orphan_rows == 1
+    assert out[("orders", "o_custkey")].sample_orphan_key == 77
+    assert out[("nation", "n_regionkey")].status == "pass"
+    assert out[("lineitem", "l_orderkey")].child_rows == 3
+
+
+def test_part_skyline_dominance_law(spark):
+    """Full skyline law vs a Python brute force on the collapsed
+    (brand, price, size) grain: every returned point is undominated
+    within its brand AND every omitted grain point is dominated."""
+    from stock_market_data_pipeline_v2_spark.operators.skyline import (
+        part_skyline,
+    )
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    part = load_table(spark, SF01, "part")
+    got = {
+        (r.brand, r.price, r.size)
+        for r in part_skyline(part).collect()
+    }
+    pts = {
+        (r.brand, float(r.price), int(r.size))
+        for r in part.select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        ).distinct().collect()
+    }
+
+    def dominated(b, p, s):
+        return any(
+            b2 == b and p2 <= p and s2 <= s and (p2 < p or s2 < s)
+            for (b2, p2, s2) in pts
+        )
+
+    for b, p, s in got:
+        assert not dominated(b, p, s), (b, p, s)
+    for b, p, s in pts - got:
+        assert dominated(b, p, s), (b, p, s)
+    assert len(got) > 25  # at least one row per brand, usually several
+
+
+def test_label_centroid_similarity_numpy_parity(spark):
+    """Re-derive every output cell from numpy over the SAME quantized
+    integer coordinates; the operator's floats must match to the
+    6-dp rounding it applies, and the directional-statistics bounds
+    must hold (|cosine| ≤ 1, 0 < coherence ≤ 1)."""
+    import numpy as np
+
+    from stock_market_data_pipeline_v2_spark.operators.centroids import (
+        label_centroid_similarity,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.eigen import Q_SCALE
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    emb = load_table(spark, SF01, "embeddings")
+    rows = emb.select("label", "embedding").collect()
+    sums: dict[int, np.ndarray] = {}
+    ns: dict[int, int] = {}
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        n = float(np.sqrt(np.dot(v, v)))
+        if n <= 0:
+            continue
+        u = v / n
+        q = np.array(
+            [int(np.floor(abs(x) * Q_SCALE + 0.5)) * (1 if x >= 0 else -1)
+             for x in u],
+            dtype=object,
+        )
+        sums[r.label] = sums.get(r.label, np.zeros(64, dtype=object)) + q
+        ns[r.label] = ns.get(r.label, 0) + 1
+
+    out = label_centroid_similarity(emb).collect()
+    assert len(out) == len(sums) * (len(sums) - 1) // 2
+    for r in out:
+        sa, sb = sums[r.label_a], sums[r.label_b]
+        da = float(int(np.dot(sa, sa)))
+        db = float(int(np.dot(sb, sb)))
+        dot = float(int(np.dot(sa, sb)))
+        exp_cos = dot / (np.sqrt(da) * np.sqrt(db))
+        assert abs(r.cosine - exp_cos) <= 5e-7, (r.label_a, r.label_b)
+        assert abs(r.cosine) <= 1.0
+        exp_ca = np.sqrt(da) / (ns[r.label_a] * Q_SCALE)
+        assert abs(r.coherence_a - exp_ca) <= 5e-7
+        assert 0 < r.coherence_a <= 1.0 and 0 < r.coherence_b <= 1.0
+        assert r.n_a == ns[r.label_a] and r.n_b == ns[r.label_b]
+
+
+def test_event_metrics_unpivot_roundtrip(spark):
+    """The melt must carry exactly 4 metrics per event_type and agree
+    with independently computed wide aggregates."""
+    from stock_market_data_pipeline_v2_spark.operators.stats import (
+        event_metrics_long,
+    )
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    ev = load_table(spark, SF01, "events")
+    long = event_metrics_long(ev).collect()
+    by_type: dict[str, dict[str, float]] = {}
+    for r in long:
+        by_type.setdefault(r.event_type, {})[r.metric] = r.value
+    assert all(len(m) == 4 for m in by_type.values())
+    wide = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.count_distinct("user_id").alias("u"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(by_type) == set(wide)
+    for t, m in by_type.items():
+        assert m["n_events"] == float(wide[t].c)
+        assert m["n_users"] == float(wide[t].u)
+        assert m["max_value"] == wide[t].mx
+
+
+def test_orders_cube_grain_accounting(spark):
+    """CUBE must emit exactly the 4 grains with standard bit-mask ids
+    and internally consistent mass: each grain's counts sum to the
+    table total, and the (3) grand-total row equals the full scan."""
+    from stock_market_data_pipeline_v2_spark.operators.dims import (
+        orders_status_cube,
+    )
+
+    od = _od(spark)
+    rows = orders_status_cube(od).collect()
+    by_gid: dict[int, list] = {}
+    for r in rows:
+        by_gid.setdefault(r.grouping_id, []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    total = od.count()
+    for gid in (0, 1, 2, 3):
+        assert sum(r.n_orders for r in by_gid[gid]) == total
+    grand = by_gid[3][0]
+    assert grand.o_orderstatus is None and grand.order_year is None
+    assert len(by_gid[3]) == 1 and grand.n_orders == total
+    # detail rows carry both keys; marginal rows null out exactly the
+    # aggregated dimension (bit 1 = first cube column = status):
+    assert all(
+        r.o_orderstatus is not None and r.order_year is not None
+        for r in by_gid[0]
+    )
+    assert all(
+        r.o_orderstatus is None and r.order_year is not None
+        for r in by_gid[2]
+    )
+    assert all(
+        r.o_orderstatus is not None and r.order_year is None
+        for r in by_gid[1]
+    )
+
+
+def test_tick_gap_report_telescoping_law(spark):
+    """Per series the gap sum telescopes to last−first, so
+    mean_gap_us must equal (max_us−min_us)/(n_ticks−1); gap counts
+    re-derived brute-force in Python on sf0.001."""
+    from stock_market_data_pipeline_v2_spark.operators.stats import (
+        tick_gap_report,
+    )
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    ev = load_table(spark, SF, "events")
+    got = {r.event_type: r for r in tick_gap_report(ev).collect()}
+    raw = ev.select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    ).collect()
+    series: dict[str, list[int]] = {}
+    for r in raw:
+        series.setdefault(r.event_type, []).append(r.us)
+    assert set(got) == set(series)
+    for t, us in series.items():
+        us.sort()
+        gaps = [b - a for a, b in zip(us, us[1:])]
+        r = got[t]
+        assert r.n_ticks == len(us)
+        assert r.max_gap_us == max(gaps)
+        assert r.n_gaps_over_1m == sum(1 for g in gaps if g > 60_000_000)
+        expect_mean = (us[-1] - us[0]) / len(gaps)
+        # 6-dp rounding + ulp slack on a ~1e10 magnitude
+        assert abs(r.mean_gap_us - expect_mean) <= max(5e-7, 1e-9 * expect_mean)
+
+
+def test_label_loo_outliers_numpy_parity(spark):
+    """Re-derive the leave-one-out cosine from numpy over the same
+    quantized integers: for every reported outlier the identity
+    (qS−qq)/(√qq·√(SS−2qS+qq)) must equal cosine(q, S−q) exactly, and
+    the reported bottom-k must be the true bottom-k with the
+    (loo_cosine, vec_id) tiebreak."""
+    import numpy as np
+
+    from stock_market_data_pipeline_v2_spark.operators.centroids import (
+        label_loo_outliers,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.eigen import Q_SCALE
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    emb = load_table(spark, SF01, "embeddings")
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    qs: dict[int, np.ndarray] = {}
+    lab: dict[int, int] = {}
+    sums: dict[int, np.ndarray] = {}
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        n = float(np.sqrt(np.dot(v, v)))
+        if n <= 0:
+            continue
+        u = v / n
+        q = np.array(
+            [int(np.floor(abs(x) * Q_SCALE + 0.5)) * (1 if x >= 0 else -1)
+             for x in u],
+            dtype=object,
+        )
+        qs[r.vec_id] = q
+        lab[r.vec_id] = r.label
+        sums[r.label] = sums.get(r.label, np.zeros(64, dtype=object)) + q
+
+    loo: dict[int, float] = {}
+    for vid, q in qs.items():
+        S = sums[lab[vid]]
+        qq = int(np.dot(q, q))
+        qS = int(np.dot(q, S))
+        SS = int(np.dot(S, S))
+        num = qS - qq
+        den = np.sqrt(qq) * np.sqrt(SS - 2 * qS + qq)
+        loo[vid] = num / den
+        # identity check vs the materialized S−q form:
+        loo2 = int(np.dot(q, S - q)) / (
+            np.sqrt(qq) * np.sqrt(int(np.dot(S - q, S - q)))
+        )
+        assert abs(loo[vid] - loo2) < 1e-12
+
+    got = label_loo_outliers(emb).collect()
+    by_label: dict[int, list] = {}
+    for r in got:
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        members = sorted(
+            (round(loo[v], 6), v) for v in qs if lab[v] == label
+        )
+        expect = members[: len(rs)]
+        for r, (cos, vid) in zip(sorted(rs, key=lambda r: r.outlier_rank), expect):
+            assert r.vec_id == vid
+            assert abs(r.loo_cosine - cos) <= 1e-9
