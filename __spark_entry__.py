@@ -555,7 +555,9 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure_runtime(spark)
-    return part_skyline(load_table(spark, sf_dir, "part"))
+    return _materialize_and_release(
+        part_skyline(load_table(spark, sf_dir, "part"))
+    )
 
 
 def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,20 +48,38 @@ def part_skyline(part: DataFrame) -> DataFrame:
     """(brand, price, size, n_parts, min_partkey) pareto-frontier
     rows per brand — minimize both p_retailprice and p_size — ordered
     (brand, price)."""
-    g = part.groupBy(
-        F.col("p_brand").alias("brand"),
-        F.col("p_retailprice").alias("price"),
-        F.col("p_size").cast("long").alias("size"),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-        F.min("p_partkey").cast("long").alias("min_partkey"),
+    # the grain frame feeds BOTH the frontier chain and the final
+    # stats join — cache it once (grain-sized, far below the fact) so
+    # part scans once; callers release via the `_cached_inputs`
+    # contract (dedup.release_cached_inputs / _materialize_and_release).
+    g = (
+        part.groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("p_partkey").cast("long").alias("min_partkey"),
+        )
+        .cache()
     )
     pp = g.groupBy("brand", "price").agg(F.min("size").alias("size"))
 
     par = part.sparkSession.sparkContext.defaultParallelism
-    ranged = pp.repartitionByRange(
-        par, F.asc("brand"), F.asc("price")
-    ).withColumn("__pid", F.spark_partition_id())
+    # CACHED: `ranged` feeds BOTH the local-window branch and the
+    # per-partition-minimum branch, and ``__pid`` comes from
+    # ``spark_partition_id`` over a SAMPLED range partitioning — two
+    # independent evaluations can sample different bounds (AQE can
+    # even coalesce the two subtrees differently), making the local
+    # and prior minima disagree. Materializing the pid assignment
+    # once is what makes the two-level decomposition exact (caught at
+    # sf0.1: 7 frontier rows flipped when only `g` was cached).
+    ranged = (
+        pp.repartitionByRange(par, F.asc("brand"), F.asc("price"))
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
     w_loc = (
         Window.partitionBy("__pid", "brand")
         .orderBy(F.asc("price"))
@@ -90,11 +108,13 @@ def part_skyline(part: DataFrame) -> DataFrame:
         .filter(F.col("__bound").isNull() | (F.col("size") < F.col("__bound")))
         .select("brand", "price", "size")
     )
-    return (
+    out = (
         g.join(F.broadcast(frontier), ["brand", "price", "size"])
         .select("brand", "price", "size", "n_parts", "min_partkey")
         .orderBy("brand", "price")
     )
+    out._cached_inputs = (g, ranged)
+    return out
 
 
 PART_SKYLINE_SQL = """

@@ -144,10 +144,12 @@ def quality_report_frame(
     One row per check: (table_name, check_name, severity, total_rows,
     violations, status). All conditional counts compile into a SINGLE
     aggregate over one scan (map-side combinable), then explode to
-    long form on the 1-row result — no second scan, no collect. Each
-    ``unique`` key set adds one tiny groupBy aggregate whose row count
-    is key-cardinality-bounded; its ``sum(count)`` doubles as the
-    table total, so uniqueness costs no extra full scan either.
+    long form on the 1-row result — one scan, no collect. Each
+    ``unique`` key set adds one key-grain groupBy aggregate (its own
+    pruned scan — a key-grain SHUFFLE folded into the row-grain pass
+    would cost more than the extra scan at fact scale); that
+    aggregate's ``sum(count)`` doubles as the table total, so no
+    third scan is spent on it.
 
     Reference parity: dbt schema tests in
     ``dbt/models/staging/schema.yml`` / ``marts/schema.yml`` emit one

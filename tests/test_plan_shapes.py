@@ -514,3 +514,87 @@ def test_widen_if_narrow_is_conditional(spark):
     assert _widen_if_narrow(wide) is wide  # identical plan object: no Exchange added
     narrow = docs.coalesce(1)
     assert _widen_if_narrow(narrow).rdd.getNumPartitions() == par
+
+
+def test_round9_check_family_scan_counts(spark):
+    """data_quality_report: one conditional-count scan + one
+    unique-key scan per table (NOT one scan per check — the naive
+    dbt port); referential_integrity_audit folds lineitem's three FK
+    edges into a SINGLE fact scan."""
+    import __spark_entry__ as m
+
+    q = m.queries()
+    plan = _plan(q["data_quality_report"](spark, SF))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    li = [l for l in scans if "lineitem" in l]
+    od = [l for l in scans if "orders" in l]
+    assert len(li) == 2, f"lineitem scanned {len(li)}x (checks + unique)"
+    assert len(od) == 2, f"orders scanned {len(od)}x (checks + unique)"
+    for j in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan
+
+    plan = _plan(q["referential_integrity_audit"](spark, SF))
+    li = [
+        l
+        for l in plan.splitlines()
+        if "FileScan parquet" in l and "lineitem" in l
+    ]
+    assert len(li) == 1, f"lineitem scanned {len(li)}x — edges must fold"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_round9_cube_skyline_melt_plan_shapes(spark):
+    """orders_cube: one scan + one Expand (the 4 grains) — never four
+    scan+agg jobs; part_skyline: one part scan (cached grain frame),
+    no quadratic join; event_metrics_unpivot: one events scan, no
+    Expand over the fact (the single count-distinct takes the
+    two-phase rewrite; the unpivot Expand sits on the group-grain
+    aggregate)."""
+    import __spark_entry__ as m
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        release_cached_inputs,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.skyline import (
+        part_skyline,
+    )
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    q = m.queries()
+    plan = _plan(q["orders_cube"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan
+
+    # build the operator directly (the registered wrapper checkpoints,
+    # which collapses the lineage this test wants to inspect)
+    df = part_skyline(load_table(spark, SF, "part"))
+    plan = _plan(df)
+    for j in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert j not in plan
+    # the cached grain frame serves both branches: after materializing,
+    # the physical plan reads the InMemoryRelation, not part twice
+    df.count()
+    reopt = _plan(df)
+    assert "InMemoryTableScan" in reopt
+    release_cached_inputs(df)
+
+    plan = _plan(q["event_metrics_unpivot"](spark, SF))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1
+    # Expand appears once, ABOVE the aggregate (unpivot on group grain):
+    # no Expand may consume the raw FileScan directly.
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("Expand") <= 1
+
+
+def test_round9_gap_report_single_window_lineage(spark):
+    """tick_gap_report: one scan, the lag window and the aggregate
+    share the event_type hash partitioning — no second exchange."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["tick_gap_report"](spark, SF))
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("Exchange hashpartitioning") == 1
+    assert physical.count("FileScan parquet") == 1
