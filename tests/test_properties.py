@@ -193,3 +193,110 @@ def test_rows_only_queries_are_deterministic(spark):
         b = [tuple(r) for r in qs[name](spark, sf).collect()]
         key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
         assert sorted(a, key=key) == sorted(b, key=key), name
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),              # brand
+            st.integers(min_value=1, max_value=8),    # price (small domain → ties)
+            st.integers(min_value=1, max_value=8),    # size
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_skyline_matches_brute_force_dominance(spark, pts):
+    """part_skyline on arbitrary point sets (duplicates, full ties,
+    single-brand, colinear) must equal the O(n²) dominance
+    definition exactly — per brand, a distinct (price, size) survives
+    iff no other same-brand point is ≤ in both and < in one."""
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
+        release_cached_inputs,
+    )
+    from stock_market_data_pipeline_v2_spark.operators.skyline import (
+        part_skyline,
+    )
+
+    rows = [
+        Row(p_partkey=i + 1, p_brand=b, p_retailprice=float(p), p_size=s)
+        for i, (b, p, s) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows)
+    out = part_skyline(df)
+    got = {(r.brand, r.price, r.size): (r.n_parts, r.min_partkey)
+           for r in out.collect()}
+    release_cached_inputs(out)
+
+    distinct = {(b, float(p), s) for b, p, s in pts}
+    expect = {}
+    for b, p, s in distinct:
+        dominated = any(
+            b2 == b and p2 <= p and s2 <= s and (p2 < p or s2 < s)
+            for (b2, p2, s2) in distinct
+        )
+        if not dominated:
+            members = [
+                i + 1
+                for i, (b3, p3, s3) in enumerate(pts)
+                if b3 == b and float(p3) == p and s3 == s
+            ]
+            expect[(b, p, s)] = (len(members), min(members))
+    assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=15)),
+            st.sampled_from(["A", "B", "X"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_quality_report_counts_arbitrary_data(spark, vals):
+    """quality_report_frame must count violations exactly for any
+    null/enum/range pattern: NULLs violate not_null but are EXEMPT
+    from between/accepted (dbt semantics)."""
+    from stock_market_data_pipeline_v2_spark.plans.checks import (
+        expect_accepted_values,
+        expect_between,
+        expect_not_null,
+        quality_report_frame,
+    )
+
+    rows = [Row(k=k, flag=f) for k, f in vals]
+    df = spark.createDataFrame(rows, "k int, flag string")
+    rep = {
+        r.check_name: r
+        for r in quality_report_frame(
+            df,
+            "t",
+            [
+                expect_not_null("k"),
+                expect_between("k", 0, 10),
+                expect_accepted_values("flag", ["A", "B"]),
+            ],
+        ).collect()
+    }
+    ks = [k for k, _ in vals]
+    fs = [f for _, f in vals]
+    assert rep["not_null:k"].violations == sum(1 for k in ks if k is None)
+    assert rep["between:k[0,10]"].violations == sum(
+        1 for k in ks if k is not None and not (0 <= k <= 10)
+    )
+    assert rep["accepted_values:flag"].violations == sum(
+        1 for f in fs if f not in ("A", "B")
+    )
+    assert all(r.total_rows == len(vals) for r in rep.values())
