@@ -587,6 +587,18 @@ def q_label_loo_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_loo_outliers(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: leave-one-out 1-NN label accuracy per class — the
+    # embedding-space eval (labels-cluster check); LOO rides
+    # cosine_topk's self-exclusion; brute ground-truth tier by design.
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        knn_label_eval,
+    )
+
+    configure_runtime(spark)
+    return knn_label_eval(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_event_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: wide→long melt via Spark's NATIVE unpivot over the
     # per-type metric mart — the relational operator the set/rank
@@ -2309,7 +2321,7 @@ _QUERY_ORDER = [
     "hard_negative_mining", "ann_sq8_topk", "hard_negative_ivf",
     "salted_join_revenue", "salted_event_stats", "market_concentration",
     "data_quality_report", "referential_integrity_audit", "part_skyline",
-    "label_centroid_similarity", "label_loo_outliers",
+    "label_centroid_similarity", "label_loo_outliers", "knn_label_eval",
     "event_metrics_unpivot", "orders_cube", "tick_gap_report",
     "part_supplier_counts", "repeated_spans_rolling", "ann_filtered_topk",
     "ngram_decontaminate", "temperature_mix", "hilbert_events",
@@ -2395,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_skyline": q_part_skyline,
         "label_centroid_similarity": q_label_centroid_similarity,
         "label_loo_outliers": q_label_loo_outliers,
+        "knn_label_eval": q_knn_label_eval,
         "event_metrics_unpivot": q_event_metrics_unpivot,
         "orders_cube": q_orders_cube,
         "tick_gap_report": q_tick_gap_report,
@@ -2798,6 +2811,7 @@ def oracle_sql() -> dict[str, str]:
         "part_skyline": _skyline_mod.PART_SKYLINE_SQL,
         "label_centroid_similarity": _centroids_mod.label_centroid_oracle_sql(),
         "label_loo_outliers": _centroids_mod.label_loo_oracle_sql(),
+        "knn_label_eval": _sim_mod.KNN_LABEL_EVAL_SQL,
         "event_metrics_unpivot": _stats_mod.EVENT_METRICS_LONG_SQL,
         "orders_cube": _dims_mod.ORDERS_STATUS_CUBE_SQL,
         "tick_gap_report": _stats_mod.TICK_GAP_REPORT_SQL,

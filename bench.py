@@ -195,6 +195,7 @@ HEADLINE = [
     "part_skyline",             # added round 9: per-brand pareto frontier
     "label_centroid_similarity",    # added round 9: class separation/coherence audit
     "label_loo_outliers",       # added round 9: LOO-centroid mislabel audit
+    "knn_label_eval",           # added round 9: LOO 1-NN label accuracy (brute tier)
     "event_metrics_unpivot",    # added round 9: native unpivot melt
     "orders_cube",              # added round 9: full CUBE + grouping_id
     "tick_gap_report",          # added round 9: feed-continuity gap audit

@@ -633,3 +633,40 @@ def test_label_loo_outliers_numpy_parity(spark):
         for r, (cos, vid) in zip(sorted(rs, key=lambda r: r.outlier_rank), expect):
             assert r.vec_id == vid
             assert abs(r.loo_cosine - cos) <= 1e-9
+
+
+def test_knn_label_eval_numpy_parity(spark):
+    """LOO 1-NN accuracy re-derived with numpy over the same corpus:
+    for each vector the nearest OTHER vector (cosine desc, id asc
+    tiebreak) votes; per-label accuracy must match exactly."""
+    import numpy as np
+
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        knn_label_eval,
+    )
+    from stock_market_data_pipeline_v2_spark.sources.io import load_table
+
+    emb = load_table(spark, SF01, "embeddings")
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    labels = {r.vec_id: r.label for r in rows}
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    per_label = {}
+    for i, vid in enumerate(ids):
+        # nearest other vector, cosine desc then vec_id asc
+        best = max(
+            ((sims[i, j], -ids[j]) for j in range(len(ids)) if j != i),
+        )
+        nn_id = -best[1]
+        lab = labels[vid]
+        n, c = per_label.get(lab, (0, 0))
+        per_label[lab] = (n + 1, c + (1 if labels[nn_id] == lab else 0))
+
+    got = {r.label: r for r in knn_label_eval(emb).collect()}
+    assert set(got) == set(per_label)
+    for lab, (n, c) in per_label.items():
+        assert got[lab].n_vectors == n
+        assert got[lab].correct_1nn == c
+        assert abs(got[lab].accuracy - round(c / n, 6)) < 1e-12
