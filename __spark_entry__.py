@@ -587,6 +587,21 @@ def q_label_loo_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_loo_outliers(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: ABC/Pareto revenue classification — the distributed
+    # prefix-SUM twin of the two-level rank (lesson-8 cached pid
+    # frame); class boundaries decided by exact decimal
+    # cross-multiplication, never a float.
+    from stock_market_data_pipeline_v2_spark.operators.dims import (
+        part_abc_analysis,
+    )
+
+    configure_runtime(spark)
+    return _materialize_and_release(
+        part_abc_analysis(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
 def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: leave-one-out 1-NN label accuracy per class — the
     # embedding-space eval (labels-cluster check); LOO rides
@@ -2323,6 +2338,7 @@ _QUERY_ORDER = [
     "data_quality_report", "referential_integrity_audit", "part_skyline",
     "label_centroid_similarity", "label_loo_outliers", "knn_label_eval",
     "event_metrics_unpivot", "orders_cube", "tick_gap_report",
+    "part_abc_analysis",
     "part_supplier_counts", "repeated_spans_rolling", "ann_filtered_topk",
     "ngram_decontaminate", "temperature_mix", "hilbert_events",
     "ann_recall_report", "similar_symbols", "pattern_match",
@@ -2408,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_similarity": q_label_centroid_similarity,
         "label_loo_outliers": q_label_loo_outliers,
         "knn_label_eval": q_knn_label_eval,
+        "part_abc_analysis": q_part_abc_analysis,
         "event_metrics_unpivot": q_event_metrics_unpivot,
         "orders_cube": q_orders_cube,
         "tick_gap_report": q_tick_gap_report,
@@ -2812,6 +2829,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroid_similarity": _centroids_mod.label_centroid_oracle_sql(),
         "label_loo_outliers": _centroids_mod.label_loo_oracle_sql(),
         "knn_label_eval": _sim_mod.KNN_LABEL_EVAL_SQL,
+        "part_abc_analysis": _dims_mod.PART_ABC_SQL,
         "event_metrics_unpivot": _stats_mod.EVENT_METRICS_LONG_SQL,
         "orders_cube": _dims_mod.ORDERS_STATUS_CUBE_SQL,
         "tick_gap_report": _stats_mod.TICK_GAP_REPORT_SQL,

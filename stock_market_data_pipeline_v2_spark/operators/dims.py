@@ -1587,3 +1587,125 @@ FROM base
 GROUP BY CUBE (o_orderstatus, order_year)
 ORDER BY grouping_id, o_orderstatus NULLS FIRST, order_year NULLS FIRST
 """
+
+
+def part_abc_analysis(lineitem: DataFrame) -> DataFrame:
+    """ABC (Pareto) revenue classification — the inventory-management
+    mart: parts ranked by lifetime discounted revenue, class A = the
+    head holding ≤ 80% of cumulative revenue, B = the next ≤ 95%
+    band, C = the tail; reported per class (count, revenue, share).
+    Parts with no lineitem rows have no revenue and are out of scope.
+
+    Exactness: revenue per part follows the money rule (DECIMAL(18,2)
+    × DECIMAL(8,2), order-free sums); the class boundary is decided
+    by EXACT decimal cross-multiplication (cum·5 ≤ tot·4 for A,
+    cum·20 ≤ tot·19 for B) so no float ever touches a threshold; the
+    output share is one double division, 6 dp.
+
+    100 TB shape: one fact aggregate to part grain, then the
+    distributed prefix-SUM twin of the repo's two-level range-rank —
+    ``repartitionByRange`` on (revenue desc, part), a local running
+    DECIMAL sum per partition, and a parallelism-sized per-partition
+    total frame whose strict-prefix sums (and grand total) broadcast
+    back. Per PERF.md lesson 8 the ranged+pid frame is CACHED (its
+    lineage is an aggregate, not a plain scan — the pid assignment
+    must be evaluated once); released via the `_cached_inputs`
+    contract / `_materialize_and_release` (3-row output).
+    """
+    from ..functions.core import round_away, single_partition_key
+
+    rev = lineitem.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+        )
+        .cast("decimal(30,4)")
+        .alias("__r")
+    )
+    par = lineitem.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        rev.repartitionByRange(par, F.desc("__r"), F.asc("part"))
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    w_loc = (
+        Window.partitionBy("__pid")
+        .orderBy(F.desc("__r"), F.asc("part"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__lcum", F.sum("__r").over(w_loc))
+    w_off = (
+        Window.partitionBy(single_partition_key("__pid"))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(single_partition_key("__pid"))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offs = (
+        ranged.groupBy("__pid")
+        .agg(F.sum("__r").alias("__psum"))
+        .select(
+            "__pid",
+            F.coalesce(
+                F.sum("__psum").over(w_off),
+                F.lit(0).cast("decimal(38,4)"),
+            ).alias("__off"),
+            F.sum("__psum").over(w_all).alias("__tot"),
+        )
+    )
+    cls = (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn("__cum", F.col("__off") + F.col("__lcum"))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("__cum") * 5 <= F.col("__tot") * 4, F.lit("A"))
+            .when(F.col("__cum") * 20 <= F.col("__tot") * 19, F.lit("B"))
+            .otherwise(F.lit("C")),
+        )
+    )
+    out = (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("__r"), 2).cast("double").alias("class_revenue"),
+            round_away(
+                F.sum("__r").cast("double") / F.max("__tot").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+    out._cached_inputs = (ranged,)
+    return out
+
+
+PART_ABC_SQL = """
+WITH rev AS (
+    SELECT l_partkey AS part,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(8,2)))
+             AS DECIMAL(30,4)) AS r
+    FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(r) AS t FROM rev),
+c AS (
+    SELECT part, r,
+        sum(r) OVER (ORDER BY r DESC, part ASC) AS cum
+    FROM rev
+),
+cls AS (
+    SELECT c.r, tot.t,
+        CASE WHEN c.cum * 5 <= tot.t * 4 THEN 'A'
+             WHEN c.cum * 20 <= tot.t * 19 THEN 'B'
+             ELSE 'C' END AS abc_class
+    FROM c, tot
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+    CAST(round(sum(r), 2) AS DOUBLE) AS class_revenue,
+    round(CAST(sum(r) AS DOUBLE) / CAST(max(t) AS DOUBLE), 6)
+        AS revenue_share
+FROM cls GROUP BY 1 ORDER BY 1
+"""

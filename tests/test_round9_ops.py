@@ -670,3 +670,47 @@ def test_knn_label_eval_numpy_parity(spark):
         assert got[lab].n_vectors == n
         assert got[lab].correct_1nn == c
         assert abs(got[lab].accuracy - round(c / n, 6)) < 1e-12
+
+
+def test_part_abc_analysis_boundary_law(spark):
+    """Re-derive the ABC classes in exact Python Fractions over the
+    same per-part revenues: class counts, class revenue, and the
+    80/95% boundary placement must match exactly (no float may touch
+    a threshold)."""
+    from decimal import Decimal
+    from fractions import Fraction
+
+    import __spark_entry__ as m
+
+    got = {r.abc_class: r for r in
+           m.queries()["part_abc_analysis"](spark, SF01).collect()}
+    li = _li(spark).select("l_partkey", "l_extendedprice", "l_discount").collect()
+    rev: dict[int, Decimal] = {}
+    for r in li:
+        amt = (
+            Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01"))
+            * Decimal(str(round(1 - r.l_discount, 2))).quantize(Decimal("0.01"))
+        )
+        rev[r.l_partkey] = rev.get(r.l_partkey, Decimal(0)) + amt
+    total = sum(rev.values())
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum = Decimal(0)
+    classes: dict[str, list] = {"A": [], "B": [], "C": []}
+    for part, r in ranked:
+        cum += r
+        if Fraction(cum) * 5 <= Fraction(total) * 4:
+            classes["A"].append(r)
+        elif Fraction(cum) * 20 <= Fraction(total) * 19:
+            classes["B"].append(r)
+        else:
+            classes["C"].append(r)
+    assert set(got) == {k for k, v in classes.items() if v}
+    for k, revs in classes.items():
+        if not revs:
+            continue
+        assert got[k].n_parts == len(revs)
+        assert abs(Decimal(str(got[k].class_revenue)) - sum(revs)) <= Decimal("0.01")
+    assert sum(r.n_parts for r in got.values()) == len(rev)
+    assert abs(sum(r.revenue_share for r in got.values()) - 1.0) < 1e-5
+    # Pareto sanity: A holds most revenue with a minority of parts
+    assert got["A"].revenue_share > got["C"].revenue_share or got["A"].n_parts < len(rev)
