@@ -587,6 +587,19 @@ def q_label_loo_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_loo_outliers(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: RAKE keyword extraction (Rose et al. 2010) — corpus
+    # top-20 phrases; word scores deg/freq quantized to DECIMAL(18,6)
+    # so the phrase-score sum is order-free (no float sum crosses the
+    # oracle boundary); stopwords/regex/k single-sourced into the SQL.
+    from stock_market_data_pipeline_v2_spark.operators.rake import (
+        rake_keywords,
+    )
+
+    configure_runtime(spark)
+    return rake_keywords(_docs(spark, sf_dir))
+
+
 def q_part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: ABC/Pareto revenue classification — the distributed
     # prefix-SUM twin of the two-level rank (lesson-8 cached pid
@@ -2338,7 +2351,7 @@ _QUERY_ORDER = [
     "data_quality_report", "referential_integrity_audit", "part_skyline",
     "label_centroid_similarity", "label_loo_outliers", "knn_label_eval",
     "event_metrics_unpivot", "orders_cube", "tick_gap_report",
-    "part_abc_analysis",
+    "part_abc_analysis", "rake_keywords",
     "part_supplier_counts", "repeated_spans_rolling", "ann_filtered_topk",
     "ngram_decontaminate", "temperature_mix", "hilbert_events",
     "ann_recall_report", "similar_symbols", "pattern_match",
@@ -2425,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_loo_outliers": q_label_loo_outliers,
         "knn_label_eval": q_knn_label_eval,
         "part_abc_analysis": q_part_abc_analysis,
+        "rake_keywords": q_rake_keywords,
         "event_metrics_unpivot": q_event_metrics_unpivot,
         "orders_cube": q_orders_cube,
         "tick_gap_report": q_tick_gap_report,
@@ -2648,6 +2662,7 @@ def oracle_sql() -> dict[str, str]:
     from stock_market_data_pipeline_v2_spark.operators import text as _text_mod
     from stock_market_data_pipeline_v2_spark.operators import skyline as _skyline_mod
     from stock_market_data_pipeline_v2_spark.operators import centroids as _centroids_mod
+    from stock_market_data_pipeline_v2_spark.operators import rake as _rake_mod
     from stock_market_data_pipeline_v2_spark.plans import checks as _checks_mod
 
     return {
@@ -2830,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         "label_loo_outliers": _centroids_mod.label_loo_oracle_sql(),
         "knn_label_eval": _sim_mod.KNN_LABEL_EVAL_SQL,
         "part_abc_analysis": _dims_mod.PART_ABC_SQL,
+        "rake_keywords": _rake_mod.rake_oracle_sql(),
         "event_metrics_unpivot": _stats_mod.EVENT_METRICS_LONG_SQL,
         "orders_cube": _dims_mod.ORDERS_STATUS_CUBE_SQL,
         "tick_gap_report": _stats_mod.TICK_GAP_REPORT_SQL,

@@ -197,6 +197,7 @@ HEADLINE = [
     "label_loo_outliers",       # added round 9: LOO-centroid mislabel audit
     "knn_label_eval",           # added round 9: LOO 1-NN label accuracy (brute tier)
     "part_abc_analysis",        # added round 9: ABC/Pareto revenue classes
+    "rake_keywords",            # added round 9: RAKE keyword phrases
     "event_metrics_unpivot",    # added round 9: native unpivot melt
     "orders_cube",              # added round 9: full CUBE + grouping_id
     "tick_gap_report",          # added round 9: feed-continuity gap audit

@@ -714,3 +714,55 @@ def test_part_abc_analysis_boundary_law(spark):
     assert abs(sum(r.revenue_share for r in got.values()) - 1.0) < 1e-5
     # Pareto sanity: A holds most revenue with a minority of parts
     assert got["A"].revenue_share > got["C"].revenue_share or got["A"].n_parts < len(rev)
+
+
+def test_rake_keywords_python_parity(spark):
+    """Full RAKE reimplementation in Python over the same corpus:
+    phrase extraction (punctuation + stopword splits), deg/freq word
+    scores with the spec'd 6-dp quantization, phrase-score sums, and
+    the top-k ordering must all match."""
+    import re
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    import __spark_entry__ as m
+    from stock_market_data_pipeline_v2_spark.operators.rake import (
+        RAKE_STOPWORDS,
+    )
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").collect()
+    stop_re = re.compile(r"\b(" + "|".join(RAKE_STOPWORDS) + r")\b")
+    phrases: list[list[str]] = []
+    for d in docs:
+        t = d.text.lower()
+        t = re.sub(r"[^a-z0-9' ]+", "§", t)
+        t = stop_re.sub("§", t)
+        for seg in t.split("§"):
+            ws = seg.split()
+            if ws:
+                phrases.append(ws)
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for ws in phrases:
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+
+    def q6(x: float) -> Decimal:
+        from decimal import ROUND_HALF_UP
+
+        return Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+    occ = Counter(" ".join(ws) for ws in phrases)
+    scores = {}
+    for p in occ:
+        scores[p] = sum(q6(deg[w] / freq[w]) for w in p.split())
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = m.queries()["rake_keywords"](spark, SF01).collect()
+    assert len(got) == 20
+    for r, (p, s) in zip(got, ranked):
+        assert r.phrase == p, (r.rank, r.phrase, p)
+        assert abs(Decimal(str(r.score)) - s) <= Decimal("0.000001")
+        assert r.n_occurrences == occ[p]
+        assert r.n_words == len(p.split())
