@@ -587,6 +587,22 @@ def q_label_loo_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_loo_outliers(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: Benford first-digit forensic audit of the money columns
+    # — digits by exact integer string-slicing (never query-time
+    # log10), expectations as frozen literals, chi² from the rounded
+    # shares; one scan + 9-row windows per source.
+    from stock_market_data_pipeline_v2_spark.plans.checks import (
+        benford_audit,
+    )
+
+    configure_runtime(spark)
+    return benford_audit(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: RAKE keyword extraction (Rose et al. 2010) — corpus
     # top-20 phrases; word scores deg/freq quantized to DECIMAL(18,6)
@@ -2351,7 +2367,7 @@ _QUERY_ORDER = [
     "data_quality_report", "referential_integrity_audit", "part_skyline",
     "label_centroid_similarity", "label_loo_outliers", "knn_label_eval",
     "event_metrics_unpivot", "orders_cube", "tick_gap_report",
-    "part_abc_analysis", "rake_keywords",
+    "part_abc_analysis", "rake_keywords", "benford_audit",
     "part_supplier_counts", "repeated_spans_rolling", "ann_filtered_topk",
     "ngram_decontaminate", "temperature_mix", "hilbert_events",
     "ann_recall_report", "similar_symbols", "pattern_match",
@@ -2439,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_eval": q_knn_label_eval,
         "part_abc_analysis": q_part_abc_analysis,
         "rake_keywords": q_rake_keywords,
+        "benford_audit": q_benford_audit,
         "event_metrics_unpivot": q_event_metrics_unpivot,
         "orders_cube": q_orders_cube,
         "tick_gap_report": q_tick_gap_report,
@@ -2846,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_eval": _sim_mod.KNN_LABEL_EVAL_SQL,
         "part_abc_analysis": _dims_mod.PART_ABC_SQL,
         "rake_keywords": _rake_mod.rake_oracle_sql(),
+        "benford_audit": _checks_mod.benford_oracle_sql(),
         "event_metrics_unpivot": _stats_mod.EVENT_METRICS_LONG_SQL,
         "orders_cube": _dims_mod.ORDERS_STATUS_CUBE_SQL,
         "tick_gap_report": _stats_mod.TICK_GAP_REPORT_SQL,

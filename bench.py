@@ -198,6 +198,7 @@ HEADLINE = [
     "knn_label_eval",           # added round 9: LOO 1-NN label accuracy (brute tier)
     "part_abc_analysis",        # added round 9: ABC/Pareto revenue classes
     "rake_keywords",            # added round 9: RAKE keyword phrases
+    "benford_audit",            # added round 9: Benford first-digit audit
     "event_metrics_unpivot",    # added round 9: native unpivot melt
     "orders_cube",              # added round 9: full CUBE + grouping_id
     "tick_gap_report",          # added round 9: feed-continuity gap audit

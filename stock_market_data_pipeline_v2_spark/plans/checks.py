@@ -22,8 +22,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.core import round_away
 
 
 @dataclass
@@ -544,4 +546,115 @@ WITH edges AS (
 SELECT *, CASE WHEN orphan_rows > 0 THEN 'fail' ELSE 'pass' END AS status
 FROM edges
 ORDER BY child_table, fk_column
+"""
+
+
+import math as _math
+
+# Benford expectations log10(1 + 1/d), frozen to 6 dp at import time —
+# the transcendental never runs inside either engine (the
+# audio-features lesson): both sides consume the same literals.
+BENFORD_EXPECTED = {
+    d: round(_math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)
+}
+
+
+def benford_audit(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit over the money columns — the
+    forensic-accounting screen (fabricated or truncated figures bend
+    the leading-digit distribution away from log10(1+1/d)).
+
+    Per (source column, digit 1..9): count, observed share, expected
+    Benford share, and the chi-square term computed FROM the rounded
+    share — every float both engines touch is either a frozen literal
+    or derived from exact integers by one rounded division, so the
+    audit is hash-exact. First digits come from string-slicing the
+    exact integer part (``floor`` → BIGINT → first char), never from
+    ``log10`` at query time (1-ulp log at an exact power of ten would
+    flip the digit).
+
+    100 TB shape: one scan + map-side-combinable count per source;
+    the share window runs over 9-row per-source frames.
+    """
+    def one(df: DataFrame, col: str, name: str) -> DataFrame:
+        return (
+            df.select(F.col(col).alias("__v"))
+            .filter(F.col("__v") >= 1)
+            .select(
+                F.lit(name).alias("source_column"),
+                F.substring(
+                    F.floor("__v").cast("long").cast("string"), 1, 1
+                )
+                .cast("int")
+                .alias("digit"),
+            )
+            .groupBy("source_column", "digit")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    counts = one(lineitem, "l_extendedprice", "lineitem.l_extendedprice").unionByName(
+        one(orders, "o_totalprice", "orders.o_totalprice")
+    )
+    w = Window.partitionBy("source_column").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    case = F.when(F.col("digit") == 1, F.lit(BENFORD_EXPECTED[1]))
+    for d in range(2, 10):
+        case = case.when(F.col("digit") == d, F.lit(BENFORD_EXPECTED[d]))
+    shared = counts.select(
+        "source_column",
+        "digit",
+        "n",
+        round_away(
+            F.col("n").cast("double") / F.sum("n").over(w), 6
+        ).alias("share"),
+        case.alias("expected_share"),
+    )
+    return shared.select(
+        "*",
+        round_away(
+            (F.col("share") - F.col("expected_share"))
+            * (F.col("share") - F.col("expected_share"))
+            / F.col("expected_share"),
+            6,
+        ).alias("chi2_term"),
+    ).orderBy("source_column", "digit")
+
+
+def benford_oracle_sql() -> str:
+    """DuckDB twin generated from the SAME frozen literals."""
+    case = " ".join(
+        f"WHEN {d} THEN {BENFORD_EXPECTED[d]!r}" for d in range(1, 10)
+    )
+    return f"""
+WITH src AS (
+    SELECT 'lineitem.l_extendedprice' AS source_column,
+        l_extendedprice AS v
+    FROM lineitem WHERE l_extendedprice >= 1
+    UNION ALL
+    SELECT 'orders.o_totalprice', o_totalprice
+    FROM orders WHERE o_totalprice >= 1
+),
+d AS (
+    SELECT source_column,
+        CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR), 1, 1)
+             AS INTEGER) AS digit
+    FROM src
+),
+c AS (
+    SELECT source_column, digit, CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY 1, 2
+),
+sh AS (
+    SELECT source_column, digit, n,
+        round(CAST(n AS DOUBLE)
+              / sum(n) OVER (PARTITION BY source_column), 6) AS share,
+        CASE digit {case} END AS expected_share
+    FROM c
+)
+SELECT source_column, digit, n, share, expected_share,
+    round((share - expected_share) * (share - expected_share)
+          / expected_share, 6) AS chi2_term
+FROM sh
+ORDER BY source_column, digit
 """

@@ -766,3 +766,49 @@ def test_rake_keywords_python_parity(spark):
         assert abs(Decimal(str(r.score)) - s) <= Decimal("0.000001")
         assert r.n_occurrences == occ[p]
         assert r.n_words == len(p.split())
+
+
+def test_benford_audit_accounting(spark):
+    """Digits must partition each source's rows (Σn = rows with v≥1),
+    shares must be n/total at 6 dp, expectations must equal
+    log10(1+1/d), and chi² terms must re-derive from the ROUNDED
+    share (the spec'd boundary)."""
+    import math
+
+    import __spark_entry__ as m
+
+    rows = m.queries()["benford_audit"](spark, SF01).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source_column, []).append(r)
+    assert set(by_src) == {
+        "lineitem.l_extendedprice",
+        "orders.o_totalprice",
+    }
+    li = _li(spark).filter(F.col("l_extendedprice") >= 1)
+    od = _od(spark).filter(F.col("o_totalprice") >= 1)
+    totals = {
+        "lineitem.l_extendedprice": li.count(),
+        "orders.o_totalprice": od.count(),
+    }
+    for src, rs in by_src.items():
+        tot = totals[src]
+        assert sum(r.n for r in rs) == tot
+        for r in rs:
+            assert 1 <= r.digit <= 9
+            assert abs(r.share - round(r.n / tot, 6)) < 1e-12
+            assert abs(
+                r.expected_share - round(math.log10(1 + 1 / r.digit), 6)
+            ) < 1e-12
+            expect_chi = round(
+                (r.share - r.expected_share) ** 2 / r.expected_share, 6
+            )
+            assert abs(r.chi2_term - expect_chi) <= 1e-6
+    # brute first-digit recount for lineitem
+    import collections
+
+    cnt = collections.Counter(
+        int(str(int(v.l_extendedprice))[0]) for v in li.collect()
+    )
+    got = {r.digit: r.n for r in by_src["lineitem.l_extendedprice"]}
+    assert got == {d: c for d, c in cnt.items()}
