@@ -277,24 +277,33 @@ def main() -> None:
     # 1-dp times (the 3-dp record lives in BENCH.out and the full
     # line above) — sized to sit entirely inside the 2000-char tail
     # with headroom for future rows.
-    compact = json.dumps(
-        {
+    # If the full map would overflow the tail, DROP THE CHEAPEST ROWS
+    # (deterministically: time asc, then name) until it fits and say
+    # how many were omitted — the expensive rows are the signal; the
+    # old all-or-nothing fallback lost the whole map at the boundary.
+    by_cheap = sorted(timings, key=lambda n: (timings[n], n))
+    omitted = 0
+    while True:
+        kept = {
+            short[n]: round(t, 1)
+            for n, t in timings.items()
+            if n not in set(by_cheap[:omitted])
+        }
+        payload = {
             "metric": "headline sec (map: BENCH.out)",
             "value": total,
             "unit": "sec",
-            "queries": {short[n]: round(t, 1) for n, t in timings.items()},
+            "queries": kept,
             "sf": sf,
             "n": len(timings),
             "la": full["loadavg_start"][0],
-        },
-        separators=(",", ":"),
-    )
-    if len(compact) > 1900:  # last-resort: never emit an unparseable tail
-        compact = json.dumps(
-            {"metric": "headline sec (see BENCH.out)", "value": total,
-             "unit": "sec", "sf": sf, "n": len(timings)},
-            separators=(",", ":"),
-        )
+        }
+        if omitted:
+            payload["omitted_cheapest"] = omitted
+        compact = json.dumps(payload, separators=(",", ":"))
+        if len(compact) <= 1900 or omitted >= len(timings):
+            break
+        omitted += 10
     print(compact)
 
 

@@ -106,23 +106,36 @@ def label_centroid_similarity(embeddings: DataFrame, dim: int = 64) -> DataFrame
             "label_b",
             "n_a",
             "n_b",
-            round_away(
-                F.col("dot").cast("double")
-                / (
-                    F.sqrt(F.col("__da").cast("double"))
-                    * F.sqrt(F.col("__db").cast("double"))
+            # exact-integer guards: a fully-cancelled centroid (‖S‖=0,
+            # possible with opposing vectors) has no direction — the
+            # unguarded division would ABORT under ANSI; the guard
+            # predicate is integer-exact, identical on both engines.
+            F.when(
+                (F.col("__da") > 0) & (F.col("__db") > 0),
+                round_away(
+                    F.col("dot").cast("double")
+                    / (
+                        F.sqrt(F.col("__da").cast("double"))
+                        * F.sqrt(F.col("__db").cast("double"))
+                    ),
+                    6,
                 ),
-                6,
             ).alias("cosine"),
-            round_away(
-                F.sqrt(F.col("__da").cast("double"))
-                / (F.col("n_a").cast("double") * qd),
-                6,
+            F.when(
+                F.col("__da") > 0,
+                round_away(
+                    F.sqrt(F.col("__da").cast("double"))
+                    / (F.col("n_a").cast("double") * qd),
+                    6,
+                ),
             ).alias("coherence_a"),
-            round_away(
-                F.sqrt(F.col("__db").cast("double"))
-                / (F.col("n_b").cast("double") * qd),
-                6,
+            F.when(
+                F.col("__db") > 0,
+                round_away(
+                    F.sqrt(F.col("__db").cast("double"))
+                    / (F.col("n_b").cast("double") * qd),
+                    6,
+                ),
             ).alias("coherence_b"),
         )
         .orderBy("label_a", "label_b")
@@ -160,13 +173,18 @@ pd AS (
     GROUP BY 1, 2
 )
 SELECT pd.label_a, pd.label_b, ca.n AS n_a, cb.n AS n_b,
-    round(CAST(pd.dot AS DOUBLE)
-        / (sqrt(CAST(da.d AS DOUBLE)) * sqrt(CAST(db.d AS DOUBLE))),
-        6) AS cosine,
-    round(sqrt(CAST(da.d AS DOUBLE))
-        / (CAST(ca.n AS DOUBLE) * {float(Q_SCALE)!r}), 6) AS coherence_a,
-    round(sqrt(CAST(db.d AS DOUBLE))
-        / (CAST(cb.n AS DOUBLE) * {float(Q_SCALE)!r}), 6) AS coherence_b
+    CASE WHEN da.d > 0 AND db.d > 0 THEN
+        round(CAST(pd.dot AS DOUBLE)
+            / (sqrt(CAST(da.d AS DOUBLE)) * sqrt(CAST(db.d AS DOUBLE))),
+            6) END AS cosine,
+    CASE WHEN da.d > 0 THEN
+        round(sqrt(CAST(da.d AS DOUBLE))
+            / (CAST(ca.n AS DOUBLE) * {float(Q_SCALE)!r}), 6)
+        END AS coherence_a,
+    CASE WHEN db.d > 0 THEN
+        round(sqrt(CAST(db.d AS DOUBLE))
+            / (CAST(cb.n AS DOUBLE) * {float(Q_SCALE)!r}), 6)
+        END AS coherence_b
 FROM pd
 JOIN sd da ON da.label = pd.label_a
 JOIN sd db ON db.label = pd.label_b
@@ -242,23 +260,33 @@ def label_loo_outliers(
             F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("__qq"),
         )
     )
-    scored = dots.join(F.broadcast(ss), "label").select(
-        "vec_id",
-        "label",
-        round_away(
-            (F.col("__qs") - F.col("__qq")).cast("double")
-            / (
-                F.sqrt(F.col("__qq").cast("double"))
-                * F.sqrt(
-                    (
-                        F.col("__ss")
-                        - F.lit(2).cast("decimal(38,0)") * F.col("__qs")
-                        + F.col("__qq")
-                    ).cast("double")
-                )
-            ),
-            6,
-        ).alias("loo_cosine"),
+    # EXACT integer pre-filter on the ‖S−q‖² term: a singleton label
+    # (S = q) — or the degenerate cancellation where the rest of the
+    # class sums to the zero vector — has no defined LOO direction;
+    # under ANSI mode the division would ABORT the query, and a NULL
+    # would order differently across engines. The predicate is pure
+    # integer arithmetic, so both sides drop exactly the same rows.
+    scored = (
+        dots.join(F.broadcast(ss), "label")
+        .withColumn(
+            "__den2",
+            F.col("__ss")
+            - F.lit(2).cast("decimal(38,0)") * F.col("__qs")
+            + F.col("__qq"),
+        )
+        .filter(F.col("__den2") > 0)
+        .select(
+            "vec_id",
+            "label",
+            round_away(
+                (F.col("__qs") - F.col("__qq")).cast("double")
+                / (
+                    F.sqrt(F.col("__qq").cast("double"))
+                    * F.sqrt(F.col("__den2").cast("double"))
+                ),
+                6,
+            ).alias("loo_cosine"),
+        )
     )
     w = Window.partitionBy("label").orderBy(
         F.asc("loo_cosine"), F.asc("vec_id")
@@ -306,6 +334,7 @@ scored AS (
                * sqrt(CAST(ss.ssum - 2 * d.qs + d.qq AS DOUBLE))),
             6) AS loo_cosine
     FROM dots d JOIN ss ON ss.label = d.label
+    WHERE (ss.ssum - 2 * d.qs + d.qq) > 0
 ),
 ranked AS (
     SELECT label, vec_id, loo_cosine,

@@ -109,7 +109,10 @@ def rake_keywords(documents: DataFrame, k: int = 20) -> DataFrame:
 
 def rake_oracle_sql(k: int = 20) -> str:
     """DuckDB twin, generated from the SAME stopword/regex/k literals."""
-    stop_sql = _STOP_RE.replace("\\", "\\")
+    # DuckDB single-quoted strings pass backslashes through verbatim,
+    # so _STOP_RE embeds as-is; only the apostrophe in the punctuation
+    # class needs SQL quoting.
+    stop_sql = _STOP_RE
     punct_sql = _PUNCT_RE.replace("'", "''")
     return f"""
 WITH seg AS (

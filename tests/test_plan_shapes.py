@@ -391,6 +391,9 @@ def test_no_row_path_python_udfs_anywhere(spark):
         "repeated_spans_rolling",
         # round 5: composes the PQ/IVF-PQ ADC kernels it reports on
         "ann_recall_report",
+        # round 9: composes the documented BLAS block-matmul tier
+        # (cosine_topk_blas) for its LOO 1-NN pool
+        "knn_label_eval",
     }
     unexpected = set(arrow_kernels) - allowed
     assert not unexpected, f"undocumented Arrow kernels in: {sorted(unexpected)}"

@@ -655,10 +655,13 @@ def test_knn_label_eval_numpy_parity(spark):
     sims = M @ M.T
     per_label = {}
     for i, vid in enumerate(ids):
-        # nearest other vector, cosine desc then vec_id asc
-        best = max(
+        # the operator's vote contract: raw top-3 pool, re-ranked on
+        # the 6-dp rounded cosine with vec_id tiebreak
+        pool = sorted(
             ((sims[i, j], -ids[j]) for j in range(len(ids)) if j != i),
-        )
+            reverse=True,
+        )[:3]
+        best = max((round(c, 6), neg_id) for c, neg_id in pool)
         nn_id = -best[1]
         lab = labels[vid]
         n, c = per_label.get(lab, (0, 0))
