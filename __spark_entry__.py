@@ -633,8 +633,9 @@ def q_part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: leave-one-out 1-NN label accuracy per class — the
-    # embedding-space eval (labels-cluster check); LOO rides
-    # cosine_topk's self-exclusion; brute ground-truth tier by design.
+    # embedding-space eval (labels-cluster check); LOO rides the
+    # exact BLAS tier's self-exclusion, vote re-ranked on the 6-dp
+    # contracted cosine (see knn_label_eval docstring).
     from stock_market_data_pipeline_v2_spark.operators.similarity import (
         knn_label_eval,
     )
