@@ -195,7 +195,7 @@ HEADLINE = [
     "part_skyline",             # added round 9: per-brand pareto frontier
     "label_centroid_similarity",    # added round 9: class separation/coherence audit
     "label_loo_outliers",       # added round 9: LOO-centroid mislabel audit
-    "knn_label_eval",           # added round 9: LOO 1-NN label accuracy (brute tier)
+    "knn_label_eval",           # added round 9: LOO 1-NN label accuracy (BLAS-exact tier)
     "part_abc_analysis",        # added round 9: ABC/Pareto revenue classes
     "rake_keywords",            # added round 9: RAKE keyword phrases
     "benford_audit",            # added round 9: Benford first-digit audit

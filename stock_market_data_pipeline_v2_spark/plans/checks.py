@@ -223,18 +223,28 @@ def referential_integrity_audit(
 
     An orphan is a NON-NULL foreign key with no parent row (dbt's
     relationship-test semantics: NULL FKs are not violations).
+    Relationship tests are EXISTENCE tests, so every parent side joins
+    as a DISTINCT key set: a duplicated parent key (itself a
+    ``data_quality_report`` uniqueness failure) cannot multiply child
+    rows or inflate the orphan counts — the folded three-edge fact
+    pass is row-preserving by construction, not by precondition
+    (ADVICE r9 #2).
 
     100 TB shape: lineitem's three edges fold into ONE fact pass —
     part/supplier parent-key sets join broadcast, the orders edge is
     one co-partitioned equi shuffle (both sides fact-scale; no
     broadcast pretense) — then a single conditional-count aggregate.
+    The parent-key distinct is a map-side-combinable narrow-key
+    aggregate whose exchange the join reuses.
     ``sample_orphan_key`` is a MIN (no distinct-count Expand over the
     fact). The remaining four edges are dim-scale passes.
     """
     li = lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
-    pk = F.broadcast(part.select(F.col("p_partkey").alias("__pk")))
-    sk = F.broadcast(supplier.select(F.col("s_suppkey").alias("__sk")))
-    ok = orders.select(F.col("o_orderkey").alias("__ok"))
+    pk = F.broadcast(part.select(F.col("p_partkey").alias("__pk")).distinct())
+    sk = F.broadcast(
+        supplier.select(F.col("s_suppkey").alias("__sk")).distinct()
+    )
+    ok = orders.select(F.col("o_orderkey").alias("__ok")).distinct()
     j = (
         li.join(pk, li["l_partkey"] == F.col("__pk"), "left")
         .join(sk, li["l_suppkey"] == F.col("__sk"), "left")
@@ -296,7 +306,7 @@ def referential_integrity_audit(
         parent_key: str,
     ) -> DataFrame:
         pkeys = F.broadcast(
-            parent.select(F.col(parent_key).alias("__pkey"))
+            parent.select(F.col(parent_key).alias("__pkey")).distinct()
         )
         bad = F.col(fk).isNotNull() & F.col("__pkey").isNull()
         return (
@@ -499,49 +509,56 @@ WITH edges AS (
         CAST(min(CASE WHEN l.l_orderkey IS NOT NULL
             AND o.o_orderkey IS NULL THEN l.l_orderkey END)
             AS BIGINT) AS sample_orphan_key
-    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
     UNION ALL
     SELECT 'lineitem', 'l_partkey', 'part', CAST(count(*) AS BIGINT),
         CAST(count_if(l.l_partkey IS NOT NULL
             AND p.p_partkey IS NULL) AS BIGINT),
         CAST(min(CASE WHEN l.l_partkey IS NOT NULL
             AND p.p_partkey IS NULL THEN l.l_partkey END) AS BIGINT)
-    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        ON l.l_partkey = p.p_partkey
     UNION ALL
     SELECT 'lineitem', 'l_suppkey', 'supplier', CAST(count(*) AS BIGINT),
         CAST(count_if(l.l_suppkey IS NOT NULL
             AND s.s_suppkey IS NULL) AS BIGINT),
         CAST(min(CASE WHEN l.l_suppkey IS NOT NULL
             AND s.s_suppkey IS NULL THEN l.l_suppkey END) AS BIGINT)
-    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+        ON l.l_suppkey = s.s_suppkey
     UNION ALL
     SELECT 'orders', 'o_custkey', 'customer', CAST(count(*) AS BIGINT),
         CAST(count_if(o.o_custkey IS NOT NULL
             AND c.c_custkey IS NULL) AS BIGINT),
         CAST(min(CASE WHEN o.o_custkey IS NOT NULL
             AND c.c_custkey IS NULL THEN o.o_custkey END) AS BIGINT)
-    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'customer', 'c_nationkey', 'nation', CAST(count(*) AS BIGINT),
         CAST(count_if(c.c_nationkey IS NOT NULL
             AND n.n_nationkey IS NULL) AS BIGINT),
         CAST(min(CASE WHEN c.c_nationkey IS NOT NULL
             AND n.n_nationkey IS NULL THEN c.c_nationkey END) AS BIGINT)
-    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        ON c.c_nationkey = n.n_nationkey
     UNION ALL
     SELECT 'supplier', 's_nationkey', 'nation', CAST(count(*) AS BIGINT),
         CAST(count_if(s.s_nationkey IS NOT NULL
             AND n.n_nationkey IS NULL) AS BIGINT),
         CAST(min(CASE WHEN s.s_nationkey IS NOT NULL
             AND n.n_nationkey IS NULL THEN s.s_nationkey END) AS BIGINT)
-    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        ON s.s_nationkey = n.n_nationkey
     UNION ALL
     SELECT 'nation', 'n_regionkey', 'region', CAST(count(*) AS BIGINT),
         CAST(count_if(n.n_regionkey IS NOT NULL
             AND r.r_regionkey IS NULL) AS BIGINT),
         CAST(min(CASE WHEN n.n_regionkey IS NOT NULL
             AND r.r_regionkey IS NULL THEN n.n_regionkey END) AS BIGINT)
-    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    FROM nation n LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+        ON n.n_regionkey = r.r_regionkey
 )
 SELECT *, CASE WHEN orphan_rows > 0 THEN 'fail' ELSE 'pass' END AS status
 FROM edges
