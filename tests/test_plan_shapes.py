@@ -394,6 +394,9 @@ def test_no_row_path_python_udfs_anywhere(spark):
         # round 9: composes the documented BLAS block-matmul tier
         # (cosine_topk_blas) for its LOO 1-NN pool
         "knn_label_eval",
+        # round 10: the keyed-state fold's batch twin (recursive EMA
+        # class — streaming/stateful.py shares the fold function)
+        "stateful_features",
     }
     unexpected = set(arrow_kernels) - allowed
     assert not unexpected, f"undocumented Arrow kernels in: {sorted(unexpected)}"
