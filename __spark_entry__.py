@@ -2406,14 +2406,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ORDER IS EVIDENCE (CLAUDE.md): the driver samples the FIRST 50
-# entries. Round-9 window = the 9 new never-sampled r9 queries +
-# the 41 stalest previously-sampled entries (head of the r8 tail);
-# the two by-design rows-only entries sit at slots 51/52, behind
-# the sample per the registry invariant; the freshest (r8-sampled)
-# block is at the very end. Future rotations edit THIS list only —
-# the funcs dict below is order-insignificant.
+# entries. Round-10 window (the documented r10 rule: no red
+# CORRECTNESS_r09 rows exist) = the 3 new r10 queries, then the 47
+# stalest previously-sampled entries read straight off the head of
+# the r9 tail (regional_customer_summary … dedup_incremental). The
+# two by-design rows-only entries sit at slots 51/52, behind the
+# sample per the registry invariant; then the remaining unsampled
+# tail in staleness order; the 50 r9-sampled entries (freshest) are
+# the very end — r11's window reads from dedup_keep_best onward.
+# Future rotations edit THIS list only — the funcs dict below is
+# order-insignificant.
 _QUERY_ORDER = [
     "knn_label_eval_ivf", "stateful_features", "pipeline_lineage",
+    "regional_customer_summary", "pricing_summary", "top_revenue_orders",
+    "merge_upsert", "snapshot_diff", "scd2_user_status",
+    "regional_supplier_revenue", "windowed_analytics_range_join", "daily_returns",
+    "rolling_indicators", "stock_performance", "window_agg_15m",
+    "windowed_analytics", "realtime_signals", "doc_fingerprint",
+    "lm_perplexity", "boilerplate_prefixes", "winsorize_ticks",
+    "pii_scrub", "strip_html", "split_sentences",
+    "gopher_filter", "repetition_filter", "mix_corpus",
+    "chunk_documents", "token_frequency", "stratified_sample",
+    "shuffle_corpus", "source_drift_kl", "length_bucket_batches",
+    "bpe_token_counts", "sft_render_spans", "hash_embeddings",
+    "zorder_events", "ngram_containment", "leakage_safe_split",
+    "importance_weights", "importance_resample", "pack_sequences",
+    "quality_decile_bins", "curation_pipeline", "corpus_stats_by_source",
+    "dedup_exact", "repeated_spans", "dedup_sentences",
+    "lm_perplexity_cross", "dedup_incremental", "windowed_analytics_reagg",
+    "image_features", "dedup_keep_best", "hll_event_users",
+    "dedup_sorted_neighborhood", "embedding_diversity", "part_name_fuzzy_pairs",
+    "profile_lineitem", "order_value_distribution", "type_token_stats",
+    "bloom_decontaminate", "event_value_quantile_sketch", "event_transitions",
+    "part_pagerank", "dedup_prefix_filter", "lineitem_profile_drift",
+    "hll_daily_rollup", "cms_token_frequency", "part_triangles",
+    "return_moments", "return_outliers", "sector_activity_sketch",
+    "profile_lineitem_sketch", "part_kcore", "quality_classifier",
+    "winnow_fingerprints", "passage_overlap", "passage_clusters",
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_clusters_star",
+    "dedup_simhash", "dedup_embedding", "dedup_embedding_blas",
+    "ann_cosine_topk", "ann_cosine_topk_blas", "bm25_topk",
+    "hybrid_search_rrf", "tfidf_topk", "shingle_novelty",
+    "cross_source_contamination", "multimodal_meta", "asof_tick_bar",
+    "session_windows", "symbols_both_halves", "users_only_before",
+    "top_volume_days", "walk_forward_splits", "market_beta",
+    "event_value_quantiles", "return_correlations", "bollinger_bands",
+    "stochastic_k", "hll_user_overlap", "embedding_top_component",
+    "lineitem_profile_drift_sketch", "source_quality_profile", "weighted_price_median",
+    "classifier_auc_report", "copurchase_rules", "lang_id_confusion",
+    "histogram_daily_rollup", "part_components", "ivf_cluster_profile",
+    "shipping_priority_topk", "returnflag_priority_counts", "dominant_part_suppliers",
+    "cms_daily_rollup", "pq_subspace_profile", "ann_index_extend",
+    "pq_index_extend", "bloom_daily_rollup", "macd",
+    "atr_obv", "drawdown", "rolling_beta",
+    "cross_sectional_ranks", "pmi_collocations", "balance_rich_dormant",
+    "min_cost_supplier", "nation_revenue_share", "bilateral_trade",
+    "disjunctive_brand_revenue", "top_return_customers", "sharpe_ratios",
+    "monthly_revenue_growth", "dedup_minhash_lsh", "dedup_incremental_lsh",
+    "dedup_embedding_ivf", "ann_ivf_topk", "ann_pq_topk",
+    "ann_ivfpq_topk", "ann_lsh_topk", "prototypicality_prune",
+    "audio_features", "multimodal_decode", "multimodal_frames",
+    "multimodal_resize", "banded_discount_revenue", "nation_market_share",
+    "supplier_nation_profit", "customer_order_distribution", "top_supplier_revenue",
     "range_frame_revenue", "join_skew_profile", "degree_distribution",
     "link_prediction", "classifier_calibration", "minhash_estimate_audit",
     "hard_negative_mining", "ann_sq8_topk", "hard_negative_ivf",
@@ -2430,57 +2484,7 @@ _QUERY_ORDER = [
     "promo_revenue_monthly", "small_qty_part_revenue", "large_volume_customers",
     "returned_orders_by_priority", "dormant_customers", "exclusive_fault_suppliers",
     "event_type_pivot", "text_quality", "lang_id",
-    "daily_bars", "daily_summary", "regional_customer_summary",
-    "pricing_summary", "top_revenue_orders", "merge_upsert",
-    "snapshot_diff", "scd2_user_status", "regional_supplier_revenue",
-    "windowed_analytics_range_join", "daily_returns", "rolling_indicators",
-    "stock_performance", "window_agg_15m", "windowed_analytics",
-    "realtime_signals", "doc_fingerprint", "windowed_analytics_reagg",
-    "image_features", "lm_perplexity", "boilerplate_prefixes",
-    "winsorize_ticks", "pii_scrub", "strip_html",
-    "split_sentences", "gopher_filter", "repetition_filter",
-    "mix_corpus", "chunk_documents", "token_frequency",
-    "stratified_sample", "shuffle_corpus", "source_drift_kl",
-    "length_bucket_batches", "bpe_token_counts", "sft_render_spans",
-    "hash_embeddings", "zorder_events", "ngram_containment",
-    "leakage_safe_split", "importance_weights", "importance_resample",
-    "pack_sequences", "quality_decile_bins", "curation_pipeline",
-    "corpus_stats_by_source", "dedup_exact", "repeated_spans",
-    "dedup_sentences", "lm_perplexity_cross", "dedup_incremental",
-    "dedup_keep_best", "hll_event_users", "dedup_sorted_neighborhood",
-    "embedding_diversity", "part_name_fuzzy_pairs", "profile_lineitem",
-    "order_value_distribution", "type_token_stats", "bloom_decontaminate",
-    "event_value_quantile_sketch", "event_transitions", "part_pagerank",
-    "dedup_prefix_filter", "lineitem_profile_drift", "hll_daily_rollup",
-    "cms_token_frequency", "part_triangles", "return_moments",
-    "return_outliers", "sector_activity_sketch", "profile_lineitem_sketch",
-    "part_kcore", "quality_classifier", "winnow_fingerprints",
-    "passage_overlap", "passage_clusters", "dedup_ngram_jaccard",
-    "dedup_clusters", "dedup_clusters_star", "dedup_simhash",
-    "dedup_embedding", "dedup_embedding_blas", "ann_cosine_topk",
-    "ann_cosine_topk_blas", "bm25_topk", "hybrid_search_rrf",
-    "tfidf_topk", "shingle_novelty", "cross_source_contamination",
-    "multimodal_meta", "asof_tick_bar", "session_windows",
-    "symbols_both_halves", "users_only_before", "top_volume_days",
-    "walk_forward_splits", "market_beta", "event_value_quantiles",
-    "return_correlations", "bollinger_bands", "stochastic_k",
-    "hll_user_overlap", "embedding_top_component", "lineitem_profile_drift_sketch",
-    "source_quality_profile", "weighted_price_median", "classifier_auc_report",
-    "copurchase_rules", "lang_id_confusion", "histogram_daily_rollup",
-    "part_components", "ivf_cluster_profile", "shipping_priority_topk",
-    "returnflag_priority_counts", "dominant_part_suppliers", "cms_daily_rollup",
-    "pq_subspace_profile", "ann_index_extend", "pq_index_extend",
-    "bloom_daily_rollup", "macd", "atr_obv",
-    "drawdown", "rolling_beta", "cross_sectional_ranks",
-    "pmi_collocations", "balance_rich_dormant", "min_cost_supplier",
-    "nation_revenue_share", "bilateral_trade", "disjunctive_brand_revenue",
-    "top_return_customers", "sharpe_ratios", "monthly_revenue_growth",
-    "dedup_minhash_lsh", "dedup_incremental_lsh", "dedup_embedding_ivf",
-    "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-    "ann_lsh_topk", "prototypicality_prune", "audio_features",
-    "multimodal_decode", "multimodal_frames", "multimodal_resize",
-    "banded_discount_revenue", "nation_market_share", "supplier_nation_profit",
-    "customer_order_distribution", "top_supplier_revenue",
+    "daily_bars", "daily_summary",
 ]
 
 

@@ -397,6 +397,9 @@ def test_no_row_path_python_udfs_anywhere(spark):
         # round 10: the keyed-state fold's batch twin (recursive EMA
         # class — streaming/stateful.py shares the fold function)
         "stateful_features",
+        # round 10: per-cell BLAS candidate kernels (the documented
+        # block-grid tier, grouped by IVF cell — PERF.md lesson 9)
+        "knn_label_eval_ivf",
     }
     unexpected = set(arrow_kernels) - allowed
     assert not unexpected, f"undocumented Arrow kernels in: {sorted(unexpected)}"
