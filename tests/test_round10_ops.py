@@ -296,3 +296,62 @@ def test_pipeline_lineage_registry_is_load_bearing():
     assert all(mats[n] == "view" for n in names if n.startswith("stg_"))
     assert all(mats[n] == "ephemeral" for n in names if n.startswith("int_"))
     assert all(mats[n] == "table" for n in names if n.startswith("mart_"))
+
+
+def test_pool_prune_kernel_edge_cases():
+    """The factored-out BLAS prune kernel (shared by cosine_topk_blas
+    and the per-cell IVF eval) pinned on its corners: self-pairs
+    masked, zero-norm members pruned, within-margin ties kept, and
+    empty sides returning an empty typed frame."""
+    import numpy as np
+    import pandas as pd
+
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        _pool_prune_kernel,
+    )
+
+    k = _pool_prune_kernel(1, 1e-9)
+
+    def frame(rows):
+        return pd.DataFrame(
+            {
+                "id": [r[0] for r in rows],
+                "v": [r[1] for r in rows],
+                "is_q": [r[2] for r in rows],
+            }
+        )
+
+    # query 100 against members 1 (identical), 2 (orthogonal),
+    # 3 (zero-norm), and itself (id 100 present as member too)
+    out = k(
+        None,
+        frame(
+            [
+                (1, [1.0, 0.0], False),
+                (2, [0.0, 1.0], False),
+                (3, [0.0, 0.0], False),
+                (100, [1.0, 0.0], False),  # self as member
+                (100, [1.0, 0.0], True),
+            ]
+        ),
+    )
+    pairs = set(zip(out["query_id"], out["neighbor_id"]))
+    assert (100, 1) in pairs          # the true top-1 survives
+    assert (100, 100) not in pairs    # self-pair masked
+    assert (100, 3) not in pairs      # zero-norm loses every rank
+    # within-margin tie: two identical members both kept at k=1
+    out2 = k(
+        None,
+        frame(
+            [
+                (1, [1.0, 0.0], False),
+                (2, [1.0, 0.0], False),
+                (9, [1.0, 0.0], True),
+            ]
+        ),
+    )
+    pairs2 = set(zip(out2["query_id"], out2["neighbor_id"]))
+    assert pairs2 == {(9, 1), (9, 2)}
+    # empty member side
+    out3 = k(None, frame([(9, [1.0, 0.0], True)]))
+    assert len(out3) == 0 and out3["query_id"].dtype == np.int64
