@@ -355,3 +355,27 @@ def test_pool_prune_kernel_edge_cases():
     # empty member side
     out3 = k(None, frame([(9, [1.0, 0.0], True)]))
     assert len(out3) == 0 and out3["query_id"].dtype == np.int64
+
+
+def test_ivf_eval_probe_forms_identical(spark):
+    """The n_cells<100 branch in knn_label_eval_ivf is a PHYSICAL
+    plan choice only: the codegen probe ranking and the
+    BLAS-superset + exact-re-rank form must produce the identical
+    report on the same index (the margin proof, pinned as data)."""
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        build_ivf_index,
+        knn_label_eval_ivf,
+    )
+
+    embs = _embs(spark)
+    idx = build_ivf_index(embs, n_assign=3, persist=True)
+    try:
+        small = knn_label_eval_ivf(
+            embs, index=idx, force_blas_probes=False
+        ).collect()
+        blas = knn_label_eval_ivf(
+            embs, index=idx, force_blas_probes=True
+        ).collect()
+    finally:
+        idx.release()
+    assert [tuple(r) for r in small] == [tuple(r) for r in blas]
