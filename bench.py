@@ -205,6 +205,7 @@ HEADLINE = [
     "knn_label_eval_ivf",       # added round 10: IVF twin of the LOO 1-NN eval
     "stateful_features",        # added round 10: keyed-state fold, batch twin
     "pipeline_lineage",         # added round 10: dbt docs/lineage manifest as data
+    "txn_merge_upsert",         # added round 10: MERGE through the ACID manifest path
 ]
 
 
