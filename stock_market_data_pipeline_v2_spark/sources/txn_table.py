@@ -56,6 +56,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -77,12 +78,18 @@ class TxnTable:
 
     # -- bootstrap -------------------------------------------------------
     @classmethod
-    def create(cls, spark: SparkSession, root: str, df: DataFrame) -> "TxnTable":
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        zone_map_col: str | None = None,
+    ) -> "TxnTable":
         t = cls(root)
         os.makedirs(t._versions_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
-        files = t._stage(df)
-        t._try_commit(0, files, "create", df.schema)
+        files, stats = t._stage(df, stats_col=zone_map_col)
+        t._try_commit(0, files, "create", df.schema, stats=stats)
         return t
 
     # -- metadata --------------------------------------------------------
@@ -125,19 +132,49 @@ class TxnTable:
         )
 
     # -- write machinery ---------------------------------------------------
-    def _stage(self, df: DataFrame) -> list[str]:
+    def _stage(
+        self, df: DataFrame, stats_col: str | None = None
+    ) -> tuple[list[str], dict]:
         """Write df's parquet files under a commit-unique subdir and
-        return their table-relative paths. Staged-but-uncommitted
-        files are invisible to readers (manifests never reference
-        them) and are reclaimed by vacuum."""
+        return (table-relative paths, per-file zone-map stats).
+        Staged-but-uncommitted files are invisible to readers
+        (manifests never reference them) and are reclaimed by vacuum.
+
+        ``stats_col``: record each file's [min, max] of this column,
+        read from the parquet FOOTERS it already carries (pyarrow) —
+        the zone map that lets a later merge skip non-intersecting
+        files. A file with no usable footer stats gets no entry and
+        is treated as always-intersecting (conservative)."""
         sub = f"data/{uuid.uuid4().hex}"
         out = os.path.join(self.root, sub)
         df.write.mode("overwrite").parquet(out)
-        return sorted(
+        files = sorted(
             f"{sub}/{name}"
             for name in os.listdir(out)
             if name.endswith(".parquet")
         )
+        stats: dict[str, list] = {}
+        if stats_col is not None:
+            for rel in files:
+                mm = self._footer_min_max(rel, stats_col)
+                if mm is not None:
+                    stats[rel] = mm
+        return files, stats
+
+    def _footer_min_max(self, rel_path: str, col: str) -> list | None:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(self.root, rel_path)).metadata
+        mn = mx = None
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                st = c.statistics
+                if c.path_in_schema == col and st is not None and st.has_min_max:
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+        return None if mn is None else [mn, mx]
 
     def _try_commit(
         self,
@@ -145,6 +182,7 @@ class TxnTable:
         files: list[str],
         op: str,
         schema: StructType,
+        stats: dict | None = None,
     ) -> int:
         version = parent + 1
         body = json.dumps(
@@ -155,6 +193,7 @@ class TxnTable:
                 "files": files,
                 "n_files": len(files),
                 "schema": schema.json(),
+                "stats": stats or {},
             }
         )
         tmp = os.path.join(
@@ -177,15 +216,23 @@ class TxnTable:
 
     # -- operations --------------------------------------------------------
     def append(
-        self, spark: SparkSession, df: DataFrame, max_retries: int = 10
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        max_retries: int = 10,
+        zone_map_col: str | None = None,
     ) -> int:
-        staged = self._stage(df)
+        staged, st = self._stage(df, stats_col=zone_map_col)
         for _ in range(max_retries):
             parent = self.latest_version()
             m = self.manifest(parent)
             try:
                 return self._try_commit(
-                    parent, m["files"] + staged, "append", df.schema
+                    parent,
+                    m["files"] + staged,
+                    "append",
+                    df.schema,
+                    stats={**m.get("stats", {}), **st},
                 )
             except CommitConflict:
                 continue  # re-derive the parent file list and retry
@@ -199,16 +246,66 @@ class TxnTable:
         version_col: str,
         tiebreak_cols: Sequence[str] = (),
         max_retries: int = 10,
+        zone_map_col: str | None = None,
     ) -> int:
         """Optimistic copy-on-write MERGE with `merge_upsert`'s exact
         latest-wins semantics. Serializable: each attempt merges into
         the snapshot whose version it commits against; a lost race
-        re-reads and re-applies, so no committed update is ever lost."""
+        re-reads and re-applies, so no committed update is ever lost.
+
+        ``zone_map_col`` (must be ``keys[0]``) switches to the
+        SELECTIVE rewrite the 100 TB deployment needs: only files
+        whose footer [min, max] range contains at least one update
+        key are read and rewritten; every other file is carried
+        forward untouched. The file-hit test is one broadcast range
+        join of the update keys against the n_files-row stats frame
+        (collecting only hit FILE PATHS — model-sized). Files without
+        recorded stats are conservatively rewritten. End state is
+        identical to the full rewrite PROVIDED snapshots are
+        key-unique — true by construction for create+merge lineage
+        (every merge emits one row per key); after raw ``append``s
+        that may duplicate keys across files, run one full-COW merge
+        (zone_map_col=None) first, exactly Delta's constraint that
+        MERGE sources must not double-match a target row."""
         from ..operators.upsert import merge_upsert
+
+        if zone_map_col is not None and (
+            not keys or zone_map_col != keys[0]
+        ):
+            raise ValueError("zone_map_col must be the leading merge key")
 
         for _ in range(max_retries):
             parent = self.latest_version()
-            snapshot = self.read(spark, parent)
+            m = self.manifest(parent)
+            stats = m.get("stats", {})
+            if zone_map_col is None:
+                touched = list(m["files"])
+                untouched: list[str] = []
+            else:
+                ranged = [
+                    (f, stats[f][0], stats[f][1])
+                    for f in m["files"]
+                    if stats.get(f)
+                ]
+                touched = [f for f in m["files"] if not stats.get(f)]
+                if ranged:
+                    rng = spark.createDataFrame(
+                        ranged, ["__file", "__mn", "__mx"]
+                    )
+                    hit = (
+                        updates.select(F.col(zone_map_col).alias("__k"))
+                        .join(
+                            F.broadcast(rng),
+                            (F.col("__k") >= F.col("__mn"))
+                            & (F.col("__k") <= F.col("__mx")),
+                        )
+                        .select("__file")
+                        .distinct()
+                        .collect()  # hit FILE PATHS only — model-sized
+                    )
+                    touched += sorted(r["__file"] for r in hit)
+                untouched = [f for f in m["files"] if f not in set(touched)]
+            snapshot = self._read_files(spark, touched, m["schema"])
             merged = merge_upsert(
                 snapshot,
                 updates,
@@ -216,12 +313,30 @@ class TxnTable:
                 version_col=version_col,
                 tiebreak_cols=tiebreak_cols,
             )
-            staged = self._stage(merged)
+            staged, st = self._stage(merged, stats_col=zone_map_col)
+            files = untouched + staged
+            new_stats = {
+                **{f: stats[f] for f in untouched if stats.get(f)},
+                **st,
+            }
             try:
-                return self._try_commit(parent, staged, "merge", merged.schema)
+                return self._try_commit(
+                    parent, files, "merge", merged.schema, stats=new_stats
+                )
             except CommitConflict:
                 continue  # somebody committed first: re-merge onto THEIR result
         raise CommitConflict(f"merge gave up after {max_retries} retries")
+
+    def _read_files(
+        self, spark: SparkSession, files: list[str], schema_json: str
+    ) -> DataFrame:
+        if not files:
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        return spark.read.parquet(
+            *[os.path.join(self.root, f) for f in files]
+        )
 
     # -- maintenance ---------------------------------------------------------
     def vacuum(self) -> int:

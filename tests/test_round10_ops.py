@@ -423,8 +423,8 @@ def test_txn_table_conflict_retry_is_serializable(spark, tmp_path):
     t = tt.TxnTable.create(spark, root, _txn_rows(spark, [(1, "a", 1)]))
 
     class Racy(tt.TxnTable):
-        def _stage(self, df):
-            files = super()._stage(df)
+        def _stage(self, df, stats_col=None):
+            files = super()._stage(df, stats_col=stats_col)
             if not getattr(self, "_raced", False):
                 self._raced = True
                 tt.TxnTable(self.root).merge(
@@ -470,3 +470,49 @@ def test_txn_table_append_and_vacuum(spark, tmp_path):
     assert {r.k for r in t.read(spark, 1).collect()} == {1}
     assert {r.k for r in t.read(spark, 2).collect()} == {1, 2}
     assert sum(len(fs) for _, _, fs in os.walk(t._data_dir)) < n_before
+
+
+def test_txn_table_zone_map_selective_merge(spark, tmp_path):
+    """The 100 TB merge path: with footer zone maps recorded, a merge
+    touching a narrow key range must rewrite ONLY intersecting files
+    (untouched file paths carried forward byte-identical in the new
+    manifest) and produce the exact end state of the full rewrite."""
+    from stock_market_data_pipeline_v2_spark.sources.txn_table import TxnTable
+
+    root = str(tmp_path / "t")
+    # create with keys clustered into disjoint file ranges: repartition
+    # by range so file 1 holds low keys, file 2 high keys
+    base = _txn_rows(
+        spark,
+        [(k, f"v{k}", 1) for k in range(1, 9)],
+    ).repartitionByRange(2, "k")
+    t = TxnTable.create(spark, root, base, zone_map_col="k")
+    m1 = t.manifest()
+    assert m1["stats"], "zone maps must be recorded at create"
+    # update touches only the high range
+    t.merge(
+        spark,
+        _txn_rows(spark, [(8, "V8", 2), (9, "new", 2)]),
+        keys=["k"],
+        version_col="ver",
+        zone_map_col="k",
+    )
+    m2 = t.manifest()
+    carried = set(m1["files"]) & set(m2["files"])
+    rewritten = set(m1["files"]) - set(m2["files"])
+    assert carried, "non-intersecting files must be carried forward"
+    assert rewritten, "intersecting files must be rewritten"
+    # end state identical to a full-COW merge on a twin table
+    twin = TxnTable.create(spark, str(tmp_path / "twin"), base)
+    twin.merge(
+        spark,
+        _txn_rows(spark, [(8, "V8", 2), (9, "new", 2)]),
+        keys=["k"],
+        version_col="ver",
+    )
+    got = sorted(tuple(r) for r in t.read(spark).collect())
+    want = sorted(tuple(r) for r in twin.read(spark).collect())
+    assert got == want
+    assert {r.k: r.v for r in t.read(spark).collect()}[8] == "V8"
+    # zone maps survive the commit for the NEXT selective merge
+    assert all(f in m2["stats"] for f in m2["files"])
