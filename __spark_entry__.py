@@ -2124,7 +2124,16 @@ def q_txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = F.lit("2024-01-20").cast("timestamp")
     root = tempfile.mkdtemp(prefix="spark_graft_txn_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    t = TxnTable.create(spark, root, events.filter(F.col("ts") < c1))
+    # zone_map_col exercises the SELECTIVE rewrite path (footer zone
+    # maps + broadcast range-join file skipping) in the driver gate;
+    # create+merge lineage keeps snapshots key-unique, its
+    # correctness precondition.
+    t = TxnTable.create(
+        spark,
+        root,
+        events.filter(F.col("ts") < c1),
+        zone_map_col="user_id",
+    )
     for batch in (
         events.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
         events.filter(F.col("ts") >= c2),
@@ -2135,6 +2144,7 @@ def q_txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             keys=["user_id", "event_type"],
             version_col="ts",
             tiebreak_cols=["event_id"],
+            zone_map_col="user_id",
         )
     return t.read(spark).select(
         "user_id", "event_type", "ts", "event_id", "value"
