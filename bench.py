@@ -206,6 +206,12 @@ HEADLINE = [
     "stateful_features",        # added round 10: keyed-state fold, batch twin
     "pipeline_lineage",         # added round 10: dbt docs/lineage manifest as data
     "txn_merge_upsert",         # added round 10: MERGE through the ACID manifest path
+    #   (r11: the txn demo lineage — create→merge→optimize→merge — is
+    #   build-once/query-many like the ANN indexes; the build lands in
+    #   run 1 and best-of-2 reports the committed-snapshot read path)
+    "txn_time_travel",          # added round 11: pinned-version read off the same lineage
+    "txn_pruned_read",          # added round 11: zone-map file skipping at read time
+    "txn_stream_sink",          # added round 11: idempotent micro-batch commits (replay skipped)
 ]
 
 

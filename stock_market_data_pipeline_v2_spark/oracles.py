@@ -405,6 +405,48 @@ SELECT user_id, event_type, ts, event_id, value
 FROM tagged WHERE rn = 1
 """
 
+# txn_time_travel: the transactional table pinned at version 2 — the
+# snapshot right after the FIRST merge, i.e. latest-wins over only
+# the events that existed then (ts < the second batch's cutoff).
+TXN_TIME_TRAVEL_SQL = """
+WITH tagged AS (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+           ) AS rn
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'
+)
+SELECT user_id, event_type, ts, event_id, value
+FROM tagged WHERE rn = 1
+"""
+
+# txn_pruned_read: zone-map data skipping at read time — semantics
+# must equal read-everything-then-filter, so the oracle is the full
+# latest-wins state restricted to the pruned key range (the filter
+# commutes with per-key latest-wins because user_id is a key column).
+TXN_PRUNED_READ_SQL = """
+WITH tagged AS (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT user_id, event_type, ts, event_id, value
+FROM tagged WHERE rn = 1 AND user_id BETWEEN 0 AND 9
+"""
+
+# txn_stream_sink: three disjoint ts-batches appended idempotently
+# (batch 1 redelivered and skipped) — the end state is exactly the
+# source projection; a duplicated or dropped batch breaks rows_match.
+TXN_STREAM_SINK_SQL = """
+SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+FROM events
+"""
+
 # operators/text.py oracles -------------------------------------------------
 TEXT_STATS_SQL = """
 WITH d AS (SELECT doc_id, lang, source, lower(trim(text)) AS t FROM documents),

@@ -34,6 +34,7 @@ Reference parity map (public file:line):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # (model, layer, materialization, cluster_key, parents, engine_impl)
 # parents: model names, or "source:<src>.<table>" / None (seed).
@@ -137,11 +138,15 @@ def pipeline_lineage(spark: SparkSession) -> DataFrame:
     """The lineage manifest as a DataFrame: one row per (model,
     parent) edge, with layer/materialization/clustering and the
     engine function implementing the model."""
+    # NULLS LAST pinned EXPLICITLY in both engines: Spark's default
+    # asc is nulls-first, DuckDB's is nulls-last — matching
+    # _edge_rows' None-last sort so a future model with both NULL and
+    # non-NULL parents cannot split the tie differently per engine.
     return spark.createDataFrame(
         _edge_rows(),
         "model string, layer string, materialization string, "
         "cluster_key string, parent string, engine_impl string",
-    ).orderBy("model", "parent")
+    ).orderBy("model", F.asc_nulls_last("parent"))
 
 
 def _sq(x: str | None) -> str:
@@ -158,5 +163,5 @@ def pipeline_lineage_oracle_sql() -> str:
 SELECT * FROM (VALUES
     {values}
 ) AS t(model, layer, materialization, cluster_key, parent, engine_impl)
-ORDER BY model, parent
+ORDER BY model, parent NULLS LAST
 """

@@ -334,3 +334,44 @@ def start_enriched_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_txn_sink_stream(
+    spark: SparkSession,
+    source_dir: str,
+    table,
+    checkpoint_dir: str,
+    app_id: str = "txn_sink",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream the tick drop directory into a transactional table
+    (round 11, VERDICT r10 next-round #4): every micro-batch commits
+    through ``TxnTable.commit_stream_batch``, whose manifest carries
+    the per-app (app_id → batch_id) watermark — Delta's
+    SetTransaction. The checkpoint makes batch ids monotone across
+    restarts; the watermark makes a REPLAYED batch (possible in the
+    crash window between sink write and checkpoint commit, the
+    documented at-least-once caveat of the plain-parquet
+    ``start_silver_stream``) a no-op. Together: exactly-once table
+    state, plus snapshot isolation for every concurrent reader —
+    replacing the plain append sink's caveat with the lakehouse
+    contract.
+
+    ``table``: a pre-created ``TxnTable`` (empty create pins the
+    schema). Small files accrue one staged dir per micro-batch; run
+    ``table.optimize(...)`` as maintenance to re-cluster (the same
+    compaction story as sources/io.py:compact_zone, now ACID).
+    """
+    ticks = read_tick_stream(spark, source_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_stream_batch(spark, batch_df, app_id, batch_id)
+
+    writer = (
+        ticks.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

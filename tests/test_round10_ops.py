@@ -464,7 +464,10 @@ def test_txn_table_append_and_vacuum(spark, tmp_path):
     # orphan staging (a writer that died before committing)
     t._stage(_txn_rows(spark, [(99, "orphan", 1)]))
     n_before = sum(len(fs) for _, _, fs in os.walk(t._data_dir))
-    removed = t.vacuum()
+    # grace_seconds=0: this test's orphan is a DEAD writer; the
+    # default 24 h retention (which protects LIVE writers) is
+    # covered by test_round11_ops.py::test_txn_vacuum_grace.
+    removed = t.vacuum(grace_seconds=0)
     assert removed >= 1
     # every committed version still reads after vacuum
     assert {r.k for r in t.read(spark, 1).collect()} == {1}
@@ -486,7 +489,10 @@ def test_txn_table_zone_map_selective_merge(spark, tmp_path):
         spark,
         [(k, f"v{k}", 1) for k in range(1, 9)],
     ).repartitionByRange(2, "k")
-    t = TxnTable.create(spark, root, base, zone_map_col="k")
+    # r11: the selective path now requires PROOF of key-uniqueness —
+    # declare (and have verified) that this base is one-row-per-k,
+    # recording key_unique_on in the create manifest.
+    t = TxnTable.create(spark, root, base, zone_map_col="k", keys=["k"])
     m1 = t.manifest()
     assert m1["stats"], "zone maps must be recorded at create"
     # update touches only the high range
