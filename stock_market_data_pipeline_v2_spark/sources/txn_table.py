@@ -151,15 +151,50 @@ class TxnTable:
         return t
 
     # -- metadata --------------------------------------------------------
+    @property
+    def _hint_path(self) -> str:
+        return os.path.join(self._versions_dir, "_latest_hint")
+
     def latest_version(self) -> int:
-        vs = [
-            int(f[1:9])
-            for f in os.listdir(self._versions_dir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        if not vs:
+        """Resolve the latest committed version in O(1) amortized
+        metadata reads: start from the ``_latest_hint`` pointer
+        (written AFTER each commit via atomic os.replace — Delta's
+        ``_last_checkpoint`` idea) and probe FORWARD until the next
+        manifest is missing. The hint is only ever a lower bound (a
+        writer can die between link and hint update; a stale hint
+        just means a few extra existence probes), so correctness
+        never depends on it; a missing/corrupt hint falls back to
+        the directory listing. With a long history this is the
+        difference between one stat-chain and listing 100 k manifest
+        files on every snapshot resolution."""
+        lo = 0
+        try:
+            with open(self._hint_path) as fh:
+                lo = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            vs = [
+                int(f[1:9])
+                for f in os.listdir(self._versions_dir)
+                if f.startswith("v") and f.endswith(".json")
+            ]
+            if not vs:
+                raise FileNotFoundError(
+                    f"no committed version under {self.root}"
+                ) from None
+            lo = max(vs)
+        if lo < 1 or not os.path.exists(self._manifest_path(lo)):
             raise FileNotFoundError(f"no committed version under {self.root}")
-        return max(vs)
+        while os.path.exists(self._manifest_path(lo + 1)):
+            lo += 1
+        return lo
+
+    def _update_hint(self, version: int) -> None:
+        tmp = self._hint_path + f".{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._hint_path)  # atomic; monotone because
+        # a racing older writer's replace still leaves a valid lower
+        # bound — the forward probe absorbs any staleness
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._versions_dir, f"v{version:08d}.json")
@@ -318,7 +353,32 @@ class TxnTable:
             raise CommitConflict(f"version {version} already committed") from exc
         finally:
             os.unlink(tmp)
+        self._update_hint(version)
         return version
+
+    @staticmethod
+    def _require_schema_match(
+        schema: StructType, manifest_schema_json: str, op: str
+    ) -> None:
+        """Appends add FILES to an existing snapshot, so a schema
+        drift would silently commit a mixed-schema table (readers
+        would null-fill or misread depending on which file the scan
+        samples first). Fail loudly instead — order-insensitive on
+        (name, type), nullability ignored (parquet round-trips may
+        tighten it). Schema EVOLUTION would be a separate committed
+        operation (Delta's mergeSchema); this table format keeps the
+        invariant that every version has one schema."""
+        want = StructType.fromJson(json.loads(manifest_schema_json))
+        norm = lambda s: sorted(  # noqa: E731
+            (f.name, f.dataType.simpleString()) for f in s.fields
+        )
+        if norm(schema) != norm(want):
+            raise ValueError(
+                f"{op}: schema mismatch vs committed table. "
+                f"table={norm(want)} incoming={norm(schema)}; "
+                "schema evolution is not supported — migrate via a "
+                "full-COW merge of a re-projected snapshot"
+            )
 
     # -- operations --------------------------------------------------------
     def append(
@@ -328,6 +388,7 @@ class TxnTable:
         max_retries: int = 10,
         zone_map_col: str | None = None,
     ) -> int:
+        self._require_schema_match(df.schema, self.manifest()["schema"], "append")
         staged, st = self._stage(df, stats_col=zone_map_col)
         for _ in range(max_retries):
             parent = self.latest_version()
@@ -527,6 +588,9 @@ class TxnTable:
         already committed (the idempotent no-op)."""
         if batch_id <= self.last_committed_batch(app_id):
             return None
+        self._require_schema_match(
+            df.schema, self.manifest()["schema"], "stream-append"
+        )
         staged, st = self._stage(df, stats_col=zone_map_col)
         for _ in range(max_retries):
             parent = self.latest_version()
@@ -581,9 +645,11 @@ class TxnTable:
         cutoff = time.time() - grace_seconds
         removed = 0
         for name in os.listdir(self._versions_dir):
-            # abandoned manifest temps (writer died before/after link)
+            # abandoned manifest/hint temps (writer died mid-commit)
             path = os.path.join(self._versions_dir, name)
-            if name.startswith(".tmp-") and os.path.getmtime(path) < cutoff:
+            if (
+                name.startswith(".tmp-") or name.startswith("_latest_hint.")
+            ) and os.path.getmtime(path) < cutoff:
                 os.unlink(path)
                 removed += 1
         for sub in os.listdir(self._data_dir):

@@ -262,6 +262,69 @@ def test_txn_sink_stream_exactly_once_across_restart(spark, tmp_path):
     assert "stream-append" in {h["op"] for h in t.history()}
 
 
+def test_txn_latest_hint_is_a_lower_bound_not_a_dependency(spark, tmp_path):
+    """latest_version resolves O(1) off the _latest_hint pointer, but
+    the hint is only ever a hint: stale, missing, or corrupt hints
+    all still resolve the true latest (forward probe / listdir
+    fallback), so a writer dying between link and hint update can
+    never wedge readers."""
+    import os
+
+    from stock_market_data_pipeline_v2_spark.sources.txn_table import TxnTable
+
+    root = str(tmp_path / "t")
+    t = TxnTable.create(spark, root, _rows(spark, [(1, "a", 1)]))
+    t.append(spark, _rows(spark, [(2, "b", 1)]))
+    t.append(spark, _rows(spark, [(3, "c", 1)]))
+    assert t.latest_version() == 3
+    # stale hint (writer died before updating it) → forward probe
+    with open(t._hint_path, "w") as fh:
+        fh.write("1")
+    assert t.latest_version() == 3
+    # corrupt hint → listdir fallback
+    with open(t._hint_path, "w") as fh:
+        fh.write("not-a-version")
+    assert t.latest_version() == 3
+    # missing hint → listdir fallback
+    os.unlink(t._hint_path)
+    assert t.latest_version() == 3
+    # and the next commit restores it
+    t.append(spark, _rows(spark, [(4, "d", 1)]))
+    with open(t._hint_path) as fh:
+        assert fh.read().strip() == "4"
+
+
+def test_txn_append_schema_guard(spark, tmp_path):
+    """A drifted-schema append must fail loudly instead of silently
+    committing a mixed-schema snapshot; column ORDER and nullability
+    differences are not drift."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    from stock_market_data_pipeline_v2_spark.sources.txn_table import TxnTable
+
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), _rows(spark, [(1, "a", 1)])
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(
+            spark,
+            spark.createDataFrame([(2, "b", 1, 0.5)], "k long, v string, ver long, extra double"),
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.commit_stream_batch(
+            spark,
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+            "app",
+            0,
+        )
+    # reordered columns are the same schema (parquet reads by name)
+    v = t.append(
+        spark, _rows(spark, [(2, "b", 1)]).select("ver", "v", "k")
+    )
+    assert {r.k for r in t.read(spark, v).select("k").collect()} == {1, 2}
+
+
 def test_txn_time_travel_query_matches_prefix_merge(spark):
     """q_txn_time_travel (registered r11): the pinned version-2 read
     equals merge_upsert over only the first two event batches — the

@@ -1,24 +1,29 @@
 """Scale probe for the transactional MERGE boundary (round 11,
 VERDICT r10 next-round #7): zone-mapped SELECTIVE merge vs full
-copy-on-write at 1× and N× the sf0.1 events table.
+copy-on-write as the TABLE grows, update batch held fixed.
 
 Mirrors the registered lineage (`__spark_entry__._txn_demo_table`):
 raw create → full-COW merge (establishes the key-uniqueness claim) →
-OPTIMIZE into range-disjoint user_id files → the timed merge. The
-timed update batch is NARROW — the lowest ~1/8 of the user_id domain,
-time-bumped so latest-wins is unambiguous — the production shape
-(most upserts touch recent/hot keys, not the whole table).
+OPTIMIZE into range-disjoint user_id files. The committed table is
+KEY-grain (one row per (user_id, event_type) after the bootstrap
+merge), so the scaling axis is keys: replication strides user_id per
+replica (crossJoin with a broadcast replica dim — one scan, no
+mult-branch union plan), giving mult× keys at the same density. The
+timed update batch is the production shape — a FIXED-size hot-key
+slice (the lowest 1/8 of the ORIGINAL user domain, time-bumped so
+latest-wins is unambiguous) — so full COW scales O(keys) while the
+selective rewrite stays O(files-that-intersect) ≈ O(1).
 
-Replication is key-disjoint (per-replica user_id stride), so N× rows
-means N× keys at the same density: the full-COW rewrite scales O(N)
-while the selective rewrite scales O(files-that-intersect) — the gap
-this probe measures. AGREEMENT-GATED like every probe: both tables'
-end states must produce the identical xxhash64 checksum or the probe
-aborts.
+The base table is built ONCE per mult; each timed merge runs on a
+hard-link CLONE of it (immutable data files make cloning free — the
+same property that gives time travel), best-of-2 per mode in
+alternating order so JVM warmth favors neither. AGREEMENT-GATED: a
+selective clone and a full clone must produce identical xxhash64
+checksums or the probe aborts.
 
 Usage: python tools/scale_probe_txn.py [--mult 10] [--sf DIR]
 Prints one JSON line:
-  {"mult": N, "n_rows": ..., "skip_fraction": ...,
+  {"mult": N, "n_keys": ..., "skip_fraction": ...,
    "queries": {"selective_merge": s, "full_cow_merge": s, ...}}
 """
 
@@ -27,6 +32,7 @@ from __future__ import annotations
 import argparse
 import atexit
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -42,17 +48,16 @@ def replicate_events(ev: DataFrame, mult: int) -> DataFrame:
     if mult == 1:
         return ev
     stride = ev.agg(F.max("user_id")).first()[0] + 1
-    copies = [
-        ev.select(
-            (F.col("user_id") + F.lit(i * stride)).alias("user_id"),
-            *[c for c in ev.columns if c != "user_id"],
+    reps = F.broadcast(
+        ev.sparkSession.range(mult).withColumnRenamed("id", "__rep")
+    )
+    return (
+        ev.crossJoin(reps)
+        .withColumn(
+            "user_id", F.col("user_id") + F.col("__rep") * F.lit(stride)
         )
-        for i in range(mult)
-    ]
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    return out
+        .drop("__rep")
+    )
 
 
 def checksum(df: DataFrame) -> int:
@@ -78,20 +83,18 @@ def main() -> None:
 
     spark = get_spark("scale-probe-txn")
     configure_runtime(spark)
-    ev = replicate_events(
-        load_table(spark, args.sf, "events").select(
-            "user_id", "event_type", "ts", "event_id", "value"
-        ),
-        args.mult,
-    ).localCheckpoint()
+    base_ev = load_table(spark, args.sf, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    orig_max = base_ev.agg(F.max("user_id")).first()[0]
+    ev = replicate_events(base_ev, args.mult).localCheckpoint()
     n_rows = ev.count()
     c1 = F.lit("2024-01-12").cast("timestamp")
     c2 = F.lit("2024-01-20").cast("timestamp")
-    max_uid = ev.agg(F.max("user_id")).first()[0]
-    cut = max_uid // 8
-    # narrow, strictly-newer update batch over the cold table's keys
+    # FIXED-size hot-key update batch: lowest 1/8 of the ORIGINAL user
+    # domain — the table grows under it, the batch does not
     updates = (
-        ev.filter((F.col("ts") >= c2) & (F.col("user_id") <= cut))
+        ev.filter((F.col("ts") >= c2) & (F.col("user_id") <= orig_max // 8))
         .withColumn("ts", F.col("ts") + F.expr("INTERVAL 90 DAYS"))
         .localCheckpoint()
     )
@@ -99,48 +102,59 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def build(zone_for_last):
-        root = tempfile.mkdtemp(prefix="probe_txn_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        t = TxnTable.create(
-            spark, root, ev.filter(F.col("ts") < c1), zone_map_col="user_id"
-        )
+    # -- build the clustered base ONCE (the registered lineage) --------
+    base_root = tempfile.mkdtemp(prefix="probe_txn_base_")
+    atexit.register(shutil.rmtree, base_root, ignore_errors=True)
+    t = TxnTable.create(
+        spark, base_root, ev.filter(F.col("ts") < c1), zone_map_col="user_id"
+    )
+    t0 = time.perf_counter()
+    t.merge(
+        spark,
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        keys=["user_id", "event_type"],
+        version_col="ts",
+        tiebreak_cols=["event_id"],
+        zone_map_col="user_id",
+    )
+    timings["bootstrap_full_cow_merge"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    t.optimize(spark, cluster_col="user_id", n_files=args.n_files)
+    timings["optimize"] = round(time.perf_counter() - t0, 3)
+    n_keys = t.read(spark).count()
+
+    def clone() -> TxnTable:
+        # immutable data files: a hard-link copy IS a snapshot clone
+        dst = tempfile.mkdtemp(prefix="probe_txn_clone_")
+        atexit.register(shutil.rmtree, dst, ignore_errors=True)
+        os.rmdir(dst)
+        shutil.copytree(base_root, dst, copy_function=os.link)
+        return TxnTable(dst)
+
+    def timed_merge(zone):
+        tc = clone()
+        pre = tc.manifest()
         t0 = time.perf_counter()
-        t.merge(
-            spark,
-            ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
-            keys=["user_id", "event_type"],
-            version_col="ts",
-            tiebreak_cols=["event_id"],
-            zone_map_col="user_id",
-        )
-        timings.setdefault("bootstrap_full_cow_merge", round(time.perf_counter() - t0, 3))
-        t0 = time.perf_counter()
-        t.optimize(spark, cluster_col="user_id", n_files=args.n_files)
-        timings.setdefault("optimize", round(time.perf_counter() - t0, 3))
-        pre = t.manifest()
-        t0 = time.perf_counter()
-        t.merge(
+        tc.merge(
             spark,
             updates,
             keys=["user_id", "event_type"],
             version_col="ts",
             tiebreak_cols=["event_id"],
-            zone_map_col=zone_for_last,
+            zone_map_col=zone,
         )
         sec = round(time.perf_counter() - t0, 3)
-        post = t.manifest()
+        post = tc.manifest()
         carried = len(set(pre["files"]) & set(post["files"]))
-        return t, sec, carried / max(len(pre["files"]), 1)
+        return tc, sec, carried / max(len(pre["files"]), 1)
 
-    # best-of-2 per mode, ALTERNATING order (full, sel, sel, full) so
-    # JVM/page-cache warmth doesn't systematically favor either mode
-    t_full, full_sec, _ = build(None)
-    t_sel, sel_sec, skip_frac = build("user_id")
-    _, sel2, _ = build("user_id")
-    _, full2, _ = build(None)
-    timings["selective_merge"] = min(sel_sec, sel2)
-    timings["full_cow_merge"] = min(full_sec, full2)
+    # best-of-2 per mode, ALTERNATING order (full, sel, sel, full)
+    t_full, full_a, _ = timed_merge(None)
+    t_sel, sel_a, skip_frac = timed_merge("user_id")
+    _, sel_b, _ = timed_merge("user_id")
+    _, full_b, _ = timed_merge(None)
+    timings["selective_merge"] = min(sel_a, sel_b)
+    timings["full_cow_merge"] = min(full_a, full_b)
 
     h_sel = checksum(t_sel.read(spark))
     h_full = checksum(t_full.read(spark))
@@ -153,6 +167,7 @@ def main() -> None:
             {
                 "mult": args.mult,
                 "n_rows": n_rows,
+                "n_keys": n_keys,
                 "n_updates": n_updates,
                 "n_files": args.n_files,
                 "skip_fraction": round(skip_frac, 3),
