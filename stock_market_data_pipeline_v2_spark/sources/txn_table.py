@@ -236,11 +236,12 @@ class TxnTable:
         files and planning a scan of 80,000."""
         m = self.manifest(version)
         stats = m.get("stats", {})
-        kept = [
-            f
-            for f in m["files"]
-            if not stats.get(f) or not (stats[f][1] < lo or stats[f][0] > hi)
-        ]
+
+        def _intersects(f: str) -> bool:
+            mm = stats.get(f, {}).get(col)
+            return mm is None or not (mm[1] < lo or mm[0] > hi)
+
+        kept = [f for f in m["files"] if _intersects(f)]
         return kept, len(m["files"])
 
     def read_pruned(
@@ -266,18 +267,24 @@ class TxnTable:
 
     # -- write machinery ---------------------------------------------------
     def _stage(
-        self, df: DataFrame, stats_col: str | None = None
+        self,
+        df: DataFrame,
+        stats_col: str | Sequence[str] | None = None,
     ) -> tuple[list[str], dict]:
         """Write df's parquet files under a commit-unique subdir and
         return (table-relative paths, per-file zone-map stats).
         Staged-but-uncommitted files are invisible to readers
         (manifests never reference them) and are reclaimed by vacuum.
 
-        ``stats_col``: record each file's [min, max] of this column,
-        read from the parquet FOOTERS it already carries (pyarrow) —
-        the zone map that lets a later merge skip non-intersecting
-        files. A file with no usable footer stats gets no entry and
-        is treated as always-intersecting (conservative)."""
+        ``stats_col`` (one column name or a sequence): record each
+        file's {col: [min, max]} for these columns, read from the
+        parquet FOOTERS it already carries (pyarrow) — the zone maps
+        that let a later merge or pruned read skip non-intersecting
+        files. A column with no usable footer stats in a file gets no
+        entry there and is treated as always-intersecting
+        (conservative). Multi-column maps are what ``optimize_zorder``
+        exploits: a z-ordered layout keeps EVERY interleaved column's
+        per-file envelope tight."""
         sub = f"data/{uuid.uuid4().hex}"
         out = os.path.join(self.root, sub)
         df.write.mode("overwrite").parquet(out)
@@ -286,28 +293,35 @@ class TxnTable:
             for name in os.listdir(out)
             if name.endswith(".parquet")
         )
-        stats: dict[str, list] = {}
-        if stats_col is not None:
+        cols = (
+            [stats_col] if isinstance(stats_col, str) else list(stats_col or [])
+        )
+        stats: dict[str, dict] = {}
+        if cols:
             for rel in files:
-                mm = self._footer_min_max(rel, stats_col)
-                if mm is not None:
+                mm = self._footer_stats(rel, cols)
+                if mm:
                     stats[rel] = mm
         return files, stats
 
-    def _footer_min_max(self, rel_path: str, col: str) -> list | None:
+    def _footer_stats(self, rel_path: str, cols: Sequence[str]) -> dict:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(os.path.join(self.root, rel_path)).metadata
-        mn = mx = None
+        agg: dict[str, list] = {}
         for g in range(md.num_row_groups):
             rg = md.row_group(g)
             for i in range(rg.num_columns):
                 c = rg.column(i)
                 st = c.statistics
-                if c.path_in_schema == col and st is not None and st.has_min_max:
-                    mn = st.min if mn is None else min(mn, st.min)
-                    mx = st.max if mx is None else max(mx, st.max)
-        return None if mn is None else [mn, mx]
+                if c.path_in_schema in cols and st is not None and st.has_min_max:
+                    cur = agg.get(c.path_in_schema)
+                    if cur is None:
+                        agg[c.path_in_schema] = [st.min, st.max]
+                    else:
+                        cur[0] = min(cur[0], st.min)
+                        cur[1] = max(cur[1], st.max)
+        return agg
 
     def _try_commit(
         self,
@@ -470,11 +484,15 @@ class TxnTable:
                 untouched: list[str] = []
             else:
                 ranged = [
-                    (f, stats[f][0], stats[f][1])
+                    (f, *stats[f][zone_map_col])
                     for f in m["files"]
-                    if stats.get(f)
+                    if stats.get(f, {}).get(zone_map_col)
                 ]
-                touched = [f for f in m["files"] if not stats.get(f)]
+                touched = [
+                    f
+                    for f in m["files"]
+                    if not stats.get(f, {}).get(zone_map_col)
+                ]
                 if ranged:
                     rng = spark.createDataFrame(
                         ranged, ["__file", "__mn", "__mx"]
@@ -558,6 +576,57 @@ class TxnTable:
             except CommitConflict:
                 continue  # re-cluster whatever the winner committed
         raise CommitConflict(f"optimize gave up after {max_retries} retries")
+
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        specs: Sequence,
+        n_files: int = 8,
+        bits: int = 16,
+        max_retries: int = 10,
+    ) -> int:
+        """Multi-dimensional OPTIMIZE (Delta's ``OPTIMIZE ZORDER BY``):
+        re-cluster the latest snapshot by the Morton z-value of
+        ``specs`` (`functions/zorder.py` ZSpec tuples —
+        (int_expr, lo, hi) static domains) so EVERY interleaved
+        column's per-file [min, max] envelope stays tight, and record
+        a zone map for each of them in the manifest. After this, a
+        ``read_pruned``/``prune_files`` on ANY of the z-ordered
+        columns genuinely skips files — one layout serving point/box
+        queries on all the interleaved dimensions, where the 1-D
+        ``optimize`` serves only its single cluster column. The
+        z-value is a transient sort key (computed, range-partitioned
+        and sorted on, then dropped): the committed schema is
+        unchanged. Carries ``key_unique_on``/``txn`` forward like
+        ``optimize``; rows unchanged."""
+        from ..functions.zorder import with_zvalue
+
+        stat_cols = [
+            spec[0] for spec in specs
+        ]  # ZSpec exprs must be plain column names to be footer-mappable
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            m = self.manifest(parent)
+            snapshot = self._read_files(spark, m["files"], m["schema"])
+            clustered = (
+                with_zvalue(snapshot, list(specs), bits=bits)
+                .repartitionByRange(n_files, "zval")
+                .sortWithinPartitions("zval")
+                .drop("zval")
+            )
+            staged, st = self._stage(clustered, stats_col=stat_cols)
+            try:
+                return self._try_commit(
+                    parent, staged, "optimize", snapshot.schema,
+                    stats=st,
+                    key_unique_on=m.get("key_unique_on"),
+                    txn=m.get("txn", {}),
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"optimize_zorder gave up after {max_retries} retries"
+        )
 
     # -- streaming sink ----------------------------------------------------
     def last_committed_batch(self, app_id: str) -> int:

@@ -126,7 +126,7 @@ def test_txn_optimize_clusters_and_selective_merge_skips(spark, tmp_path):
     assert m_opt["key_unique_on"] == ["k"]  # carried through
     assert _read(spark, t) == before_opt  # rows unchanged
     # every file has a recorded zone map, and ranges are disjoint
-    stats = [tuple(m_opt["stats"][f]) for f in m_opt["files"]]
+    stats = [tuple(m_opt["stats"][f]["k"]) for f in m_opt["files"]]
     assert len(stats) == len(m_opt["files"]) and len(stats) > 1
     spans = sorted(stats)
     assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
@@ -364,3 +364,59 @@ def test_txn_time_travel_query_matches_prefix_merge(spark):
     assert sorted(map(tuple, pruned.collect())) == sorted(
         map(tuple, filtered.collect())
     )
+
+
+def test_txn_optimize_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: after re-clustering by the Morton z-value of
+    (k, w), a pruned read on EITHER column genuinely skips files —
+    the multi-dimensional layout a 1-D sort cannot give (sorting on k
+    leaves every file's w envelope spanning the full domain). Rows
+    unchanged; a later zone-mapped merge on k still works off the
+    multi-column zone maps."""
+    from stock_market_data_pipeline_v2_spark.sources.txn_table import TxnTable
+
+    # 1024 points on a 32x32 grid: k row-major, w column-major — the
+    # adversarial case for any single-column sort
+    rows = [(k, (k * 37) % 32, f"v{k}", 1) for k in range(1024)]
+    df = spark.createDataFrame(rows, "k long, w long, v string, ver long")
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, keys=["k"])
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    v = t.optimize_zorder(
+        spark, specs=[("k", 0, 1023), ("w", 0, 31)], n_files=8
+    )
+    m = t.manifest(v)
+    assert m["op"] == "optimize" and m["key_unique_on"] == ["k"]
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == before
+    # both dimensions carry zone maps on every file
+    assert all(
+        set(m["stats"][f]) == {"k", "w"} for f in m["files"]
+    )
+    # a narrow box on EACH dimension skips files
+    kept_k, total = t.prune_files("k", 0, 63)
+    kept_w, _ = t.prune_files("w", 0, 3)
+    assert total == len(m["files"]) > 1
+    assert len(kept_k) < total, "k-range must prune"
+    assert len(kept_w) < total, "w-range must prune"
+    # pruned reads equal read-then-filter on both dimensions
+    for col, lo, hi in (("k", 0, 63), ("w", 0, 3)):
+        got = sorted(
+            tuple(r) for r in t.read_pruned(spark, col, lo, hi).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in t.read(spark)
+            .filter(f"{col} >= {lo} and {col} <= {hi}")
+            .collect()
+        )
+        assert got == want, col
+    # the zone-mapped merge path still rides the multi-column maps
+    t.merge(
+        spark,
+        spark.createDataFrame([(5, 99, "V5", 2)], "k long, w long, v string, ver long"),
+        keys=["k"],
+        version_col="ver",
+        zone_map_col="k",
+    )
+    m2 = t.manifest()
+    assert set(m["files"]) & set(m2["files"]), "non-hit z-files carried"
+    assert {r.v for r in t.read(spark).filter("k = 5").collect()} == {"V5"}
