@@ -7,6 +7,7 @@ from SURVEY.md §2 with its DuckDB oracle.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2102,6 +2103,7 @@ def q_hard_negative_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # txn_stream_sink drives its own idempotent micro-batch table.
 _TXN_DEMO_CACHE: dict[tuple[str, str], object] = {}
 _TXN_SINK_CACHE: dict[tuple[str, str], object] = {}
+_TXN_DELETE_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _txn_events(spark: SparkSession, sf_dir: str):
@@ -2213,8 +2215,12 @@ def q_txn_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the prune is asserted GENUINE (fewer files than the
     # manifest lists) at every SF, not conservative pass-through.
     t = _txn_demo_table(spark, sf_dir)
+    # soft-report, don't assert (ADVICE r11 #4): an unlucky future
+    # layout where [0, 9] intersects every file would still return
+    # the CORRECT unpruned result — the genuine-skip property itself
+    # is pytest-gated (test_round11_ops.py).
     kept, total = t.prune_files("user_id", 0, 9)
-    assert len(kept) < total, "zone maps must actually skip files"
+    sys.stderr.write(f"txn_pruned_read: kept {len(kept)}/{total} files\n")
     return t.read_pruned(spark, "user_id", 0, 9).select(
         "user_id", "event_type", "ts", "event_id", "value"
     )
@@ -2259,6 +2265,77 @@ def q_txn_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay = t.commit_stream_batch(spark, batches[1], "events_ingest", 1)
         assert replay is None, "replayed micro-batch must be skipped"
         _TXN_SINK_CACHE[key] = t
+    return t.read(spark).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+
+
+def _txn_delete_table(spark: SparkSession, sf_dir: str):
+    # r12 lineage (VERDICT r11 next-round #2/#3): v1 = raw create
+    # (duplicate keys, no claim) → v2 = empty-update merge, the
+    # dedup-to-latest-wins pass that establishes key_unique_on via
+    # the auto full-COW fallback → v3 = OPTIMIZE (range-disjoint
+    # user_id files) → v4 = genuinely SELECTIVE zone-mapped DELETE
+    # (GDPR-erasure shape: purchase rows of users 10–19) →
+    # expire_snapshots(keep_last=2) + vacuum(0): v1/v2 history
+    # dropped and their files reclaimed, the surviving snapshots
+    # exact. Build-once/query-many like the other txn caches.
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.sources.txn_table import (
+        TxnTable,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    t = _TXN_DELETE_CACHE.get(key)
+    if t is None:
+        events, _c1, _c2 = _txn_events(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="spark_graft_txn_del_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        t = TxnTable.create(spark, root, events, zone_map_col="user_id")
+        t.merge(
+            spark,
+            events.limit(0),
+            keys=["user_id", "event_type"],
+            version_col="ts",
+            tiebreak_cols=["event_id"],
+            zone_map_col="user_id",
+        )
+        t.optimize(spark, cluster_col="user_id", n_files=8)
+        t.delete(
+            spark,
+            F.col("user_id").between(10, 19)
+            & (F.col("event_type") == "purchase"),
+            prune_col="user_id",
+            prune_lo=10,
+            prune_hi=19,
+        )
+        expired = t.expire_snapshots(keep_last=2)
+        reclaimed = t.vacuum(grace_seconds=0)
+        sys.stderr.write(
+            f"txn_delete: expired versions {expired}, "
+            f"reclaimed {reclaimed} files\n"
+        )
+        _TXN_DELETE_CACHE[key] = t
+    return t
+
+
+def q_txn_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 12 (VERDICT r11 next-round #2/#3): row DELETE + snapshot
+    # retention through the transactional boundary — the committed
+    # end state after raw create → dedup merge → OPTIMIZE → selective
+    # zone-mapped DELETE, read AFTER expire_snapshots dropped the
+    # pre-optimize history and vacuum reclaimed its files (the read
+    # itself proves retention keeps survivors exact). Oracle: global
+    # latest-wins minus the erased (user 10–19 purchase) rows — the
+    # erase condition commutes with per-key latest-wins because it
+    # only references key columns. Selectivity/NULL-semantics/expiry
+    # fine-grain properties are pytest-gated (test_round12_ops.py).
+    t = _txn_delete_table(spark, sf_dir)
     return t.read(spark).select(
         "user_id", "event_type", "ts", "event_id", "value"
     )
@@ -2575,58 +2652,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ORDER IS EVIDENCE (CLAUDE.md): the driver samples the FIRST 50
-# entries. Round-11 window (documented rule: no red/unsampled
-# CORRECTNESS_r10 rows exist) = the 3 new r11 queries
-# (txn_time_travel, txn_stream_sink, txn_pruned_read), then txn_merge_upsert
-# (re-sampled: its implementation changed this round — the build now
-# runs create -> full-COW fallback -> OPTIMIZE -> selective merge),
-# then the 46 stalest previously-sampled entries read straight off
-# the head of the r10 tail (dedup_incremental ... top_volume_days,
-# skipping the rows-only pair). Slot 51 is walk_forward_splits
-# (displaced by the late txn_pruned_read insert); the two by-design
+# entries. Round-12 window (documented rule: no red/unsampled
+# CORRECTNESS_r11 rows exist) = the new r12 query (txn_delete), then
+# the four txn queries RE-SAMPLED because their implementation
+# changed this round (txn_table.py write paths now stage the parent
+# manifest's stat-col union; q_txn_pruned_read's hard assert became
+# a soft report — precedent: txn_merge_upsert in r11), then the 45
+# stalest previously-sampled entries straight off the head of the
+# r11 tail: walk_forward_splits (r11's slot 51), then market_beta
+# ... ann_ivfpq_topk, skipping the rows-only pair. The two by-design
 # rows-only entries (windowed_analytics_reagg, image_features) sit
-# at slots 52/53,
-# behind the sample per the registry invariant; then the remaining
-# remaining unsampled tail in staleness order (market_beta, ...);
-# the r10
-# window's 50 sampled entries (freshest, minus the re-sampled
-# txn_merge_upsert) are the very end — r12's window reads from
-# walk_forward_splits then market_beta onward unless reds appear. Future rotations edit THIS
-# list only — the funcs dict below is order-insignificant.
+# at slots 51/52, behind the sample per the registry invariant; then
+# the remaining unsampled tail in staleness order (ann_lsh_topk ...
+# lm_perplexity_cross); the 46 non-txn entries of r11's sampled
+# window (dedup_incremental ... top_volume_days, freshest) are the
+# very end — r13's window reads from ann_lsh_topk onward unless reds
+# appear or implementations change. Future rotations edit THIS list
+# only — the funcs dict below is order-insignificant.
 _QUERY_ORDER = [
-    "txn_time_travel", "txn_stream_sink", "txn_pruned_read",
-    "txn_merge_upsert", "dedup_incremental", "dedup_keep_best",
-    "hll_event_users", "dedup_sorted_neighborhood", "embedding_diversity",
-    "part_name_fuzzy_pairs", "profile_lineitem", "order_value_distribution",
-    "type_token_stats", "bloom_decontaminate", "event_value_quantile_sketch",
-    "event_transitions", "part_pagerank", "dedup_prefix_filter",
-    "lineitem_profile_drift", "hll_daily_rollup", "cms_token_frequency",
-    "part_triangles", "return_moments", "return_outliers",
-    "sector_activity_sketch", "profile_lineitem_sketch", "part_kcore",
-    "quality_classifier", "winnow_fingerprints", "passage_overlap",
-    "passage_clusters", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_clusters_star", "dedup_simhash", "dedup_embedding",
-    "dedup_embedding_blas", "ann_cosine_topk", "ann_cosine_topk_blas",
-    "bm25_topk", "hybrid_search_rrf", "tfidf_topk",
-    "shingle_novelty", "cross_source_contamination", "multimodal_meta",
-    "asof_tick_bar", "session_windows", "symbols_both_halves",
-    "users_only_before", "top_volume_days", "walk_forward_splits",
-    "windowed_analytics_reagg", "image_features", "market_beta",
-    "event_value_quantiles", "return_correlations", "bollinger_bands",
-    "stochastic_k", "hll_user_overlap", "embedding_top_component",
-    "lineitem_profile_drift_sketch", "source_quality_profile", "weighted_price_median",
-    "classifier_auc_report", "copurchase_rules", "lang_id_confusion",
-    "histogram_daily_rollup", "part_components", "ivf_cluster_profile",
-    "shipping_priority_topk", "returnflag_priority_counts", "dominant_part_suppliers",
-    "cms_daily_rollup", "pq_subspace_profile", "ann_index_extend",
-    "pq_index_extend", "bloom_daily_rollup", "macd",
-    "atr_obv", "drawdown", "rolling_beta",
-    "cross_sectional_ranks", "pmi_collocations", "balance_rich_dormant",
-    "min_cost_supplier", "nation_revenue_share", "bilateral_trade",
-    "disjunctive_brand_revenue", "top_return_customers", "sharpe_ratios",
-    "monthly_revenue_growth", "dedup_minhash_lsh", "dedup_incremental_lsh",
-    "dedup_embedding_ivf", "ann_ivf_topk", "ann_pq_topk",
-    "ann_ivfpq_topk", "ann_lsh_topk", "prototypicality_prune",
+    "txn_delete", "txn_merge_upsert", "txn_time_travel",
+    "txn_pruned_read", "txn_stream_sink", "walk_forward_splits",
+    "market_beta", "event_value_quantiles", "return_correlations",
+    "bollinger_bands", "stochastic_k", "hll_user_overlap",
+    "embedding_top_component", "lineitem_profile_drift_sketch", "source_quality_profile",
+    "weighted_price_median", "classifier_auc_report", "copurchase_rules",
+    "lang_id_confusion", "histogram_daily_rollup", "part_components",
+    "ivf_cluster_profile", "shipping_priority_topk", "returnflag_priority_counts",
+    "dominant_part_suppliers", "cms_daily_rollup", "pq_subspace_profile",
+    "ann_index_extend", "pq_index_extend", "bloom_daily_rollup",
+    "macd", "atr_obv", "drawdown",
+    "rolling_beta", "cross_sectional_ranks", "pmi_collocations",
+    "balance_rich_dormant", "min_cost_supplier", "nation_revenue_share",
+    "bilateral_trade", "disjunctive_brand_revenue", "top_return_customers",
+    "sharpe_ratios", "monthly_revenue_growth", "dedup_minhash_lsh",
+    "dedup_incremental_lsh", "dedup_embedding_ivf", "ann_ivf_topk",
+    "ann_pq_topk", "ann_ivfpq_topk", "windowed_analytics_reagg",
+    "image_features", "ann_lsh_topk", "prototypicality_prune",
     "audio_features", "multimodal_decode", "multimodal_frames",
     "multimodal_resize", "banded_discount_revenue", "nation_market_share",
     "supplier_nation_profit", "customer_order_distribution", "top_supplier_revenue",
@@ -2663,6 +2724,22 @@ _QUERY_ORDER = [
     "importance_resample", "pack_sequences", "quality_decile_bins",
     "curation_pipeline", "corpus_stats_by_source", "dedup_exact",
     "repeated_spans", "dedup_sentences", "lm_perplexity_cross",
+    "dedup_incremental", "dedup_keep_best", "hll_event_users",
+    "dedup_sorted_neighborhood", "embedding_diversity", "part_name_fuzzy_pairs",
+    "profile_lineitem", "order_value_distribution", "type_token_stats",
+    "bloom_decontaminate", "event_value_quantile_sketch", "event_transitions",
+    "part_pagerank", "dedup_prefix_filter", "lineitem_profile_drift",
+    "hll_daily_rollup", "cms_token_frequency", "part_triangles",
+    "return_moments", "return_outliers", "sector_activity_sketch",
+    "profile_lineitem_sketch", "part_kcore", "quality_classifier",
+    "winnow_fingerprints", "passage_overlap", "passage_clusters",
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_clusters_star",
+    "dedup_simhash", "dedup_embedding", "dedup_embedding_blas",
+    "ann_cosine_topk", "ann_cosine_topk_blas", "bm25_topk",
+    "hybrid_search_rrf", "tfidf_topk", "shingle_novelty",
+    "cross_source_contamination", "multimodal_meta", "asof_tick_bar",
+    "session_windows", "symbols_both_halves", "users_only_before",
+    "top_volume_days",
 ]
 
 
@@ -2671,7 +2748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # _QUERY_ORDER above (edit THAT for rotations); this dict is an
     # order-insignificant name → callable registry.
     funcs = {
-        # --- new r11 entries ---
+        # --- new r12 entries ---
+        "txn_delete": q_txn_delete,
+        # --- r11 entries ---
         "txn_time_travel": q_txn_time_travel,
         "txn_stream_sink": q_txn_stream_sink,
         "txn_pruned_read": q_txn_pruned_read,
@@ -3225,6 +3304,7 @@ def oracle_sql() -> dict[str, str]:
         "txn_merge_upsert": oracles.MERGE_UPSERT_SQL,
         # the pinned-version read: latest-wins over only the events
         # that existed at version 2 (round 11)
+        "txn_delete": oracles.TXN_DELETE_SQL,
         "txn_time_travel": oracles.TXN_TIME_TRAVEL_SQL,
         # zone-map file pruning == read-then-filter (round 11)
         "txn_pruned_read": oracles.TXN_PRUNED_READ_SQL,

@@ -212,6 +212,9 @@ HEADLINE = [
     "txn_time_travel",          # added round 11: pinned-version read off the same lineage
     "txn_pruned_read",          # added round 11: zone-map file skipping at read time
     "txn_stream_sink",          # added round 11: idempotent micro-batch commits (replay skipped)
+    "txn_delete",               # added round 12: selective COW DELETE + expire_snapshots+vacuum
+    #   (own build-once lineage in _TXN_DELETE_CACHE: the row times the
+    #   committed-snapshot READ; the build lands once inside run 1)
 ]
 
 
@@ -272,13 +275,19 @@ def main() -> None:
         "sf": sf,
         "loadavg_start": la_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "git_head": _git_head(),
     }
     # Full-name record on disk: the driver's stdout tail capture is
     # 2000 chars, which an 80+-query full-name line overflows (r3's
-    # BENCH artifact recorded parsed:null). BENCH.out carries the
-    # complete result plus the short-key map used on the final line.
+    # BENCH artifact recorded parsed:null). BENCH_driver.out carries
+    # the complete result plus the short-key map used on the final
+    # line. It deliberately does NOT touch BENCH.out — that file is
+    # the manually-committed QUIET-run record (VERDICT r11 "What's
+    # wrong" #3: driver runs under load kept overwriting it, forcing
+    # git archaeology for cross-round citations); git_head in every
+    # record makes each run's code state citable directly.
     short = _short_keys(list(timings))
-    Path(__file__).resolve().parent.joinpath("BENCH.out").write_text(
+    Path(__file__).resolve().parent.joinpath("BENCH_driver.out").write_text(
         json.dumps({**full, "key_map": short}, indent=1) + "\n"
     )
     # Human/log line first (may be cut from the tail; that's fine)...
@@ -300,13 +309,14 @@ def main() -> None:
             if n not in set(by_cheap[:omitted])
         }
         payload = {
-            "metric": "headline sec (map: BENCH.out)",
+            "metric": "headline sec (map: BENCH_driver.out)",
             "value": total,
             "unit": "sec",
             "queries": kept,
             "sf": sf,
             "n": len(timings),
             "la": full["loadavg_start"][0],
+            "h": full["git_head"],
         }
         if omitted:
             payload["omitted_cheapest"] = omitted
@@ -315,6 +325,23 @@ def main() -> None:
             break
         omitted += 10
     print(compact)
+
+
+def _git_head() -> str:
+    """Short commit hash of the code being measured (unambiguous
+    cross-round citation even when the working-tree record churns)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=Path(__file__).resolve().parent,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
 
 def _short_keys(names: list[str]) -> dict[str, str]:

@@ -439,6 +439,26 @@ SELECT user_id, event_type, ts, event_id, value
 FROM tagged WHERE rn = 1 AND user_id BETWEEN 0 AND 9
 """
 
+# txn_delete: row DELETE + retention through the transactional
+# boundary — latest-wins over all events minus the erased rows
+# (users 10–19, purchase). The erase condition only references key
+# columns, so it commutes with per-key latest-wins; expiry + vacuum
+# must leave the surviving snapshot bit-identical.
+TXN_DELETE_SQL = """
+WITH tagged AS (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT user_id, event_type, ts, event_id, value
+FROM tagged
+WHERE rn = 1
+  AND NOT (user_id BETWEEN 10 AND 19 AND event_type = 'purchase')
+"""
+
 # txn_stream_sink: three disjoint ts-batches appended idempotently
 # (batch 1 redelivered and skipped) — the end state is exactly the
 # source projection; a duplicated or dropped batch breaks rows_match.

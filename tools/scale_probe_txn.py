@@ -21,6 +21,18 @@ alternating order so JVM warmth favors neither. AGREEMENT-GATED: a
 selective clone and a full clone must produce identical xxhash64
 checksums or the probe aborts.
 
+Round 12 (VERDICT r11 next-round #5) adds the READ side:
+- pruned read vs full-scan-filter on the optimized base,
+  agreement-gated (checksum-identical), with the planned-file skip
+  fraction;
+- manifest-arithmetic planning cost on a synthetic multi-thousand-
+  file manifest (prune_files is pure JSON arithmetic — this measures
+  the 100 TB planning path, no Spark job);
+- 1-D OPTIMIZE vs OPTIMIZE ZORDER under a two-dimensional box
+  predicate (user_id range AND event_id range): kept-file counts and
+  read times per layout, both agreement-gated against
+  read-then-filter on the same snapshot.
+
 Usage: python tools/scale_probe_txn.py [--mult 10] [--sf DIR]
 Prints one JSON line:
   {"mult": N, "n_keys": ..., "skip_fraction": ...,
@@ -162,6 +174,11 @@ def main() -> None:
         f"AGREEMENT FAILURE: selective={h_sel} full={h_full}"
     )
 
+    # -- READ side (r12, VERDICT r11 #5) --------------------------------
+    out_extra = read_side_probe(
+        spark, t, orig_max, args.mult, args.n_files, timings
+    )
+
     print(
         json.dumps(
             {
@@ -172,10 +189,134 @@ def main() -> None:
                 "n_files": args.n_files,
                 "skip_fraction": round(skip_frac, 3),
                 "agreement": "checksum-identical",
+                **out_extra,
                 "queries": timings,
             }
         )
     )
+
+
+def read_side_probe(spark, t, orig_max, mult, n_files, timings):
+    """Pruned READ measurements on the already-optimized base table
+    ``t`` (range-disjoint user_id files). Mutates ``timings`` with
+    per-mode seconds; returns extra JSON fields."""
+    import time
+
+    from stock_market_data_pipeline_v2_spark.sources.txn_table import TxnTable
+
+    def materialize(df) -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    lo, hi = 0, orig_max // 8  # the fixed hot-key slice, table grows under it
+    kept, total = t.prune_files("user_id", lo, hi)
+    pruned_df = t.read_pruned(spark, "user_id", lo, hi)
+    filt_df = t.read(spark).filter(
+        (F.col("user_id") >= lo) & (F.col("user_id") <= hi)
+    )
+    # agreement first (also warms both plans), then best-of-2 alternating
+    h_p, h_f = checksum(pruned_df), checksum(filt_df)
+    assert h_p == h_f, f"READ AGREEMENT FAILURE: pruned={h_p} filter={h_f}"
+    a = materialize(pruned_df)
+    b = materialize(filt_df)
+    b2 = materialize(filt_df)
+    a2 = materialize(pruned_df)
+    timings["pruned_read"] = min(a, a2)
+    timings["full_scan_filter_read"] = min(b, b2)
+
+    # planning cost = pure manifest arithmetic on a SYNTHETIC manifest
+    # with thousands of range-disjoint files (the 100 TB shape: Spark
+    # never runs; this is the metadata path a 1000-executor scan plans
+    # through). Files needn't exist — prune_files reads only JSON.
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    n_synth = 20_000
+    synth_root = _tempfile.mkdtemp(prefix="probe_txn_synth_")
+    _os.makedirs(_os.path.join(synth_root, "_versions"))
+    span = 100
+    manifest = {
+        "version": 1,
+        "parent": 0,
+        "op": "create",
+        "files": [f"data/x/f{i}.parquet" for i in range(n_synth)],
+        "n_files": n_synth,
+        "schema": t.manifest()["schema"],
+        "stats": {
+            f"data/x/f{i}.parquet": {
+                "user_id": [i * span, (i + 1) * span - 1]
+            }
+            for i in range(n_synth)
+        },
+        "key_unique_on": None,
+        "txn": {},
+    }
+    with open(_os.path.join(synth_root, "_versions", "v00000001.json"), "w") as fh:
+        fh.write(_json.dumps(manifest))
+    ts = TxnTable(synth_root)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        kept_s, _tot = ts.prune_files("user_id", 0, 5 * span - 1)
+    plan_ms = (time.perf_counter() - t0) / 10 * 1000
+    assert len(kept_s) == 5
+
+    # 1-D OPTIMIZE vs Z-ORDER under a 2-D box predicate
+    import atexit as _atexit
+    import shutil as _shutil
+
+    zroot = _tempfile.mkdtemp(prefix="probe_txn_z_")
+    _atexit.register(_shutil.rmtree, zroot, ignore_errors=True)
+    _os.rmdir(zroot)
+    _shutil.copytree(t.root, zroot, copy_function=os.link)
+    tz = TxnTable(zroot)
+    snap = tz.read(spark)
+    uid_hi = snap.agg(F.max("user_id")).first()[0]
+    eid_hi = snap.agg(F.max("event_id")).first()[0]
+    t0 = time.perf_counter()
+    tz.optimize_zorder(
+        spark,
+        specs=[("user_id", 0, int(uid_hi)), ("event_id", 0, int(eid_hi))],
+        n_files=n_files,
+    )
+    timings["optimize_zorder"] = round(time.perf_counter() - t0, 3)
+    # upper event_id eighth: latest-wins keeps each key's NEWEST row,
+    # so surviving event_ids skew high — a low-range box would be
+    # empty and the comparison vacuous
+    box = [
+        ("user_id", 0, int(uid_hi) // 8),
+        ("event_id", int(eid_hi) * 7 // 8, int(eid_hi)),
+    ]
+    kept_1d, tot_1d = t.prune_box(box)
+    kept_z, tot_z = tz.prune_box(box)
+    df_1d = t.read_pruned_box(spark, box)
+    df_z = tz.read_pruned_box(spark, box)
+    h1, hz = checksum(df_1d), checksum(df_z)
+    assert h1 == hz, f"BOX AGREEMENT FAILURE: 1d={h1} zorder={hz}"
+    assert h1 is not None, "box predicate selected no rows — vacuous probe"
+    a = materialize(df_1d)
+    b = materialize(df_z)
+    b2 = materialize(df_z)
+    a2 = materialize(df_1d)
+    timings["box_read_1d_optimize"] = min(a, a2)
+    timings["box_read_zorder"] = min(b, b2)
+
+    # second-dimension-ONLY predicate: the 1-D layout cannot prune at
+    # all (every file's event_id envelope spans the domain); z-order
+    # is the only layout that skips here
+    epred = [("event_id", int(eid_hi) * 7 // 8, int(eid_hi))]
+    ekept_1d, _ = t.prune_box(epred)
+    ekept_z, _ = tz.prune_box(epred)
+
+    return {
+        "read_skip_fraction": round(1 - len(kept) / max(total, 1), 3),
+        "prune_plan_ms_20k_files": round(plan_ms, 2),
+        "box_kept_files_1d": f"{len(kept_1d)}/{tot_1d}",
+        "box_kept_files_zorder": f"{len(kept_z)}/{tot_z}",
+        "dim2_kept_files_1d": f"{len(ekept_1d)}/{tot_1d}",
+        "dim2_kept_files_zorder": f"{len(ekept_z)}/{tot_z}",
+    }
 
 
 if __name__ == "__main__":
