@@ -2104,6 +2104,7 @@ def q_hard_negative_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TXN_DEMO_CACHE: dict[tuple[str, str], object] = {}
 _TXN_SINK_CACHE: dict[tuple[str, str], object] = {}
 _TXN_DELETE_CACHE: dict[tuple[str, str], object] = {}
+_TXN_EVOLVE_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _txn_events(spark: SparkSession, sf_dir: str):
@@ -2338,6 +2339,51 @@ def q_txn_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _txn_delete_table(spark, sf_dir)
     return t.read(spark).select(
         "user_id", "event_type", "ts", "event_id", "value"
+    )
+
+
+def q_txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 12: additive SCHEMA EVOLUTION made driver-visible — v1 =
+    # create from pre-cutoff events, v2 = evolve-schema committing a
+    # widened schema (new nullable `tag` string) with ZERO data
+    # rewritten (same files, stats carried), v3 = append of the
+    # post-cutoff events WITH the new column populated. The read
+    # null-fills `tag` for pre-evolution files (the manifest schema
+    # drives the scan, parquet name resolution does the fill), so
+    # the oracle is a plain UNION: old slice with NULL tag, new
+    # slice with the computed tag. Time-travel/guard/merge-after-
+    # evolve properties are pytest-gated (test_round12_ops.py).
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_v2_spark.sources.txn_table import (
+        TxnTable,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    t = _TXN_EVOLVE_CACHE.get(key)
+    if t is None:
+        events, c1, _c2 = _txn_events(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="spark_graft_txn_evo_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        t = TxnTable.create(
+            spark, root, events.filter(F.col("ts") < c1),
+            zone_map_col="user_id",
+        )
+        t.evolve_schema(spark, [("tag", "string")])
+        t.append(
+            spark,
+            events.filter(F.col("ts") >= c1).withColumn(
+                "tag", F.upper(F.col("event_type"))
+            ),
+            zone_map_col="user_id",
+        )
+        _TXN_EVOLVE_CACHE[key] = t
+    return t.read(spark).select(
+        "user_id", "event_type", "ts", "event_id", "value", "tag"
     )
 
 
@@ -2653,93 +2699,95 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ORDER IS EVIDENCE (CLAUDE.md): the driver samples the FIRST 50
 # entries. Round-12 window (documented rule: no red/unsampled
-# CORRECTNESS_r11 rows exist) = the new r12 query (txn_delete), then
-# the four txn queries RE-SAMPLED because their implementation
-# changed this round (txn_table.py write paths now stage the parent
-# manifest's stat-col union; q_txn_pruned_read's hard assert became
-# a soft report — precedent: txn_merge_upsert in r11), then the 45
-# stalest previously-sampled entries straight off the head of the
-# r11 tail: walk_forward_splits (r11's slot 51), then market_beta
-# ... ann_ivfpq_topk, skipping the rows-only pair. The two by-design
-# rows-only entries (windowed_analytics_reagg, image_features) sit
-# at slots 51/52, behind the sample per the registry invariant; then
-# the remaining unsampled tail in staleness order (ann_lsh_topk ...
+# CORRECTNESS_r11 rows exist) = the two new r12 queries (txn_delete,
+# txn_schema_evolution), then the four txn queries RE-SAMPLED
+# because their implementation changed this round (txn_table.py
+# write paths now stage the parent manifest's stat-col union;
+# q_txn_pruned_read's hard assert became a soft report — precedent:
+# txn_merge_upsert in r11), then the 44 stalest previously-sampled
+# entries straight off the head of the r11 tail: walk_forward_splits
+# (r11's slot 51), then market_beta ... ann_pq_topk, skipping the
+# rows-only pair. The two by-design rows-only entries
+# (windowed_analytics_reagg, image_features) sit at slots 51/52,
+# behind the sample per the registry invariant; then the remaining
+# unsampled tail in staleness order (ann_ivfpq_topk — displaced by
+# the late txn_schema_evolution insert — then ann_lsh_topk ...
 # lm_perplexity_cross); the 46 non-txn entries of r11's sampled
 # window (dedup_incremental ... top_volume_days, freshest) are the
-# very end — r13's window reads from ann_lsh_topk onward unless reds
-# appear or implementations change. Future rotations edit THIS list
-# only — the funcs dict below is order-insignificant.
+# very end — r13's window reads from ann_ivfpq_topk onward unless
+# reds appear or implementations change. Future rotations edit THIS
+# list only — the funcs dict below is order-insignificant.
 _QUERY_ORDER = [
-    "txn_delete", "txn_merge_upsert", "txn_time_travel",
-    "txn_pruned_read", "txn_stream_sink", "walk_forward_splits",
-    "market_beta", "event_value_quantiles", "return_correlations",
-    "bollinger_bands", "stochastic_k", "hll_user_overlap",
-    "embedding_top_component", "lineitem_profile_drift_sketch", "source_quality_profile",
-    "weighted_price_median", "classifier_auc_report", "copurchase_rules",
-    "lang_id_confusion", "histogram_daily_rollup", "part_components",
-    "ivf_cluster_profile", "shipping_priority_topk", "returnflag_priority_counts",
-    "dominant_part_suppliers", "cms_daily_rollup", "pq_subspace_profile",
-    "ann_index_extend", "pq_index_extend", "bloom_daily_rollup",
-    "macd", "atr_obv", "drawdown",
-    "rolling_beta", "cross_sectional_ranks", "pmi_collocations",
-    "balance_rich_dormant", "min_cost_supplier", "nation_revenue_share",
-    "bilateral_trade", "disjunctive_brand_revenue", "top_return_customers",
-    "sharpe_ratios", "monthly_revenue_growth", "dedup_minhash_lsh",
-    "dedup_incremental_lsh", "dedup_embedding_ivf", "ann_ivf_topk",
-    "ann_pq_topk", "ann_ivfpq_topk", "windowed_analytics_reagg",
-    "image_features", "ann_lsh_topk", "prototypicality_prune",
-    "audio_features", "multimodal_decode", "multimodal_frames",
-    "multimodal_resize", "banded_discount_revenue", "nation_market_share",
-    "supplier_nation_profit", "customer_order_distribution", "top_supplier_revenue",
-    "range_frame_revenue", "join_skew_profile", "degree_distribution",
-    "link_prediction", "classifier_calibration", "minhash_estimate_audit",
-    "hard_negative_mining", "ann_sq8_topk", "hard_negative_ivf",
-    "salted_join_revenue", "salted_event_stats", "market_concentration",
-    "data_quality_report", "referential_integrity_audit", "part_skyline",
-    "label_centroid_similarity", "label_loo_outliers", "knn_label_eval",
-    "event_metrics_unpivot", "orders_cube", "tick_gap_report",
-    "part_abc_analysis", "rake_keywords", "benford_audit",
-    "part_supplier_counts", "repeated_spans_rolling", "ann_filtered_topk",
-    "ngram_decontaminate", "temperature_mix", "hilbert_events",
-    "ann_recall_report", "similar_symbols", "pattern_match",
-    "cohort_retention", "funnel_conversion", "daily_vwap",
-    "multi_grain_bars", "forward_fill_bars", "order_priority_rollup",
-    "promo_revenue_monthly", "small_qty_part_revenue", "large_volume_customers",
-    "returned_orders_by_priority", "dormant_customers", "exclusive_fault_suppliers",
-    "event_type_pivot", "text_quality", "lang_id",
-    "daily_bars", "daily_summary", "knn_label_eval_ivf",
-    "stateful_features", "pipeline_lineage", "regional_customer_summary",
-    "pricing_summary", "top_revenue_orders", "merge_upsert",
-    "snapshot_diff", "scd2_user_status", "regional_supplier_revenue",
-    "windowed_analytics_range_join", "daily_returns", "rolling_indicators",
-    "stock_performance", "window_agg_15m", "windowed_analytics",
-    "realtime_signals", "doc_fingerprint", "lm_perplexity",
-    "boilerplate_prefixes", "winsorize_ticks", "pii_scrub",
-    "strip_html", "split_sentences", "gopher_filter",
-    "repetition_filter", "mix_corpus", "chunk_documents",
-    "token_frequency", "stratified_sample", "shuffle_corpus",
-    "source_drift_kl", "length_bucket_batches", "bpe_token_counts",
-    "sft_render_spans", "hash_embeddings", "zorder_events",
-    "ngram_containment", "leakage_safe_split", "importance_weights",
-    "importance_resample", "pack_sequences", "quality_decile_bins",
-    "curation_pipeline", "corpus_stats_by_source", "dedup_exact",
-    "repeated_spans", "dedup_sentences", "lm_perplexity_cross",
-    "dedup_incremental", "dedup_keep_best", "hll_event_users",
-    "dedup_sorted_neighborhood", "embedding_diversity", "part_name_fuzzy_pairs",
-    "profile_lineitem", "order_value_distribution", "type_token_stats",
-    "bloom_decontaminate", "event_value_quantile_sketch", "event_transitions",
-    "part_pagerank", "dedup_prefix_filter", "lineitem_profile_drift",
-    "hll_daily_rollup", "cms_token_frequency", "part_triangles",
-    "return_moments", "return_outliers", "sector_activity_sketch",
-    "profile_lineitem_sketch", "part_kcore", "quality_classifier",
-    "winnow_fingerprints", "passage_overlap", "passage_clusters",
-    "dedup_ngram_jaccard", "dedup_clusters", "dedup_clusters_star",
-    "dedup_simhash", "dedup_embedding", "dedup_embedding_blas",
-    "ann_cosine_topk", "ann_cosine_topk_blas", "bm25_topk",
-    "hybrid_search_rrf", "tfidf_topk", "shingle_novelty",
-    "cross_source_contamination", "multimodal_meta", "asof_tick_bar",
-    "session_windows", "symbols_both_halves", "users_only_before",
-    "top_volume_days",
+    "txn_delete", "txn_schema_evolution", "txn_merge_upsert",
+    "txn_time_travel", "txn_pruned_read", "txn_stream_sink",
+    "walk_forward_splits", "market_beta", "event_value_quantiles",
+    "return_correlations", "bollinger_bands", "stochastic_k",
+    "hll_user_overlap", "embedding_top_component", "lineitem_profile_drift_sketch",
+    "source_quality_profile", "weighted_price_median", "classifier_auc_report",
+    "copurchase_rules", "lang_id_confusion", "histogram_daily_rollup",
+    "part_components", "ivf_cluster_profile", "shipping_priority_topk",
+    "returnflag_priority_counts", "dominant_part_suppliers", "cms_daily_rollup",
+    "pq_subspace_profile", "ann_index_extend", "pq_index_extend",
+    "bloom_daily_rollup", "macd", "atr_obv",
+    "drawdown", "rolling_beta", "cross_sectional_ranks",
+    "pmi_collocations", "balance_rich_dormant", "min_cost_supplier",
+    "nation_revenue_share", "bilateral_trade", "disjunctive_brand_revenue",
+    "top_return_customers", "sharpe_ratios", "monthly_revenue_growth",
+    "dedup_minhash_lsh", "dedup_incremental_lsh", "dedup_embedding_ivf",
+    "ann_ivf_topk", "ann_pq_topk", "windowed_analytics_reagg",
+    "image_features", "ann_ivfpq_topk", "ann_lsh_topk",
+    "prototypicality_prune", "audio_features", "multimodal_decode",
+    "multimodal_frames", "multimodal_resize", "banded_discount_revenue",
+    "nation_market_share", "supplier_nation_profit", "customer_order_distribution",
+    "top_supplier_revenue", "range_frame_revenue", "join_skew_profile",
+    "degree_distribution", "link_prediction", "classifier_calibration",
+    "minhash_estimate_audit", "hard_negative_mining", "ann_sq8_topk",
+    "hard_negative_ivf", "salted_join_revenue", "salted_event_stats",
+    "market_concentration", "data_quality_report", "referential_integrity_audit",
+    "part_skyline", "label_centroid_similarity", "label_loo_outliers",
+    "knn_label_eval", "event_metrics_unpivot", "orders_cube",
+    "tick_gap_report", "part_abc_analysis", "rake_keywords",
+    "benford_audit", "part_supplier_counts", "repeated_spans_rolling",
+    "ann_filtered_topk", "ngram_decontaminate", "temperature_mix",
+    "hilbert_events", "ann_recall_report", "similar_symbols",
+    "pattern_match", "cohort_retention", "funnel_conversion",
+    "daily_vwap", "multi_grain_bars", "forward_fill_bars",
+    "order_priority_rollup", "promo_revenue_monthly", "small_qty_part_revenue",
+    "large_volume_customers", "returned_orders_by_priority", "dormant_customers",
+    "exclusive_fault_suppliers", "event_type_pivot", "text_quality",
+    "lang_id", "daily_bars", "daily_summary",
+    "knn_label_eval_ivf", "stateful_features", "pipeline_lineage",
+    "regional_customer_summary", "pricing_summary", "top_revenue_orders",
+    "merge_upsert", "snapshot_diff", "scd2_user_status",
+    "regional_supplier_revenue", "windowed_analytics_range_join", "daily_returns",
+    "rolling_indicators", "stock_performance", "window_agg_15m",
+    "windowed_analytics", "realtime_signals", "doc_fingerprint",
+    "lm_perplexity", "boilerplate_prefixes", "winsorize_ticks",
+    "pii_scrub", "strip_html", "split_sentences",
+    "gopher_filter", "repetition_filter", "mix_corpus",
+    "chunk_documents", "token_frequency", "stratified_sample",
+    "shuffle_corpus", "source_drift_kl", "length_bucket_batches",
+    "bpe_token_counts", "sft_render_spans", "hash_embeddings",
+    "zorder_events", "ngram_containment", "leakage_safe_split",
+    "importance_weights", "importance_resample", "pack_sequences",
+    "quality_decile_bins", "curation_pipeline", "corpus_stats_by_source",
+    "dedup_exact", "repeated_spans", "dedup_sentences",
+    "lm_perplexity_cross", "dedup_incremental", "dedup_keep_best",
+    "hll_event_users", "dedup_sorted_neighborhood", "embedding_diversity",
+    "part_name_fuzzy_pairs", "profile_lineitem", "order_value_distribution",
+    "type_token_stats", "bloom_decontaminate", "event_value_quantile_sketch",
+    "event_transitions", "part_pagerank", "dedup_prefix_filter",
+    "lineitem_profile_drift", "hll_daily_rollup", "cms_token_frequency",
+    "part_triangles", "return_moments", "return_outliers",
+    "sector_activity_sketch", "profile_lineitem_sketch", "part_kcore",
+    "quality_classifier", "winnow_fingerprints", "passage_overlap",
+    "passage_clusters", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_clusters_star", "dedup_simhash", "dedup_embedding",
+    "dedup_embedding_blas", "ann_cosine_topk", "ann_cosine_topk_blas",
+    "bm25_topk", "hybrid_search_rrf", "tfidf_topk",
+    "shingle_novelty", "cross_source_contamination", "multimodal_meta",
+    "asof_tick_bar", "session_windows", "symbols_both_halves",
+    "users_only_before", "top_volume_days",
 ]
 
 
@@ -2750,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     funcs = {
         # --- new r12 entries ---
         "txn_delete": q_txn_delete,
+        "txn_schema_evolution": q_txn_schema_evolution,
         # --- r11 entries ---
         "txn_time_travel": q_txn_time_travel,
         "txn_stream_sink": q_txn_stream_sink,
@@ -3305,6 +3354,7 @@ def oracle_sql() -> dict[str, str]:
         # the pinned-version read: latest-wins over only the events
         # that existed at version 2 (round 11)
         "txn_delete": oracles.TXN_DELETE_SQL,
+        "txn_schema_evolution": oracles.TXN_SCHEMA_EVOLUTION_SQL,
         "txn_time_travel": oracles.TXN_TIME_TRAVEL_SQL,
         # zone-map file pruning == read-then-filter (round 11)
         "txn_pruned_read": oracles.TXN_PRUNED_READ_SQL,

@@ -213,8 +213,9 @@ HEADLINE = [
     "txn_pruned_read",          # added round 11: zone-map file skipping at read time
     "txn_stream_sink",          # added round 11: idempotent micro-batch commits (replay skipped)
     "txn_delete",               # added round 12: selective COW DELETE + expire_snapshots+vacuum
-    #   (own build-once lineage in _TXN_DELETE_CACHE: the row times the
-    #   committed-snapshot READ; the build lands once inside run 1)
+    "txn_schema_evolution",     # added round 12: additive evolve-schema, zero-rewrite null-fill read
+    #   (own build-once lineages in _TXN_DELETE_CACHE/_TXN_EVOLVE_CACHE:
+    #   the rows time the committed-snapshot READ; builds land in run 1)
 ]
 
 

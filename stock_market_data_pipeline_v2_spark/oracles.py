@@ -459,6 +459,22 @@ WHERE rn = 1
   AND NOT (user_id BETWEEN 10 AND 19 AND event_type = 'purchase')
 """
 
+# txn_schema_evolution: additive schema widening — pre-evolution
+# files null-fill the added `tag` column under the manifest schema;
+# the post-evolution append carries it populated. Plain UNION ALL:
+# no dedup is involved (create + append, no merge).
+TXN_SCHEMA_EVOLUTION_SQL = """
+SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+       CAST(NULL AS VARCHAR) AS tag
+FROM events
+WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-12'
+UNION ALL
+SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+       upper(event_type) AS tag
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-12'
+"""
+
 # txn_stream_sink: three disjoint ts-batches appended idempotently
 # (batch 1 redelivered and skipped) — the end state is exactly the
 # source projection; a duplicated or dropped batch breaks rows_match.

@@ -254,13 +254,7 @@ class TxnTable:
     # -- read ------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest(version)
-        if not m["files"]:
-            return spark.createDataFrame(
-                [], StructType.fromJson(json.loads(m["schema"]))
-            )
-        return spark.read.parquet(
-            *[os.path.join(self.root, f) for f in m["files"]]
-        )
+        return self._read_files(spark, m["files"], m["schema"])
 
     def prune_files(
         self, col: str, lo, hi, version: int | None = None
@@ -739,6 +733,62 @@ class TxnTable:
                 continue  # re-apply onto the winner's snapshot
         raise CommitConflict(f"delete gave up after {max_retries} retries")
 
+    def evolve_schema(
+        self,
+        spark: SparkSession,
+        add_fields: Sequence[tuple],
+        max_retries: int = 10,
+    ) -> int:
+        """Widen the table schema by ADDING nullable columns —
+        committed as op ``evolve-schema``, zero data rewritten
+        (Delta's additive ``mergeSchema``; round 12). The schema
+        guard's long-documented counterpart: every version still has
+        exactly ONE schema, evolution just commits the next one.
+
+        ``add_fields``: ``[(name, spark_type_string), ...]`` — e.g.
+        ``[("score", "double")]``. Names must be new; columns are
+        nullable by construction. Existing files are carried forward
+        untouched and READ null-filled for the added columns
+        (``_read_files`` always applies the manifest schema, and
+        parquet's name-based resolution null-fills what a file
+        lacks). Appends/merges after the evolution must carry the
+        NEW schema (strict — an old-schema writer gets the loud
+        mismatch, not silent null-filling; that keeps writer intent
+        explicit). Only ADDITIVE evolution is supported: renames,
+        drops, and type changes alter what existing bytes MEAN and
+        belong to a full-COW migration merge, as the guard docstring
+        has always said. Stats, ``key_unique_on`` and ``txn`` carry
+        forward — the data files are byte-identical."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            m = self.manifest(parent)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            have = {f.name for f in schema.fields}
+            new = StructType(list(schema.fields))
+            for name, typ in add_fields:
+                if name in have:
+                    raise ValueError(
+                        f"evolve_schema: column {name!r} already exists"
+                    )
+                new = new.add(name, _parse_datatype_string(typ), True)
+            try:
+                return self._try_commit(
+                    parent,
+                    m["files"],
+                    "evolve-schema",
+                    new,
+                    stats=m.get("stats", {}),
+                    key_unique_on=m.get("key_unique_on"),
+                    txn=m.get("txn", {}),
+                )
+            except CommitConflict:
+                continue  # re-derive against the winner's schema
+        raise CommitConflict(
+            f"evolve_schema gave up after {max_retries} retries"
+        )
+
     def optimize(
         self,
         spark: SparkSession,
@@ -900,11 +950,16 @@ class TxnTable:
     def _read_files(
         self, spark: SparkSession, files: list[str], schema_json: str
     ) -> DataFrame:
+        schema = StructType.fromJson(json.loads(schema_json))
         if not files:
-            return spark.createDataFrame(
-                [], StructType.fromJson(json.loads(schema_json))
-            )
-        return spark.read.parquet(
+            return spark.createDataFrame([], schema)
+        # Read with the MANIFEST's schema, not file-sampled inference:
+        # files written before an `evolve_schema` lack the added
+        # columns and must null-fill them (parquet name-based
+        # resolution does exactly that under an explicit schema);
+        # inference would instead surface whichever file the scan
+        # sampled first. Also pins column order to the committed one.
+        return spark.read.schema(schema).parquet(
             *[os.path.join(self.root, f) for f in files]
         )
 

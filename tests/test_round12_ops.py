@@ -273,6 +273,52 @@ def test_txn_staged_orphans_accessor(spark, tmp_path):
     assert t.staged_orphans() == []
 
 
+def test_txn_evolve_schema_additive(spark, tmp_path):
+    """Additive schema evolution (Delta mergeSchema shape): a
+    committed schema widening rewrites ZERO data — old files
+    null-fill the new column at read time under the manifest schema,
+    time travel before the evolution still shows the old schema,
+    stats/uniqueness carry forward so pruning and selective merges
+    keep working, and non-additive or stale-schema writes stay loud."""
+    from stock_market_data_pipeline_v2_spark.sources.txn_table import TxnTable
+
+    base = _rows(spark, [(k, f"v{k}", 1) for k in range(1, 33)])
+    t = TxnTable.create(spark, str(tmp_path / "t"), base, keys=["k"])
+    t.optimize(spark, cluster_col="k", n_files=4)
+    m_before = t.manifest()
+
+    v = t.evolve_schema(spark, [("score", "double")])
+    m = t.manifest(v)
+    assert m["op"] == "evolve-schema"
+    assert m["files"] == m_before["files"], "zero data rewritten"
+    assert m["stats"] == m_before["stats"]
+    assert m["key_unique_on"] == ["k"]
+
+    # old rows read null-filled; pre-evolution time travel is untouched
+    got = t.read(spark)
+    assert got.columns == ["k", "v", "ver", "score"]
+    assert got.filter("score is not null").count() == 0
+    assert t.read(spark, version=2).columns == ["k", "v", "ver"]
+
+    # stale-schema append fails loudly; new-schema append + selective
+    # merge work, and zone-map pruning still rides the carried stats
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark, _rows(spark, [(40, "x", 1)]))
+    wide = spark.createDataFrame(
+        [(1, "V1", 2, 0.9)], "k long, v string, ver long, score double"
+    )
+    t.merge(spark, wide, keys=["k"], version_col="ver", zone_map_col="k")
+    m2 = t.manifest()
+    assert set(m["files"]) & set(m2["files"]), "selective merge post-evolve"
+    rows = {r.k: (r.v, r.score) for r in t.read(spark).collect()}
+    assert rows[1] == ("V1", 0.9) and rows[2] == ("v2", None)
+    kept, total = t.prune_files("k", 1, 4)
+    assert len(kept) < total
+
+    with pytest.raises(ValueError, match="already exists"):
+        t.evolve_schema(spark, [("score", "double")])
+
+
 def test_txn_delete_query_lineage(spark):
     """q_txn_delete (registered r12): the driver-visible composition
     — raw create → dedup merge → OPTIMIZE → genuinely selective
