@@ -174,10 +174,40 @@ def main() -> None:
         f"AGREEMENT FAILURE: selective={h_sel} full={h_full}"
     )
 
+    # -- retention (r12, VERDICT r11 #3): history growth + reclaim ------
+    # the selective clone now holds the full lineage (create, bootstrap
+    # merge, optimize, timed merge); expire all but the last snapshot
+    # and vacuum — measuring what snapshot-history retention costs and
+    # returns at this scale (manifest bytes are the O(files·versions)
+    # growth axis; reclaimed files are the storage the table gets back)
+    mani_dir = os.path.join(t_sel.root, "_versions")
+    pre_bytes = sum(
+        os.path.getsize(os.path.join(mani_dir, f))
+        for f in os.listdir(mani_dir)
+        if f.endswith(".json")
+    )
+    t0 = time.perf_counter()
+    expired = t_sel.expire_snapshots(keep_last=1)
+    reclaimed = t_sel.vacuum(grace_seconds=0)
+    timings["expire_and_vacuum"] = round(time.perf_counter() - t0, 3)
+    post_bytes = sum(
+        os.path.getsize(os.path.join(mani_dir, f))
+        for f in os.listdir(mani_dir)
+        if f.endswith(".json")
+    )
+    h_after = checksum(t_sel.read(spark))
+    assert h_after == h_full, "retention must not change the live snapshot"
+    retention = {
+        "expired_versions": len(expired),
+        "reclaimed_files": reclaimed,
+        "manifest_bytes": f"{pre_bytes}->{post_bytes}",
+    }
+
     # -- READ side (r12, VERDICT r11 #5) --------------------------------
     out_extra = read_side_probe(
         spark, t, orig_max, args.mult, args.n_files, timings
     )
+    out_extra["retention"] = retention
 
     print(
         json.dumps(
@@ -304,10 +334,19 @@ def read_side_probe(spark, t, orig_max, mult, n_files, timings):
 
     # second-dimension-ONLY predicate: the 1-D layout cannot prune at
     # all (every file's event_id envelope spans the domain); z-order
-    # is the only layout that skips here
-    epred = [("event_id", int(eid_hi) * 7 // 8, int(eid_hi))]
+    # is the only layout that can skip here. The band must be
+    # SELECTIVE to be a fair probe — latest-wins keeps each key's
+    # newest row, so ~80% of surviving event_ids sit in the top
+    # eighth; probe the lowest 1/16 of the surviving range instead.
+    eid_lo = snap.agg(F.min("event_id")).first()[0]
+    band_hi = int(eid_lo) + (int(eid_hi) - int(eid_lo)) // 16
+    epred = [("event_id", int(eid_lo), band_hi)]
     ekept_1d, _ = t.prune_box(epred)
     ekept_z, _ = tz.prune_box(epred)
+    # agreement on the dim2 band too (pruned == read-then-filter)
+    hd1 = checksum(t.read_pruned_box(spark, epred))
+    hdz = checksum(tz.read_pruned_box(spark, epred))
+    assert hd1 == hdz, f"DIM2 AGREEMENT FAILURE: 1d={hd1} zorder={hdz}"
 
     return {
         "read_skip_fraction": round(1 - len(kept) / max(total, 1), 3),
