@@ -251,6 +251,46 @@ class TxnTable:
             for m in (self.manifest(v) for v in self.versions())
         ]
 
+    def version_as_of(self, ts: float) -> int:
+        """Timestamp time travel (Delta's ``TIMESTAMP AS OF``): the
+        LAST surviving version committed at or before unix-time
+        ``ts``. Commit stamps are informational wall clocks (writer
+        clock skew can make them non-monotone — same caveat as
+        Delta's), so this scans the surviving history and takes the
+        max qualifying version rather than bisecting. Versions from
+        before ``committed_at`` existed (r12) never qualify. Raises
+        if nothing qualifies — the table didn't exist yet at ``ts``,
+        or retention expired everything that old."""
+        best = None
+        for v in self.versions():
+            at = self.manifest(v).get("committed_at")
+            if at is not None and at <= ts:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no surviving version of {self.root} committed at or "
+                f"before {ts} (pre-creation, or expired by retention)"
+            )
+        return best
+
+    def clone(self, dst: str) -> "TxnTable":
+        """Zero-copy snapshot CLONE (Delta's shallow clone, made deep
+        and still free by immutability): hard-link every data file
+        and copy the surviving manifests + hint. Immutable data files
+        mean the clone shares bytes but can never observe the
+        source's future writes, and either table vacuuming only
+        unlinks ITS directory entry — the inode lives while any
+        clone references it. The scale probe's per-mode timed merges
+        run on exactly these clones. Same-filesystem only (link(2));
+        an object-store port would copy manifests and reference the
+        same object keys."""
+        import shutil
+
+        if os.path.exists(dst):
+            raise FileExistsError(f"clone target {dst} already exists")
+        shutil.copytree(self.root, dst, copy_function=os.link)
+        return TxnTable(dst)
+
     # -- read ------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest(version)
@@ -448,6 +488,12 @@ class TxnTable:
                 "version": version,
                 "parent": parent,
                 "op": op,
+                # wall-clock commit time — powers version_as_of
+                # (TIMESTAMP AS OF). Informational like Delta's: clock
+                # skew between writers can make it non-monotone; the
+                # resolver tolerates that by taking the LAST version
+                # whose stamp is <= the asked time.
+                "committed_at": time.time(),
                 "files": files,
                 "n_files": len(files),
                 "schema": schema.json(),
@@ -759,7 +805,7 @@ class TxnTable:
         belong to a full-COW migration merge, as the guard docstring
         has always said. Stats, ``key_unique_on`` and ``txn`` carry
         forward — the data files are byte-identical."""
-        from pyspark.sql.types import _parse_datatype_string
+        from pyspark.sql.types import DataType
 
         for _ in range(max_retries):
             parent = self.latest_version()
@@ -772,7 +818,9 @@ class TxnTable:
                     raise ValueError(
                         f"evolve_schema: column {name!r} already exists"
                     )
-                new = new.add(name, _parse_datatype_string(typ), True)
+                # DataType.fromDDL (public, needs the active session —
+                # evolve is always called with one)
+                new = new.add(name, DataType.fromDDL(typ), True)
             try:
                 return self._try_commit(
                     parent,

@@ -319,6 +319,50 @@ def test_txn_evolve_schema_additive(spark, tmp_path):
         t.evolve_schema(spark, [("score", "double")])
 
 
+def test_txn_version_as_of_and_clone(spark, tmp_path):
+    """Timestamp time travel + zero-copy clone: version_as_of picks
+    the last version committed at or before the asked time (and
+    refuses pre-creation times); clone shares bytes via hard links
+    yet diverges independently — writes to either side are invisible
+    to the other, and vacuuming the source cannot hurt the clone."""
+    import time
+
+    from stock_market_data_pipeline_v2_spark.sources.txn_table import TxnTable
+
+    before_create = time.time()
+    time.sleep(0.02)
+    t = TxnTable.create(spark, str(tmp_path / "t"), _rows(spark, [(1, "a", 1)]))
+    time.sleep(0.02)
+    mid = time.time()
+    time.sleep(0.02)
+    t.append(spark, _rows(spark, [(2, "b", 1)]))
+    assert t.version_as_of(mid) == 1
+    assert t.version_as_of(time.time()) == 2
+    with pytest.raises(FileNotFoundError, match="pre-creation"):
+        t.version_as_of(before_create)
+    # retention trims what as-of can reach
+    t.append(spark, _rows(spark, [(3, "c", 1)]))
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        t.version_as_of(mid)
+
+    c = t.clone(str(tmp_path / "c"))
+    assert _read(spark, c) == _read(spark, t)
+    assert [h["version"] for h in c.history()] == [2, 3]
+    # divergence: writes to one side are invisible to the other
+    c.append(spark, _rows(spark, [(9, "z", 1)]))
+    assert {r.k for r in c.read(spark).collect()} == {1, 2, 3, 9}
+    assert {r.k for r in t.read(spark).collect()} == {1, 2, 3}
+    t.delete(spark, "k = 1")
+    assert {r.k for r in c.read(spark).collect()} == {1, 2, 3, 9}
+    # source vacuum (even with zero grace) cannot reclaim shared bytes
+    t.expire_snapshots(keep_last=1)
+    t.vacuum(grace_seconds=0)
+    assert {r.k for r in c.read(spark).collect()} == {1, 2, 3, 9}
+    with pytest.raises(FileExistsError):
+        t.clone(str(tmp_path / "c"))
+
+
 def test_txn_delete_query_lineage(spark):
     """q_txn_delete (registered r12): the driver-visible composition
     — raw create → dedup merge → OPTIMIZE → genuinely selective

@@ -137,11 +137,11 @@ def main() -> None:
 
     def clone() -> TxnTable:
         # immutable data files: a hard-link copy IS a snapshot clone
+        # (TxnTable.clone — the r12 first-class op)
         dst = tempfile.mkdtemp(prefix="probe_txn_clone_")
         atexit.register(shutil.rmtree, dst, ignore_errors=True)
         os.rmdir(dst)
-        shutil.copytree(base_root, dst, copy_function=os.link)
-        return TxnTable(dst)
+        return t.clone(dst)
 
     def timed_merge(zone):
         tc = clone()
@@ -299,8 +299,7 @@ def read_side_probe(spark, t, orig_max, mult, n_files, timings):
     zroot = _tempfile.mkdtemp(prefix="probe_txn_z_")
     _atexit.register(_shutil.rmtree, zroot, ignore_errors=True)
     _os.rmdir(zroot)
-    _shutil.copytree(t.root, zroot, copy_function=os.link)
-    tz = TxnTable(zroot)
+    tz = t.clone(zroot)
     snap = tz.read(spark)
     uid_hi = snap.agg(F.max("user_id")).first()[0]
     eid_hi = snap.agg(F.max("event_id")).first()[0]
