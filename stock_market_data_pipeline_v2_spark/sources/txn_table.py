@@ -79,6 +79,12 @@ the four ADVICE findings):
 - **Snapshot retention** (``expire_snapshots``): drop all but the
   newest N manifests; vacuum then reclaims files referenced only by
   expired history — the only way table storage ever shrinks.
+- **Schema evolution** (``evolve_schema``): additive column adds as
+  a committed version with zero data rewritten — reads apply the
+  manifest schema, so pre-evolution files null-fill.
+- **Timestamp time travel** (``version_as_of``) off per-manifest
+  ``committed_at`` stamps, and **zero-copy clone** (``clone``) via
+  hard-linked immutable data files.
 - Schema guards re-validate against the ACTUAL parent inside every
   retry (TOCTOU), footer stats are coerced JSON-safe (non-native
   types degrade to conservative, never crash the commit), and a
