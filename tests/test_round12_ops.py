@@ -319,6 +319,46 @@ def test_txn_evolve_schema_additive(spark, tmp_path):
         t.evolve_schema(spark, [("score", "double")])
 
 
+def test_txn_delete_conflict_retry_is_serializable(spark, tmp_path):
+    """A delete that loses the commit race must re-read the WINNER's
+    snapshot and re-apply — the interloper's merge survives the
+    delete, and the delete's erasure survives the merge (no lost
+    update in either direction). Race forced deterministically: an
+    interloper merge commits between the delete's snapshot read and
+    its commit attempt."""
+    from stock_market_data_pipeline_v2_spark.sources import txn_table as tt
+
+    root = str(tmp_path / "t")
+    t = tt.TxnTable.create(
+        spark,
+        root,
+        _rows(spark, [(k, f"v{k}", 1) for k in range(1, 9)]),
+        keys=["k"],
+    )
+
+    class Racy(tt.TxnTable):
+        def _stage(self, df, stats_col=None):
+            out = super()._stage(df, stats_col=stats_col)
+            if not getattr(self, "_raced", False):
+                self._raced = True
+                tt.TxnTable(self.root).merge(
+                    spark,
+                    _rows(spark, [(20, "interloper", 2)]),
+                    keys=["k"],
+                    version_col="ver",
+                )
+            return out
+
+    v = Racy(root).delete(spark, "k <= 3")
+    m = t.manifest(v)
+    assert m["op"] == "delete" and m["parent"] == 2
+    latest = {r.k: r.v for r in t.read(spark).collect()}
+    assert set(latest) == {4, 5, 6, 7, 8, 20}, latest
+    assert latest[20] == "interloper"
+    # history shows the serialized order: create, interloper, delete
+    assert [h["op"] for h in t.history()] == ["create", "merge", "delete"]
+
+
 def test_txn_version_as_of_and_clone(spark, tmp_path):
     """Timestamp time travel + zero-copy clone: version_as_of picks
     the last version committed at or before the asked time (and
