@@ -90,17 +90,51 @@ the four ADVICE findings):
   types degrade to conservative, never crash the commit), and a
   dangling latest-hint falls back to the directory listing.
 
+Round 12, second half — the remaining DML/maintenance verbs:
+
+- **Row UPDATE** (``update``): committed copy-on-write ``UPDATE …
+  SET … WHERE`` with SQL semantics (RHS against OLD values, NULL
+  condition leaves rows unchanged, store-assignment cast) and the
+  same caller-contracted zone-map selectivity as ``delete``.
+- **CHECK constraints** (``add_constraint``/``drop_constraint`` —
+  Delta's table invariants): SQL boolean expressions no committed
+  row may falsify (NULL passes). ``add`` validates the current
+  snapshot; every row-introducing write path (append, merge,
+  update, stream batch) enforces the parent's set on the rows it
+  introduces — re-checked per retry iff the set changed (the
+  schema-guard TOCTOU discipline, without paying a probe job per
+  retry in the race-free case).
+- **RESTORE** (``restore``): Delta's ``RESTORE TABLE … TO VERSION
+  AS OF`` as a forward commit of the target's files/schema/stats/
+  uniqueness/constraints — zero data copied, bad versions stay
+  time-travelable, and the per-app stream watermarks merge at MAX
+  (data rewinds; exactly-once bookkeeping never does).
+- **Change data feed** (``changes``): keyed snapshot diff emitting
+  Delta-CDF-shaped ``_change_type`` rows (insert / delete / both
+  update images) from ONE null-safe full-outer equi-join — gated on
+  both snapshots being manifest-proven key-unique, the selective
+  merge's discipline.
+- **MERGE … WHEN NOT MATCHED BY SOURCE THEN DELETE**
+  (``merge(when_not_matched_by_source="delete")``): full-sync
+  semantics; always a full rewrite, because a file no source key
+  intersects is one whose rows must all be deleted — the exact
+  inverse of the selective carry-forward argument.
+
 100 TB notes: manifests are O(files) JSON — the real formats shard
 them (Iceberg manifest lists); the zone-mapped merge makes rewrite
 cost O(files-that-intersect) after an ``optimize``, the
 partition-scoped shape production MERGE needs. Tests
 (tests/test_round10_ops.py, test_round11_ops.py,
-test_round12_ops.py) pin snapshot isolation under a concurrent
-commit, two-writer conflict/retry serializability, time travel,
-vacuum's referenced-file + grace safety, the duplicate-key-base
-fallback, genuine file skipping after optimize, the idempotent
-streaming sink, multi-dimension zone-map survival across writes,
-selective delete, and retention expiry.
+test_round12_ops.py, test_round12_dml.py) pin snapshot isolation
+under a concurrent commit, two-writer conflict/retry
+serializability, time travel, vacuum's referenced-file + grace
+safety, the duplicate-key-base fallback, genuine file skipping
+after optimize, the idempotent streaming sink, multi-dimension
+zone-map survival across writes, selective delete/update,
+retention expiry, constraint enforcement on every introducing
+path (incl. the add-constraint race), restore's watermark
+preservation, the change feed's image contract, and sync-merge's
+forced full rewrite.
 """
 
 from __future__ import annotations
@@ -487,6 +521,7 @@ class TxnTable:
         stats: dict | None = None,
         key_unique_on: list[str] | None = None,
         txn: dict | None = None,
+        constraints: dict | None = None,
     ) -> int:
         version = parent + 1
         body = json.dumps(
@@ -510,6 +545,11 @@ class TxnTable:
                 # per-app streaming watermarks (Delta SetTransaction):
                 # app_id -> highest committed batch_id.
                 "txn": txn or {},
+                # CHECK constraints (Delta invariants): name -> SQL
+                # boolean expression every committed row must not
+                # falsify. Enforced on the rows each write path
+                # introduces; carried by every commit.
+                "constraints": constraints or {},
             }
         )
         tmp = os.path.join(
@@ -530,6 +570,36 @@ class TxnTable:
             os.unlink(tmp)
         self._update_hint(version)
         return version
+
+    def _enforce_constraints(
+        self, df: DataFrame, constraints: dict, op: str
+    ) -> None:
+        """CHECK-constraint enforcement (Delta's table invariants) on
+        the rows a write INTRODUCES: a row violates a constraint when
+        its expression evaluates to FALSE — a NULL result passes,
+        exactly SQL CHECK semantics. Rows already committed were
+        validated by ``add_constraint``/their own writes, so delete /
+        optimize / evolve / restore (which introduce no rows) skip
+        this. One combined probe job when constraints exist (zero
+        cost otherwise); only on a violation does a per-constraint
+        pass run to name the culprit in the error."""
+        if not constraints:
+            return
+        viol = None
+        for expr in constraints.values():
+            v = F.expr(expr).eqNullSafe(F.lit(False))
+            viol = v if viol is None else (viol | v)
+        if df.filter(viol).limit(1).count() == 0:
+            return
+        for name, expr in constraints.items():
+            if df.filter(
+                F.expr(expr).eqNullSafe(F.lit(False))
+            ).limit(1).count():
+                raise ValueError(
+                    f"{op}: CHECK constraint {name!r} ({expr}) is "
+                    "violated by incoming rows; commit refused"
+                )
+        raise ValueError(f"{op}: CHECK constraint violated")
 
     @staticmethod
     def _require_schema_match(
@@ -565,6 +635,7 @@ class TxnTable:
     ) -> int:
         staged: list[str] | None = None
         st: dict = {}
+        checked_cons: dict | None = None
         for _ in range(max_retries):
             parent = self.latest_version()
             m = self.manifest(parent)
@@ -574,6 +645,13 @@ class TxnTable:
             # cannot be followed by a mismatched append (ADVICE r11
             # #2, the check-then-commit TOCTOU).
             self._require_schema_match(df.schema, m["schema"], "append")
+            # same TOCTOU discipline for CHECK constraints, but the
+            # probe is a Spark job — re-run only when the parent's
+            # constraint set differs from the one already validated.
+            cons = m.get("constraints", {})
+            if cons != checked_cons:
+                self._enforce_constraints(df, cons, "append")
+                checked_cons = cons
             if staged is None:
                 staged, st = self._stage(
                     df, stats_col=self._carried_stat_cols(m, zone_map_col)
@@ -590,6 +668,7 @@ class TxnTable:
                     stats={**m.get("stats", {}), **st},
                     key_unique_on=None,
                     txn=m.get("txn", {}),
+                    constraints=cons,
                 )
             except CommitConflict:
                 continue  # re-derive the parent file list and retry
@@ -604,11 +683,23 @@ class TxnTable:
         tiebreak_cols: Sequence[str] = (),
         max_retries: int = 10,
         zone_map_col: str | None = None,
+        when_not_matched_by_source: str | None = None,
     ) -> int:
         """Optimistic copy-on-write MERGE with `merge_upsert`'s exact
         latest-wins semantics. Serializable: each attempt merges into
         the snapshot whose version it commits against; a lost race
         re-reads and re-applies, so no committed update is ever lost.
+
+        ``when_not_matched_by_source="delete"`` adds ANSI MERGE's
+        third clause (Snowflake/Delta ``WHEN NOT MATCHED BY SOURCE
+        THEN DELETE``): target rows whose key appears in NO source
+        row are removed, making the merge a full SYNC — the committed
+        snapshot holds exactly the source's key set, latest-wins per
+        key. Sync mode always runs the full copy-on-write rewrite:
+        skipping a file is unsound here, because a file no update key
+        intersects is precisely one whose every row must be DELETED
+        (its keys are absent from the source), the opposite of
+        carry-forward. Only "delete" (or None) is accepted.
 
         ``zone_map_col`` (must be ``keys[0]``) requests the SELECTIVE
         rewrite the 100 TB deployment needs: only files whose footer
@@ -637,17 +728,32 @@ class TxnTable:
             not keys or zone_map_col != keys[0]
         ):
             raise ValueError("zone_map_col must be the leading merge key")
+        if when_not_matched_by_source not in (None, "delete"):
+            raise ValueError(
+                "when_not_matched_by_source: only 'delete' is supported"
+            )
+        sync = when_not_matched_by_source == "delete"
 
+        checked_cons: dict | None = None
         for _ in range(max_retries):
             parent = self.latest_version()
             m = self.manifest(parent)
             stats = m.get("stats", {})
+            cons = m.get("constraints", {})
+            if cons != checked_cons:
+                # the rows a merge INTRODUCES are the update rows;
+                # surviving target rows were validated by their own
+                # commits (re-checked per retry iff the set changed)
+                self._enforce_constraints(updates, cons, "merge")
+                checked_cons = cons
             # Selective rewrite is gated on PROOF of key-uniqueness:
             # skipping a file silently preserves its rows, which is
             # only latest-wins-correct if no skipped row is shadowed
-            # by a newer same-key row elsewhere.
+            # by a newer same-key row elsewhere. Sync mode must see
+            # (and rewrite) every file — see the docstring.
             selective = (
-                zone_map_col is not None
+                not sync
+                and zone_map_col is not None
                 and m.get("key_unique_on") == list(keys)
             )
             if not selective:
@@ -689,6 +795,15 @@ class TxnTable:
                 version_col=version_col,
                 tiebreak_cols=tiebreak_cols,
             )
+            if sync:
+                # WHEN NOT MATCHED BY SOURCE THEN DELETE: keep only
+                # keys the source carries — a left-semi against the
+                # distinct source keys (plain SQL equality, like
+                # MERGE's ON clause)
+                merged = merged.join(
+                    updates.select(*keys).distinct(), on=list(keys),
+                    how="left_semi",
+                )
             staged, st = self._stage(
                 merged, stats_col=self._carried_stat_cols(m, zone_map_col)
             )
@@ -707,6 +822,7 @@ class TxnTable:
                     stats=new_stats,
                     key_unique_on=list(keys),
                     txn=m.get("txn", {}),
+                    constraints=cons,
                 )
             except CommitConflict:
                 continue  # somebody committed first: re-merge onto THEIR result
@@ -780,10 +896,112 @@ class TxnTable:
                     stats=new_stats,
                     key_unique_on=m.get("key_unique_on"),
                     txn=m.get("txn", {}),
+                    # removing rows cannot violate a CHECK constraint
+                    constraints=m.get("constraints", {}),
                 )
             except CommitConflict:
                 continue  # re-apply onto the winner's snapshot
         raise CommitConflict(f"delete gave up after {max_retries} retries")
+
+    def update(
+        self,
+        spark: SparkSession,
+        condition,
+        set_exprs: dict,
+        prune_col: str | None = None,
+        prune_lo=None,
+        prune_hi=None,
+        max_retries: int = 10,
+    ) -> int:
+        """Committed copy-on-write row UPDATE (round 12 — the third
+        DML verb; Delta/Snowflake ``UPDATE t SET ... WHERE cond``).
+
+        ``condition`` (Column or SQL string): rows where it evaluates
+        TRUE get ``set_exprs`` applied; a NULL condition leaves the
+        row UNCHANGED (SQL UPDATE's WHERE semantics). ``set_exprs``
+        maps existing column names to Columns or SQL strings; every
+        right-hand side is evaluated against the row's OLD values
+        (one projection computes all assignments — standard UPDATE
+        semantics, so ``{"a": "b", "b": "a"}`` swaps), and each new
+        value is cast to the column's committed type so the table
+        schema never drifts (Delta's store-assignment cast).
+
+        Selective rewrite: identical contract to ``delete`` — with
+        ``(prune_col, prune_lo, prune_hi)`` given, only zone-map-
+        intersecting files are rewritten, and the CALLER promises the
+        range over-approximates the condition. Needs no uniqueness
+        proof (an update rewrites rows in place, never shadows rows
+        in skipped files).
+
+        ``key_unique_on`` survives only when no assigned column is
+        part of the proven key set — updating a key column can mint
+        duplicate keys, so the claim is dropped and the next merge
+        re-establishes it. CHECK constraints are enforced on the
+        rewritten rows (the only rows whose values change)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = cond.eqNullSafe(F.lit(True))
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            m = self.manifest(parent)
+            stats = m.get("stats", {})
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            by_name = {f.name: f for f in schema.fields}
+            unknown = [c for c in set_exprs if c not in by_name]
+            if unknown:
+                raise ValueError(
+                    f"update: SET targets not in the table schema: {unknown}"
+                )
+            if prune_col is not None:
+                touched, _total = self.prune_files(
+                    prune_col, prune_lo, prune_hi, parent
+                )
+            else:
+                touched = list(m["files"])
+            untouched = [f for f in m["files"] if f not in set(touched)]
+            df = self._read_files(spark, touched, m["schema"])
+            projected = []
+            for f in schema.fields:
+                if f.name in set_exprs:
+                    e = set_exprs[f.name]
+                    e = F.expr(e) if isinstance(e, str) else e
+                    projected.append(
+                        F.when(hit, e.cast(f.dataType))
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                    )
+                else:
+                    projected.append(F.col(f.name))
+            rewritten = df.select(*projected)
+            cons = m.get("constraints", {})
+            # rewritten rows are the ones whose values change — the
+            # rows this commit introduces (untouched files carry
+            # already-validated rows)
+            self._enforce_constraints(rewritten, cons, "update")
+            staged, st = self._stage(
+                rewritten, stats_col=self._carried_stat_cols(m)
+            )
+            files = untouched + staged
+            new_stats = {
+                **{f: stats[f] for f in untouched if stats.get(f)},
+                **st,
+            }
+            unique = m.get("key_unique_on")
+            if unique and set(unique) & set(set_exprs):
+                unique = None  # assigning a key column may mint dupes
+            try:
+                return self._try_commit(
+                    parent,
+                    files,
+                    "update",
+                    schema,
+                    stats=new_stats,
+                    key_unique_on=unique,
+                    txn=m.get("txn", {}),
+                    constraints=cons,
+                )
+            except CommitConflict:
+                continue  # re-apply onto the winner's snapshot
+        raise CommitConflict(f"update gave up after {max_retries} retries")
 
     def evolve_schema(
         self,
@@ -836,12 +1054,238 @@ class TxnTable:
                     stats=m.get("stats", {}),
                     key_unique_on=m.get("key_unique_on"),
                     txn=m.get("txn", {}),
+                    constraints=m.get("constraints", {}),
                 )
             except CommitConflict:
                 continue  # re-derive against the winner's schema
         raise CommitConflict(
             f"evolve_schema gave up after {max_retries} retries"
         )
+
+    def add_constraint(
+        self,
+        spark: SparkSession,
+        name: str,
+        expr: str,
+        max_retries: int = 10,
+    ) -> int:
+        """Add a CHECK constraint (Delta's ``ALTER TABLE … ADD
+        CONSTRAINT``): ``expr`` is a SQL boolean expression no
+        committed row may falsify — NULL passes, SQL CHECK
+        semantics. The CURRENT snapshot is validated first (one probe
+        job, re-run per retry against the actual parent — the data
+        may have changed under a lost race), then the constraint is
+        committed as metadata, zero data rewritten. Every subsequent
+        ``append``/``merge``/``update``/stream batch enforces it on
+        the rows it introduces and refuses the commit on violation."""
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            m = self.manifest(parent)
+            cons = dict(m.get("constraints", {}))
+            if name in cons:
+                raise ValueError(
+                    f"add_constraint: {name!r} already exists "
+                    f"({cons[name]})"
+                )
+            snapshot = self._read_files(spark, m["files"], m["schema"])
+            self._enforce_constraints(
+                snapshot, {name: expr}, "add_constraint"
+            )
+            cons[name] = expr
+            try:
+                return self._try_commit(
+                    parent,
+                    m["files"],
+                    "add-constraint",
+                    StructType.fromJson(json.loads(m["schema"])),
+                    stats=m.get("stats", {}),
+                    key_unique_on=m.get("key_unique_on"),
+                    txn=m.get("txn", {}),
+                    constraints=cons,
+                )
+            except CommitConflict:
+                continue  # re-validate against the winner's snapshot
+        raise CommitConflict(
+            f"add_constraint gave up after {max_retries} retries"
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 10) -> int:
+        """Drop a CHECK constraint — metadata-only commit, zero data
+        rewritten. Raises if the constraint does not exist (typo
+        safety, Delta's behavior without IF EXISTS)."""
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            m = self.manifest(parent)
+            cons = dict(m.get("constraints", {}))
+            if name not in cons:
+                raise ValueError(f"drop_constraint: no constraint {name!r}")
+            del cons[name]
+            try:
+                return self._try_commit(
+                    parent,
+                    m["files"],
+                    "drop-constraint",
+                    StructType.fromJson(json.loads(m["schema"])),
+                    stats=m.get("stats", {}),
+                    key_unique_on=m.get("key_unique_on"),
+                    txn=m.get("txn", {}),
+                    constraints=cons,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"drop_constraint gave up after {max_retries} retries"
+        )
+
+    def restore(self, version: int, max_retries: int = 10) -> int:
+        """RESTORE the table to an earlier snapshot (Delta's
+        ``RESTORE TABLE … TO VERSION AS OF``) — committed as a NEW
+        version whose file list, schema, stats, uniqueness claim and
+        constraints are the target's. History only moves forward:
+        the bad versions stay readable (until retention expires
+        them), the restore is itself time-travelable, and a
+        concurrent writer races the commit like any other (retry
+        loop). Zero data copied — manifests are self-contained file
+        lists over immutable files.
+
+        The per-app ``txn`` watermark map is NOT rolled back: it
+        merges the target's and the current latest's maps at each
+        app's MAX batch id. Rolling watermarks back would let a
+        restarted stream re-commit a batch the table already saw —
+        restore rewinds DATA, never exactly-once bookkeeping (same
+        reason Delta keeps SetTransaction actions through RESTORE).
+
+        Raises if the target version is expired, and refuses (before
+        committing anything) if any target data file is missing on
+        disk — possible only on a corrupted/partially-copied table,
+        since expire+vacuum always drop the manifest first."""
+        target = self.manifest(version)  # raises expired/never-existed
+        missing = [
+            f
+            for f in target["files"]
+            if not os.path.exists(os.path.join(self.root, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"restore: version {version} references missing data "
+                f"files (corrupted table?): {missing[:3]}"
+            )
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            m = self.manifest(parent)
+            txn = dict(target.get("txn", {}))
+            for app, bid in m.get("txn", {}).items():
+                txn[app] = max(int(bid), int(txn.get(app, -1)))
+            try:
+                return self._try_commit(
+                    parent,
+                    target["files"],
+                    "restore",
+                    StructType.fromJson(json.loads(target["schema"])),
+                    stats=target.get("stats", {}),
+                    key_unique_on=target.get("key_unique_on"),
+                    txn=txn,
+                    constraints=target.get("constraints", {}),
+                )
+            except CommitConflict:
+                continue  # restore still targets the SAME snapshot
+        raise CommitConflict(f"restore gave up after {max_retries} retries")
+
+    def changes(
+        self,
+        spark: SparkSession,
+        keys: Sequence[str],
+        v_from: int,
+        v_to: int | None = None,
+        compare_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Row-level CHANGE DATA FEED between two committed snapshots
+        (the Delta CDF / Iceberg changelog shape, computed as a
+        keyed snapshot diff): one row per changed key with
+        ``_change_type`` ∈ {insert, delete, update_preimage,
+        update_postimage} — an updated key emits BOTH images, CDF's
+        contract, so a downstream consumer can replay the transition
+        exactly.
+
+        Both snapshots must be manifest-PROVEN key-unique on ``keys``
+        (same discipline as the selective merge: a diff keyed on a
+        duplicated key set has no well-defined per-key pre/post
+        image). Raises otherwise.
+
+        ``compare_cols`` limits which columns define "changed"
+        (default: every non-key column the two snapshot schemas
+        share — an ``evolve_schema`` between the versions compares
+        on the common set). Output columns: keys + compare cols (in
+        the TO snapshot's order) + ``_change_type``; deleted rows
+        carry their preimage values, inserted rows their postimage.
+
+        Plan shape: ONE null-safe full-outer equi-join of the two
+        snapshots on the key columns (sort-merge at scale, no
+        driver-side state), then a single projection builds 0–2
+        typed change structs per key and ``explode`` drops the
+        unchanged ones. Scales as the bigger snapshot's shuffle."""
+        v_to = self.latest_version() if v_to is None else v_to
+        mf, mt = self.manifest(v_from), self.manifest(v_to)
+        for v, m in ((v_from, mf), (v_to, mt)):
+            if m.get("key_unique_on") != list(keys):
+                raise ValueError(
+                    f"changes: version {v} is not manifest-proven "
+                    f"key-unique on {list(keys)} (key_unique_on="
+                    f"{m.get('key_unique_on')}); merge on these keys "
+                    "first"
+                )
+        sf = StructType.fromJson(json.loads(mf["schema"]))
+        st = StructType.fromJson(json.loads(mt["schema"]))
+        common = {f.name for f in sf.fields} & {f.name for f in st.fields}
+        if compare_cols is None:
+            cmp_cols = [
+                f.name
+                for f in st.fields
+                if f.name in common and f.name not in keys
+            ]
+        else:
+            cmp_cols = list(compare_cols)
+        out_cols = list(keys) + cmp_cols
+        a = (
+            self.read(spark, v_from)
+            .select(*out_cols)
+            .withColumn("__pa", F.lit(1))
+            .alias("a")
+        )
+        b = (
+            self.read(spark, v_to)
+            .select(*out_cols)
+            .withColumn("__pb", F.lit(1))
+            .alias("b")
+        )
+        on = None
+        for k in keys:
+            c = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+            on = c if on is None else (on & c)
+        j = a.join(b, on, "full_outer")
+
+        def _img(side: str, ctype: str):
+            return F.struct(
+                *[F.col(f"{side}.{c}").alias(c) for c in out_cols],
+                F.lit(ctype).alias("_change_type"),
+            )
+
+        changed = F.lit(False)
+        for c in cmp_cols:
+            changed = changed | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        events = (
+            F.when(F.col("a.__pa").isNull(), F.array(_img("b", "insert")))
+            .when(F.col("b.__pb").isNull(), F.array(_img("a", "delete")))
+            .when(
+                changed,
+                F.array(
+                    _img("a", "update_preimage"),
+                    _img("b", "update_postimage"),
+                ),
+            )
+            .otherwise(F.lit(None))  # unchanged key: explode drops it
+        )
+        return j.select(F.explode(events).alias("__c")).select("__c.*")
 
     def optimize(
         self,
@@ -882,6 +1326,7 @@ class TxnTable:
                     stats=st,
                     key_unique_on=m.get("key_unique_on"),
                     txn=m.get("txn", {}),
+                    constraints=m.get("constraints", {}),
                 )
             except CommitConflict:
                 continue  # re-cluster whatever the winner committed
@@ -933,6 +1378,7 @@ class TxnTable:
                     stats=st,
                     key_unique_on=m.get("key_unique_on"),
                     txn=m.get("txn", {}),
+                    constraints=m.get("constraints", {}),
                 )
             except CommitConflict:
                 continue
@@ -971,6 +1417,7 @@ class TxnTable:
             return None
         staged: list[str] | None = None
         st: dict = {}
+        checked_cons: dict | None = None
         for _ in range(max_retries):
             parent = self.latest_version()
             m = self.manifest(parent)
@@ -981,6 +1428,10 @@ class TxnTable:
             # union so stream-appended files keep every mapped
             # dimension prunable (VERDICT r11 "What's wrong" #1)
             self._require_schema_match(df.schema, m["schema"], "stream-append")
+            cons = m.get("constraints", {})
+            if cons != checked_cons:
+                self._enforce_constraints(df, cons, "stream-append")
+                checked_cons = cons
             if staged is None:
                 staged, st = self._stage(
                     df, stats_col=self._carried_stat_cols(m, zone_map_col)
@@ -994,6 +1445,7 @@ class TxnTable:
                     stats={**m.get("stats", {}), **st},
                     key_unique_on=None,
                     txn={**m.get("txn", {}), app_id: batch_id},
+                    constraints=cons,
                 )
             except CommitConflict:
                 continue
