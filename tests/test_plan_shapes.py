@@ -400,6 +400,10 @@ def test_no_row_path_python_udfs_anywhere(spark):
         # round 10: per-cell BLAS candidate kernels (the documented
         # block-grid tier, grouped by IVF cell — PERF.md lesson 9)
         "knn_label_eval_ivf",
+        # round 12 (optimization): the former brute crossJoin rows now
+        # run their bit-identical BLAS block-grid tiers (shared
+        # oracles; brute forms stay pytest ground truth)
+        "hard_negative_mining", "ann_sq8_topk",
     }
     unexpected = set(arrow_kernels) - allowed
     assert not unexpected, f"undocumented Arrow kernels in: {sorted(unexpected)}"

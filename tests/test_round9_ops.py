@@ -313,6 +313,48 @@ def test_sq8_fidelity_vs_exact(spark):
         assert -1.1 <= r.sq8_score <= 1.1
 
 
+def test_hard_negative_blas_bit_identical_to_brute(spark):
+    """r12 optimization gate: the BLAS block-grid tier registered as
+    ``hard_negative_mining`` must equal the brute crossJoin ground
+    truth ROW FOR ROW (ids, labels, ranks AND 6-dp cosines) — BLAS
+    only prunes; the exact chain decides. Small ``block_rows`` forces
+    a real multi-block grid."""
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        hard_negative_topk,
+        hard_negative_topk_blas,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") % 4 == 0)
+    brute = sorted(
+        tuple(r) for r in hard_negative_topk(embs, qs, k=5).collect()
+    )
+    blas = sorted(
+        tuple(r)
+        for r in hard_negative_topk_blas(embs, qs, k=5, block_rows=64).collect()
+    )
+    assert brute and blas == brute
+
+
+def test_sq8_blas_bit_identical_to_brute(spark):
+    """r12 optimization gate: the BLAS SQ8 tier registered as
+    ``ann_sq8_topk`` must equal the brute generated-chain scan ROW
+    FOR ROW (ids, ranks AND 6-dp scores) — the kernel's recon matrix
+    is element-identical, the exact chain re-ranks survivors."""
+    from stock_market_data_pipeline_v2_spark.operators.similarity import (
+        sq8_topk,
+        sq8_topk_blas,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") % 4 == 0)
+    brute = sorted(tuple(r) for r in sq8_topk(embs, qs, k=5).collect())
+    blas = sorted(
+        tuple(r) for r in sq8_topk_blas(embs, qs, k=5, block_rows=64).collect()
+    )
+    assert brute and blas == brute
+
+
 def test_quality_report_counts_injected_violations(spark):
     """The report must count exactly the violating rows, flag fail
     status, and keep total_rows at the scan count — checked on a
