@@ -1054,6 +1054,13 @@ def q_lineitem_profile_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFra
     configure_runtime(spark)
     li = load_table(spark, sf_dir, "lineitem")
     cut = F.lit("1998-06-01").cast("timestamp")
+    # r12 (optimization round): a one-scan grouped fold of the four
+    # per-side scans was built and MEASURED SLOWER here (3.09 s →
+    # 3.90 s best-of-4) — this tier has no Expand to halve, the
+    # filtered half-scans already prune, and the pivot adds stages —
+    # so the two-filter form stays (OPTIMIZATION_r12.md ledger). The
+    # exact tier's fold (q_lineitem_profile_drift) is where the win
+    # is: there the grouped scan halves the count-distinct Expand.
     return profile_drift_sketch(
         li.filter(F.col("l_shipdate") < cut),
         li.filter(F.col("l_shipdate") >= cut),
@@ -1064,21 +1071,25 @@ def q_lineitem_profile_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFra
 
 def q_lineitem_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 6: column-profile drift between the pre/post-1998-06-01
-    # shipdate halves — the incremental-load audit shape (two pruned
-    # scans, spec-grain diff).
+    # shipdate halves — the incremental-load audit shape.
+    # r12 (optimization round): the two complementary halves now
+    # profile in ONE grouped scan (profile_drift_split — guide §2.4:
+    # the table was read twice for order-insensitive per-half
+    # aggregates). Bit-identical by construction and pytest-pinned to
+    # the two-filter form; same oracle.
     from pyspark.sql import functions as F
 
     from stock_market_data_pipeline_v2_spark.operators.profiling import (
         LINEITEM_PROFILE_SPEC,
-        profile_drift,
+        profile_drift_split,
     )
 
     configure_runtime(spark)
     li = load_table(spark, sf_dir, "lineitem")
     cut = F.lit("1998-06-01").cast("timestamp")
-    return profile_drift(
-        li.filter(F.col("l_shipdate") < cut),
-        li.filter(F.col("l_shipdate") >= cut),
+    return profile_drift_split(
+        li,
+        F.col("l_shipdate") >= cut,
         LINEITEM_PROFILE_SPEC,
     )
 

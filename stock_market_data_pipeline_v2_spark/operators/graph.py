@@ -216,26 +216,40 @@ def triangle_stats(
     """
     if graph is not None:
         deg_edges, nodes_in = graph
-        e = deg_edges.select("src", "dst")
         deg = deg_edges.select(
             "src", F.col("__deg").alias("deg")
         ).distinct()
-    else:
-        e = copurchase_edges(lineitem)  # both directions, distinct
-        deg = e.groupBy("src").agg(
-            F.count(F.lit(1)).cast("long").alias("deg")
-        )
-    # rank-carrying edge list: (src, dst, deg_src, deg_dst)
-    ed = (
-        e.join(deg, "src")
-        .join(
+        # (r12 optimization) deg_edges ALREADY carries deg(src) as
+        # __deg — re-joining the (node, deg) frame onto the edge list
+        # repeated a full edge-sized shuffle join for a value the
+        # memoized index materialized; only the DST degree needs
+        # attaching. Same values, one Exchange+join fewer.
+        ed = deg_edges.select(
+            "src", "dst", F.col("__deg").alias("__degs")
+        ).join(
             deg.select(
                 F.col("src").alias("dst"), F.col("deg").alias("__degd")
             ),
             "dst",
         )
-        .select("src", "dst", F.col("deg").alias("__degs"), "__degd")
-    )
+        nodes = nodes_in
+    else:
+        e = copurchase_edges(lineitem)  # both directions, distinct
+        deg = e.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        # rank-carrying edge list: (src, dst, deg_src, deg_dst)
+        ed = (
+            e.join(deg, "src")
+            .join(
+                deg.select(
+                    F.col("src").alias("dst"), F.col("deg").alias("__degd")
+                ),
+                "dst",
+            )
+            .select("src", "dst", F.col("deg").alias("__degs"), "__degd")
+        )
+        nodes = lineitem.select(F.col("l_partkey").alias("part")).distinct()
     lower = (F.col("__degs") < F.col("__degd")) | (
         (F.col("__degs") == F.col("__degd")) & (F.col("src") < F.col("dst"))
     )
@@ -248,20 +262,30 @@ def triangle_stats(
     o2 = oriented.select(
         F.col("u"), F.col("v").alias("b"), F.col("__dv").alias("__db")
     )
-    wedges = o1.join(o2, "u").filter(
+    # (r12 optimization) SHUFFLE_HASH on both wedge-phase joins — the
+    # part_kcore lesson: sort-merge re-sorts the full oriented edge
+    # list on each side, while a per-partition hash build from the
+    # edge side needs no broadcast fit and no sort. Build sides are
+    # edge-bounded (E/2 rows each), never the Σ outdeg² wedge stream.
+    wedges = o1.join(o2.hint("shuffle_hash"), "u").filter(
         (F.col("__da") < F.col("__db"))
         | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b")))
     )
     closing = oriented.select(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
-    tri = wedges.join(closing, ["a", "b"]).select("u", "a", "b")
+    tri = wedges.join(closing.hint("shuffle_hash"), ["a", "b"]).select(
+        "u", "a", "b"
+    )
     per_node = (
         tri.select(F.explode(F.array("u", "a", "b")).alias("part"))
         .groupBy("part")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
-    nodes = lineitem.select(F.col("l_partkey").alias("part")).distinct()
+    # (r12 optimization) the vertex spine comes from the memoized
+    # graph index when one is passed (``nodes`` above) instead of a
+    # second full lineitem scan + distinct — build_copurchase_graph
+    # derives it with the identical expression.
     d = deg.select(F.col("src").alias("part"), F.col("deg"))
     coef = (
         F.lit(2.0)

@@ -165,11 +165,18 @@ def profile_drift(
         F.col("min_num").alias("min_b"),
         F.col("max_num").alias("max_b"),
     )
+    return _drift_report(pa.join(pb, "column_name"))
+
+
+def _drift_report(pj: DataFrame) -> DataFrame:
+    """The drift arithmetic over a (column_name, rows_a, rows_b,
+    null_a, null_b, nd_a, nd_b, min_a, min_b, max_a, max_b) frame —
+    factored in r12 so :func:`profile_drift` and the one-scan
+    :func:`profile_drift_split` share the byte-for-byte expressions."""
     null_frac_a = F.col("null_a").cast("double") / F.col("rows_a").cast("double")
     null_frac_b = F.col("null_b").cast("double") / F.col("rows_b").cast("double")
     return (
-        pa.join(pb, "column_name")
-        .select(
+        pj.select(
             "column_name",
             "rows_a",
             "rows_b",
@@ -189,6 +196,73 @@ def profile_drift(
         )
         .orderBy("column_name")
     )
+
+
+def profile_drift_split(
+    df: DataFrame,
+    b_flag,
+    spec: list[tuple[str, str]],
+) -> DataFrame:
+    """ONE-SCAN twin of :func:`profile_drift` for the common case
+    where the two slices are complementary predicate halves of the
+    SAME table (r12 optimization; guide §2.4 — remove passes
+    outright). ``b_flag`` is the boolean column assigning a row to
+    side b; FALSE → side a; NULL → neither (exactly the rows the two
+    original filters both dropped).
+
+    Bit-identical to ``profile_drift(df.filter(~b), df.filter(b))``:
+    the per-half aggregates (count / null count / exact
+    count-distinct / min / max) are order-insensitive, so grouping
+    the single scan by the flag produces the same values the two
+    filtered scans did; the drift arithmetic is the shared
+    :func:`_drift_report` expressions. Plan: scan → grouped Expand →
+    2-row frame → 1-row pivot → stack — one pass over the table and
+    NO self-join (two branches of the same aggregate would re-scan;
+    Catalyst does not materialize common subtrees). Empty halves
+    pivot to NULL counts, coalesced to 0 to match an aggregate over
+    an empty filtered frame.
+    """
+    cols = [c for c, _ in spec]
+    base = widen_if_narrow(df.select(b_flag.alias("__b"), *cols))
+    aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
+    stat_cols: list[tuple[str, bool]] = [("__rows", True)]
+    for c, kind in spec:
+        col = F.col(c)
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"__null_{c}")
+        )
+        aggs.append(F.count_distinct(col).alias(f"__nd_{c}"))
+        stat_cols += [(f"__null_{c}", True), (f"__nd_{c}", True)]
+        if kind == "num":
+            aggs.append(F.min(col).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(col).cast("double").alias(f"__max_{c}"))
+            stat_cols += [(f"__min_{c}", False), (f"__max_{c}", False)]
+    halves = base.groupBy("__b").agg(*aggs)
+    pivots = []
+    for name, is_count in stat_cols:
+        for tag, cond in (("a", ~F.col("__b")), ("b", F.col("__b"))):
+            e = F.max(F.when(cond, F.col(name)))
+            if is_count:
+                e = F.coalesce(e, F.lit(0).cast("long"))
+            pivots.append(e.alias(f"{name}_{tag}"))
+    pivoted = halves.agg(*pivots)
+    parts = []
+    for c, kind in spec:
+        if kind == "num":
+            mna, mnb = f"`__min_{c}_a`", f"`__min_{c}_b`"
+            mxa, mxb = f"`__max_{c}_a`", f"`__max_{c}_b`"
+        else:
+            mna = mnb = mxa = mxb = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"'{c}', __rows_a, __rows_b, `__null_{c}_a`, `__null_{c}_b`, "
+            f"`__nd_{c}_a`, `__nd_{c}_b`, {mna}, {mnb}, {mxa}, {mxb}"
+        )
+    stacked = pivoted.selectExpr(
+        f"stack({len(spec)}, {', '.join(parts)}) AS "
+        "(column_name, rows_a, rows_b, null_a, null_b, nd_a, nd_b, "
+        "min_a, min_b, max_a, max_b)"
+    )
+    return _drift_report(stacked)
 
 
 def profile_drift_oracle_sql(
@@ -455,6 +529,13 @@ def profile_drift_sketch(
         F.col("min_num").alias("min_b"),
         F.col("max_num").alias("max_b"),
     )
+    # NOTE (r12 optimization round): a one-scan grouped fold of this
+    # tier's four per-side scans (the profile_drift_split move) was
+    # built and measured SLOWER at bench scale (3.09 s → 3.90 s
+    # best-of-4): unlike the exact tier there is no count-distinct
+    # Expand to halve, the per-side filtered scans already prune, and
+    # the 1-row pivot adds stages. Kept two-filter by measurement —
+    # OPTIMIZATION_r12.md ledger.
     null_frac_a = F.col("null_a").cast("double") / F.col("rows_a").cast("double")
     null_frac_b = F.col("null_b").cast("double") / F.col("rows_b").cast("double")
     return (
