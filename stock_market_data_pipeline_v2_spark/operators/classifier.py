@@ -36,11 +36,17 @@ from ..functions.core import round_away
 from ..quality_weights import QUALITY_BIAS, QUALITY_DIM, QUALITY_WEIGHTS
 
 
-def _logit_col(vec: Column, weights: list[float], bias: float) -> Column:
-    expr: Column = F.lit(float(bias))
+def _logit_col(vec: str, weights: list[float], bias: float) -> Column:
+    """The frozen linear model as ONE parsed SQL chain (r12: the
+    dot_unrolled lesson — the Column-API loop cost ~320 py4j
+    round-trips ≈ ~1 s of plan-build per call). ``repr(float)``
+    round-trips every weight exactly, the same rendering the oracle
+    generator uses, and the left-assoc add order is unchanged.
+    Takes the vector COLUMN NAME."""
+    chain = f"CAST({float(bias)!r} AS DOUBLE)"
     for i, w in enumerate(weights):
-        expr = expr + F.lit(float(w)) * F.element_at(vec, i + 1)
-    return expr
+        chain += f" + CAST({float(w)!r} AS DOUBLE) * element_at({vec}, {i + 1})"
+    return F.expr(chain)
 
 
 def quality_classifier(
@@ -58,7 +64,7 @@ def quality_classifier(
     bias = QUALITY_BIAS if bias is None else bias
     dim = QUALITY_DIM if dim is None else dim
     emb = hash_embed_documents(documents, dim=dim)
-    logit = _logit_col(F.col("embedding"), weights, bias)
+    logit = _logit_col("embedding", weights, bias)
     return (
         emb.select(
             "doc_id",

@@ -222,30 +222,36 @@ def profile_drift_split(
     pivot to NULL counts, coalesced to 0 to match an aggregate over
     an empty filtered frame.
     """
+    # Every aggregate/pivot expression below is built as a SQL string
+    # (one parse per expression or one selectExpr per stage) — the
+    # dot_unrolled / _sq8_score_chain lesson: the Column-API form of
+    # this ~160-expression construction cost a MEASURED ~4.9 s of
+    # py4j round-trip plan-build per call, dominating the query.
     cols = [c for c, _ in spec]
     base = widen_if_narrow(df.select(b_flag.alias("__b"), *cols))
-    aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
+    aggs = ["CAST(count(1) AS BIGINT) AS __rows"]
     stat_cols: list[tuple[str, bool]] = [("__rows", True)]
     for c, kind in spec:
-        col = F.col(c)
         aggs.append(
-            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"__null_{c}")
+            f"CAST(count(1) - count(`{c}`) AS BIGINT) AS `__null_{c}`"
         )
-        aggs.append(F.count_distinct(col).alias(f"__nd_{c}"))
+        aggs.append(f"count(DISTINCT `{c}`) AS `__nd_{c}`")
         stat_cols += [(f"__null_{c}", True), (f"__nd_{c}", True)]
         if kind == "num":
-            aggs.append(F.min(col).cast("double").alias(f"__min_{c}"))
-            aggs.append(F.max(col).cast("double").alias(f"__max_{c}"))
+            aggs.append(f"CAST(min(`{c}`) AS DOUBLE) AS `__min_{c}`")
+            aggs.append(f"CAST(max(`{c}`) AS DOUBLE) AS `__max_{c}`")
             stat_cols += [(f"__min_{c}", False), (f"__max_{c}", False)]
-    halves = base.groupBy("__b").agg(*aggs)
+    halves = base.groupBy("__b").agg(
+        F.expr(aggs[0]), *[F.expr(a) for a in aggs[1:]]
+    )
     pivots = []
     for name, is_count in stat_cols:
-        for tag, cond in (("a", ~F.col("__b")), ("b", F.col("__b"))):
-            e = F.max(F.when(cond, F.col(name)))
+        for tag, cond in (("a", "NOT __b"), ("b", "__b")):
+            e = f"max(CASE WHEN {cond} THEN `{name}` END)"
             if is_count:
-                e = F.coalesce(e, F.lit(0).cast("long"))
-            pivots.append(e.alias(f"{name}_{tag}"))
-    pivoted = halves.agg(*pivots)
+                e = f"coalesce({e}, CAST(0 AS BIGINT))"
+            pivots.append(f"{e} AS `{name}_{tag}`")
+    pivoted = halves.selectExpr(*pivots)
     parts = []
     for c, kind in spec:
         if kind == "num":

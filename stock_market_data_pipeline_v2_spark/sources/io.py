@@ -45,6 +45,18 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# (r12 optimization) per-session PLAN memo for load_table: resolving
+# a parquet source costs a measured ~0.14 s of driver work PER CALL
+# (file listing + footer/schema resolution + py4j), and the bench
+# makes hundreds of load_table calls per run. The memoized value is
+# the LAZY analyzed DataFrame — an immutable plan, zero rows of
+# state: every action on it still scans the parquet files, so this
+# is plan-build amortization (guide §1.2 step 2 driver-side), not
+# result caching. Keyed by applicationId so a new session never sees
+# a stale plan.
+_LOAD_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
@@ -54,9 +66,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (truncating division — the same ns→µs truncation DuckDB applies
     when casting TIMESTAMP_NS to TIMESTAMP).
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _LOAD_TABLE_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        _LOAD_TABLE_MEMO[key] = df
     return df
 
 

@@ -60,10 +60,10 @@ def main() -> None:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    from stock_market_data_pipeline_v2_spark.session import get_spark
-    from stock_market_data_pipeline_v2_spark.sources.io import (
+    from stock_market_data_pipeline_v2_spark.operators.dedup import (
         release_cached_inputs,
     )
+    from stock_market_data_pipeline_v2_spark.session import get_spark
 
     import __spark_entry__ as m
 
