@@ -2758,36 +2758,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # because their implementation changed this round (txn_table.py
 # write paths now stage the parent manifest's stat-col union;
 # q_txn_pruned_read's hard assert became a soft report — precedent:
-# txn_merge_upsert in r11), then the FIVE optimization-phase
-# re-samples (dedup_embedding, ann_cosine_topk, hard_negative_mining,
-# ann_sq8_topk, ann_recall_report — their registered implementations
-# moved to the bit-identical BLAS tiers late in r12), then the 39
-# stalest previously-sampled entries straight off the head of the
-# r11 tail: walk_forward_splits (r11's slot 51), then market_beta
-# ... monthly_revenue_growth, skipping the rows-only pair. The two
-# by-design rows-only entries (windowed_analytics_reagg,
-# image_features) sit at slots 51/52, behind the sample per the
-# registry invariant; then the remaining tail in staleness order —
-# first the 5 rows the optimization re-samples displaced
-# (dedup_minhash_lsh ... ann_pq_topk, still hash-green in
-# CORRECTNESS_r11), then ann_ivfpq_topk, ann_lsh_topk ...
-# lm_perplexity_cross; the non-txn entries of r11's sampled window
-# (dedup_incremental ... top_volume_days, freshest) are the very
-# end — r13's window reads from dedup_minhash_lsh onward unless
-# reds appear or implementations change. Future rotations edit THIS
-# list only — the funcs dict below is order-insignificant.
+# txn_merge_upsert in r11), then the FIFTEEN optimization-phase
+# re-samples: the five BLAS-tier swaps (dedup_embedding,
+# ann_cosine_topk, hard_negative_mining, ann_sq8_topk,
+# ann_recall_report) and the ten rows whose implementations the
+# optimization phase restructured (part_triangles,
+# lineitem_profile_drift, dedup_simhash, dedup_minhash_lsh,
+# dedup_incremental_lsh, minhash_estimate_audit, dedup_incremental,
+# quality_classifier, classifier_calibration, quality_decile_bins —
+# all oracle-proven bit-identical at both SFs; the window makes the
+# driver's own sample say so too; source_quality_profile and
+# classifier_auc_report also changed but were ALREADY inside the
+# stale window below), then the 29 stalest previously-sampled
+# entries straight off the head of the r11 tail (walk_forward_splits
+# ... rolling_beta). The two by-design rows-only entries
+# (windowed_analytics_reagg, image_features) sit at slots 51/52,
+# behind the sample per the registry invariant; then the displaced
+# previously-sampled rows in staleness order (cross_sectional_ranks
+# ... monthly_revenue_growth — the freshest of the old stale block,
+# pushed out by the ten extra re-samples), then the remaining
+# unsampled tail (dedup_embedding_ivf, ann_ivf_topk ...
+# lm_perplexity_cross), with r11's sampled non-txn entries (minus
+# this round's re-samples; ... top_volume_days, freshest) at the
+# very end — r13's window reads from cross_sectional_ranks onward
+# unless reds appear or implementations change. Future rotations
+# edit THIS list only — the funcs dict below is order-insignificant.
 _QUERY_ORDER = [
     "txn_delete", "txn_schema_evolution", "txn_merge_upsert",
     "txn_time_travel", "txn_pruned_read", "txn_stream_sink",
-    # r12 optimization-phase re-samples (implementation changed late
-    # in the round: the four former brute crossJoin rows now run
-    # their bit-identical BLAS tiers, and ann_recall_report's
-    # exact/sq8 branches ride the same swap — precedent:
-    # txn_merge_upsert in r11). Their window slots displace the 5
-    # stalest rows (dedup_minhash_lsh ... ann_pq_topk) to the head
-    # of the unsampled tail behind the rows-only pair.
     "dedup_embedding", "ann_cosine_topk", "hard_negative_mining",
-    "ann_sq8_topk", "ann_recall_report",
+    "ann_sq8_topk", "ann_recall_report", "part_triangles",
+    "lineitem_profile_drift", "dedup_simhash", "dedup_minhash_lsh",
+    "dedup_incremental_lsh", "minhash_estimate_audit", "dedup_incremental",
+    "quality_classifier", "classifier_calibration", "quality_decile_bins",
     "walk_forward_splits", "market_beta", "event_value_quantiles",
     "return_correlations", "bollinger_bands", "stochastic_k",
     "hll_user_overlap", "embedding_top_component", "lineitem_profile_drift_sketch",
@@ -2797,20 +2800,17 @@ _QUERY_ORDER = [
     "returnflag_priority_counts", "dominant_part_suppliers", "cms_daily_rollup",
     "pq_subspace_profile", "ann_index_extend", "pq_index_extend",
     "bloom_daily_rollup", "macd", "atr_obv",
-    "drawdown", "rolling_beta", "cross_sectional_ranks",
-    "pmi_collocations", "balance_rich_dormant", "min_cost_supplier",
-    "nation_revenue_share", "bilateral_trade", "disjunctive_brand_revenue",
-    "top_return_customers", "sharpe_ratios", "monthly_revenue_growth",
-    "windowed_analytics_reagg",
-    "image_features", "dedup_minhash_lsh", "dedup_incremental_lsh",
-    "dedup_embedding_ivf", "ann_ivf_topk", "ann_pq_topk",
-    "ann_ivfpq_topk", "ann_lsh_topk",
-    "prototypicality_prune", "audio_features", "multimodal_decode",
-    "multimodal_frames", "multimodal_resize", "banded_discount_revenue",
-    "nation_market_share", "supplier_nation_profit", "customer_order_distribution",
-    "top_supplier_revenue", "range_frame_revenue", "join_skew_profile",
-    "degree_distribution", "link_prediction", "classifier_calibration",
-    "minhash_estimate_audit",
+    "drawdown", "rolling_beta", "windowed_analytics_reagg",
+    "image_features", "cross_sectional_ranks", "pmi_collocations",
+    "balance_rich_dormant", "min_cost_supplier", "nation_revenue_share",
+    "bilateral_trade", "disjunctive_brand_revenue", "top_return_customers",
+    "sharpe_ratios", "monthly_revenue_growth", "dedup_embedding_ivf",
+    "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_lsh_topk", "prototypicality_prune", "audio_features",
+    "multimodal_decode", "multimodal_frames", "multimodal_resize",
+    "banded_discount_revenue", "nation_market_share", "supplier_nation_profit",
+    "customer_order_distribution", "top_supplier_revenue", "range_frame_revenue",
+    "join_skew_profile", "degree_distribution", "link_prediction",
     "hard_negative_ivf", "salted_join_revenue", "salted_event_stats",
     "market_concentration", "data_quality_report", "referential_integrity_audit",
     "part_skyline", "label_centroid_similarity", "label_loo_outliers",
@@ -2818,41 +2818,38 @@ _QUERY_ORDER = [
     "tick_gap_report", "part_abc_analysis", "rake_keywords",
     "benford_audit", "part_supplier_counts", "repeated_spans_rolling",
     "ann_filtered_topk", "ngram_decontaminate", "temperature_mix",
-    "hilbert_events", "similar_symbols",
-    "pattern_match", "cohort_retention", "funnel_conversion",
-    "daily_vwap", "multi_grain_bars", "forward_fill_bars",
-    "order_priority_rollup", "promo_revenue_monthly", "small_qty_part_revenue",
-    "large_volume_customers", "returned_orders_by_priority", "dormant_customers",
-    "exclusive_fault_suppliers", "event_type_pivot", "text_quality",
-    "lang_id", "daily_bars", "daily_summary",
-    "knn_label_eval_ivf", "stateful_features", "pipeline_lineage",
-    "regional_customer_summary", "pricing_summary", "top_revenue_orders",
-    "merge_upsert", "snapshot_diff", "scd2_user_status",
-    "regional_supplier_revenue", "windowed_analytics_range_join", "daily_returns",
-    "rolling_indicators", "stock_performance", "window_agg_15m",
-    "windowed_analytics", "realtime_signals", "doc_fingerprint",
-    "lm_perplexity", "boilerplate_prefixes", "winsorize_ticks",
-    "pii_scrub", "strip_html", "split_sentences",
-    "gopher_filter", "repetition_filter", "mix_corpus",
-    "chunk_documents", "token_frequency", "stratified_sample",
-    "shuffle_corpus", "source_drift_kl", "length_bucket_batches",
-    "bpe_token_counts", "sft_render_spans", "hash_embeddings",
-    "zorder_events", "ngram_containment", "leakage_safe_split",
-    "importance_weights", "importance_resample", "pack_sequences",
-    "quality_decile_bins", "curation_pipeline", "corpus_stats_by_source",
-    "dedup_exact", "repeated_spans", "dedup_sentences",
-    "lm_perplexity_cross", "dedup_incremental", "dedup_keep_best",
+    "hilbert_events", "similar_symbols", "pattern_match",
+    "cohort_retention", "funnel_conversion", "daily_vwap",
+    "multi_grain_bars", "forward_fill_bars", "order_priority_rollup",
+    "promo_revenue_monthly", "small_qty_part_revenue", "large_volume_customers",
+    "returned_orders_by_priority", "dormant_customers", "exclusive_fault_suppliers",
+    "event_type_pivot", "text_quality", "lang_id",
+    "daily_bars", "daily_summary", "knn_label_eval_ivf",
+    "stateful_features", "pipeline_lineage", "regional_customer_summary",
+    "pricing_summary", "top_revenue_orders", "merge_upsert",
+    "snapshot_diff", "scd2_user_status", "regional_supplier_revenue",
+    "windowed_analytics_range_join", "daily_returns", "rolling_indicators",
+    "stock_performance", "window_agg_15m", "windowed_analytics",
+    "realtime_signals", "doc_fingerprint", "lm_perplexity",
+    "boilerplate_prefixes", "winsorize_ticks", "pii_scrub",
+    "strip_html", "split_sentences", "gopher_filter",
+    "repetition_filter", "mix_corpus", "chunk_documents",
+    "token_frequency", "stratified_sample", "shuffle_corpus",
+    "source_drift_kl", "length_bucket_batches", "bpe_token_counts",
+    "sft_render_spans", "hash_embeddings", "zorder_events",
+    "ngram_containment", "leakage_safe_split", "importance_weights",
+    "importance_resample", "pack_sequences", "curation_pipeline",
+    "corpus_stats_by_source", "dedup_exact", "repeated_spans",
+    "dedup_sentences", "lm_perplexity_cross", "dedup_keep_best",
     "hll_event_users", "dedup_sorted_neighborhood", "embedding_diversity",
     "part_name_fuzzy_pairs", "profile_lineitem", "order_value_distribution",
     "type_token_stats", "bloom_decontaminate", "event_value_quantile_sketch",
     "event_transitions", "part_pagerank", "dedup_prefix_filter",
-    "lineitem_profile_drift", "hll_daily_rollup", "cms_token_frequency",
-    "part_triangles", "return_moments", "return_outliers",
-    "sector_activity_sketch", "profile_lineitem_sketch", "part_kcore",
-    "quality_classifier", "winnow_fingerprints", "passage_overlap",
+    "hll_daily_rollup", "cms_token_frequency", "return_moments",
+    "return_outliers", "sector_activity_sketch", "profile_lineitem_sketch",
+    "part_kcore", "winnow_fingerprints", "passage_overlap",
     "passage_clusters", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_clusters_star", "dedup_simhash",
-    "dedup_embedding_blas", "ann_cosine_topk_blas",
+    "dedup_clusters_star", "dedup_embedding_blas", "ann_cosine_topk_blas",
     "bm25_topk", "hybrid_search_rrf", "tfidf_topk",
     "shingle_novelty", "cross_source_contamination", "multimodal_meta",
     "asof_tick_bar", "session_windows", "symbols_both_halves",
