@@ -47,6 +47,17 @@ from ..functions.core import round_away
 
 SCALE = 10**12
 
+# (r13 A/B toggle) SHUFFLE_HASH hints on triangle_stats' wedge/closing
+# joins — r12 added them on probe evidence, but the round-12 driver
+# measured part_triangles slower in BOTH its runs (32c and 8c), so the
+# round-13 interleaved A/B arbitrates with this flag. Plan-build-time
+# read; default keeps current behavior.
+_WEDGE_SHJ_HINTS = True
+
+
+def _wedge_hint(df: DataFrame) -> DataFrame:
+    return df.hint("shuffle_hash") if _WEDGE_SHJ_HINTS else df
+
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct directed edges (src, dst): parts appearing in the same
@@ -267,14 +278,14 @@ def triangle_stats(
     # list on each side, while a per-partition hash build from the
     # edge side needs no broadcast fit and no sort. Build sides are
     # edge-bounded (E/2 rows each), never the Σ outdeg² wedge stream.
-    wedges = o1.join(o2.hint("shuffle_hash"), "u").filter(
+    wedges = o1.join(_wedge_hint(o2), "u").filter(
         (F.col("__da") < F.col("__db"))
         | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b")))
     )
     closing = oriented.select(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
-    tri = wedges.join(closing.hint("shuffle_hash"), ["a", "b"]).select(
+    tri = wedges.join(_wedge_hint(closing), ["a", "b"]).select(
         "u", "a", "b"
     )
     per_node = (

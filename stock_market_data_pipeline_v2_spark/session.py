@@ -37,19 +37,22 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    # (r12 optimization, guide §3.1) let AQE rewrite sort-merge joins
-    # to shuffled-hash at runtime when EVERY post-shuffle partition
-    # fits under the threshold (default 0 = never). This is the
-    # scale-adaptive form of the per-join SHUFFLE_HASH hints the graph
-    # family already carries: the decision is made from MEASURED
-    # runtime partition sizes, so at 100 TB (partitions ≫ threshold)
-    # joins stay sort-merge and nothing can OOM; on the bench's
-    # medium shuffles it removes per-join re-sorts (A/B on the
-    # join-heavy subset: 28.4 → 25.6 s). Env-overridable; "0" turns
-    # it off.
+    # (r13 optimization, guide §3.1/§1.1) AQE sort-merge→shuffled-hash
+    # conversion is OFF by default again. r12 enabled 128m from a
+    # two-process A/B, but the round-12 driver measured part_kcore and
+    # part_triangles slower in BOTH its runs, and the round-13
+    # INTERLEAVED A/B (arms alternating per run, 8 runs at local[32]
+    # and 4 at local[8], tools/opt_ab_r13.py) reproduced it: with the
+    # conf on, part_kcore med 6.68 vs 5.03 (32c) and 6.10 vs 3.84
+    # (8c), part_triangles med 11.92 vs 8.33 (8c), and the ANN index
+    # family 5-20% slower — the conversion's runtime re-planning cost
+    # plus hash-build on the already-hinted graph joins' probe sides
+    # loses to plain SMJ here. The per-join SHUFFLE_HASH hints the
+    # graph family carries (measured wins, kept) already cover the
+    # joins where hashing is right. Env-overridable for experiments.
     spark.conf.set(
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "128m"),
+        os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "0"),
     )
     # Testdata `events.ts` is parquet TIMESTAMP(NANOS) which Spark's
     # vectorized reader rejects; read as long and convert in
