@@ -80,13 +80,21 @@ def stock_performance(
     partition_col: str = "symbol",
     order_col: str = "trade_date",
     include_audit: bool = False,
+    enriched: DataFrame | None = None,
 ) -> DataFrame:
+    """``enriched``: a prebuilt ``rolling_indicators(daily_returns(...))``
+    frame (r13: the entry module memoizes that shared chain — ~0.75 s
+    of eager plan re-analysis per rebuild); when absent it is built
+    inline, identical plan."""
     w = Window.partitionBy(partition_col).orderBy(order_col)
     w52 = w.rowsBetween(-251, 0)
 
-    enriched = rolling_indicators(
-        daily_returns(clean_bars, partition_col, order_col), partition_col, order_col
-    )
+    if enriched is None:
+        enriched = rolling_indicators(
+            daily_returns(clean_bars, partition_col, order_col),
+            partition_col,
+            order_col,
+        )
 
     high_52w = F.max("high_price").over(w52)
     low_52w = F.min("low_price").over(w52)
